@@ -1,0 +1,270 @@
+"""Geobuf codec correctness: golden bit-for-bit + roundtrip + edge cases.
+
+Mirrors the reference test layers (SURVEY.md §5): unit tests on wire
+primitives, golden-file byte equality, decode∘encode fixpoint (the
+reference's own oracle at `tests/test_geobuf.py:358-364`), and the
+tie-rounding divergence documented at `tests/test_geobuf.cpp:61-83`.
+"""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from geoflow import codec, codec_batch, pbf
+
+GOLDENS = pathlib.Path(__file__).resolve().parent / "goldens"
+MANIFEST = json.loads((GOLDENS / "manifest.json").read_text())
+
+
+# ---------------------------------------------------------------------------
+# pbf primitives
+# ---------------------------------------------------------------------------
+
+def test_varint_roundtrip_scalar():
+    for n in [0, 1, 127, 128, 300, 2 ** 32, 2 ** 63, 2 ** 64 - 1]:
+        buf = bytearray()
+        pbf.write_varint(buf, n)
+        r = pbf.PbfReader(bytes(buf))
+        assert r.read_varint() == n
+
+
+def test_zigzag():
+    for n in [0, -1, 1, -2, 2, 2 ** 62, -(2 ** 63), 2 ** 63 - 1]:
+        assert pbf.unzigzag(pbf.zigzag(n)) == n
+    assert pbf.zigzag(0) == 0
+    assert pbf.zigzag(-1) == 1
+    assert pbf.zigzag(1) == 2
+    assert pbf.zigzag(-2) == 3
+
+
+def test_zigzag_np_matches_scalar():
+    vals = np.array([0, -1, 1, -2, 2, 12345, -12345, 2 ** 62, -(2 ** 62)],
+                    dtype=np.int64)
+    enc = pbf.zigzag_np(vals)
+    assert [pbf.zigzag(int(v)) for v in vals] == enc.tolist()
+    assert pbf.unzigzag_np(enc).tolist() == vals.tolist()
+
+
+def test_varint_vectorized_matches_scalar():
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.integers(0, 128, 50), rng.integers(0, 2 ** 32, 50),
+        rng.integers(0, 2 ** 63, 50, dtype=np.uint64),
+        np.array([0, 127, 128, 2 ** 64 - 1], dtype=np.uint64),
+    ]).astype(np.uint64)
+    stream, nbytes = pbf.varint_encode_array(vals)
+    expected = bytearray()
+    for v in vals:
+        pbf.write_varint(expected, int(v))
+    assert bytes(stream.tobytes()) == bytes(expected)
+    decoded, starts = pbf.varint_decode_stream(stream)
+    assert decoded.tolist() == vals.tolist()
+    assert starts[0] == 0 and len(starts) == len(vals)
+
+
+def test_int64_plain_varint_negative():
+    buf = bytearray()
+    pbf.write_tag_int64(buf, 12, -5)
+    assert len(buf) == 11  # key + 10-byte two's complement varint
+    r = pbf.PbfReader(bytes(buf))
+    assert r.next() and r.tag == 12
+    assert r.read_int64() == -5
+
+
+def test_empty_packed_skipped():
+    buf = bytearray()
+    pbf.write_packed_uint32(buf, 2, [])
+    pbf.write_packed_sint64(buf, 3, [])
+    assert bytes(buf) == b""
+
+
+# ---------------------------------------------------------------------------
+# rounding semantics
+# ---------------------------------------------------------------------------
+
+def test_round_half_away():
+    assert codec.round_half_away(2.5) == 3
+    assert codec.round_half_away(-2.5) == -3
+    assert codec.round_half_away(2.4) == 2
+    assert codec.round_half_away(-2.4) == -2
+    assert codec.round_half_away(0.5) == 1
+    assert codec.round_half_away(-0.5) == -1
+    # true ties round away from zero
+    assert codec.round_half_away(119882812.5) == 119882813
+    assert codec.round_half_away(-119882812.5) == -119882813
+    # the case from reference tests/test_geobuf.cpp:61-83: in IEEE double,
+    # 119.88281249999999 * 1e6 == 119882812.49999999 (NOT a tie), so the
+    # mathematically correct result is 812; the reference comment's "813"
+    # reflects a platform/display artifact, not reproducible double math.
+    assert codec.round_half_away(119.88281249999999 * 1e6) == 119882812
+
+
+def test_round_half_away_np_matches_scalar():
+    rng = np.random.default_rng(11)
+    y = np.concatenate([rng.uniform(-1e7, 1e7, 1000),
+                        np.array([2.5, -2.5, 0.5, -0.5, 1e15,
+                                  119.88281249999999 * 1e6])])
+    got = codec_batch.round_half_away_np(y)
+    assert got.tolist() == [codec.round_half_away(float(v)) for v in y]
+
+
+# ---------------------------------------------------------------------------
+# golden files: bit-for-bit
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", sorted(MANIFEST))
+def test_golden_encode_bytes(name):
+    meta = MANIFEST[name]
+    doc = json.loads((GOLDENS / f"{name}.json").read_text())
+    got = codec.Encoder(meta["max_precision"]).encode(doc)
+    assert got == (GOLDENS / f"{name}.pbf").read_bytes()
+
+
+@pytest.mark.parametrize("name", sorted(MANIFEST))
+def test_golden_decode(name):
+    meta = MANIFEST[name]
+    dec = codec.Decoder()
+    got = dec.decode((GOLDENS / f"{name}.pbf").read_bytes())
+    expected = json.loads((GOLDENS / f"{name}.out.json").read_text())
+    assert got == expected
+    assert dec.precision == meta["precision"]
+    assert dec.dim == meta["dim"]
+
+
+@pytest.mark.parametrize("name", sorted(MANIFEST))
+def test_golden_fixpoint(name):
+    meta = MANIFEST[name]
+    doc = json.loads((GOLDENS / f"{name}.out.json").read_text())
+    again = codec.Decoder().decode(
+        codec.Encoder(meta["max_precision"]).encode(doc))
+    assert again == doc
+
+
+def test_encode_determinism_str_vs_dict():
+    # same bytes from JSON text and from dict input
+    # (reference tests/test_geobuf.py:352-357)
+    doc = json.loads((GOLDENS / "sample1.json").read_text())
+    e = codec.Encoder(10 ** 8)
+    assert e.encode(doc) == e.encode(json.dumps(doc))
+
+
+# ---------------------------------------------------------------------------
+# semantic edges
+# ---------------------------------------------------------------------------
+
+def test_value_types_roundtrip():
+    doc = json.loads((GOLDENS / "value_types.json").read_text())
+    out = codec.decode(codec.encode(doc))
+    p = out["properties"]
+    assert p["int_pos"] == 7 and p["int_neg"] == -7
+    assert p["uint_big"] == (1 << 63) + 5
+    assert p["int_min"] == -(1 << 63)
+    assert p["bool_t"] is True and p["bool_f"] is False
+    assert p["nil"] is None
+    assert p["arr"] == [1, "two", {"three": 3}]
+    assert p["dbl"] == 3.5
+
+
+def test_feature_id_semantics():
+    doc = json.loads((GOLDENS / "feature_ids.json").read_text())
+    out = codec.decode(codec.encode(doc))
+    ids = [f.get("id") for f in out["features"]]
+    assert ids == [42, -42, "str-id", None]
+
+
+def test_null_geometry():
+    doc = {"type": "Feature", "properties": {"a": 1}, "geometry": None}
+    out = codec.decode(codec.encode(doc))
+    assert out["geometry"] is None
+    assert out["properties"] == {"a": 1}
+
+
+def test_lengths_omission_single_ring():
+    # single-ring polygon: no tag2 lengths on the wire
+    data = codec.encode({"type": "Polygon",
+                         "coordinates": [[[0, 0], [5, 0], [5, 5], [0, 0]]]})
+    r = pbf.PbfReader(data)
+    tags = []
+    while r.next():
+        tags.append(r.tag)
+        if r.tag == 6:
+            sub = r.enter_message()
+            while sub.next():
+                tags.append((6, sub.tag))
+                sub.skip()
+        else:
+            r.skip()
+    assert (6, 2) not in tags  # no lengths field
+    out = codec.decode(data)
+    assert out["coordinates"] == [[[0, 0], [5, 0], [5, 5], [0, 0]]]
+
+
+def test_ring_closing():
+    # encoder drops the final repeated point; decoder re-closes
+    doc = {"type": "Polygon",
+           "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 0]]]}
+    out = codec.decode(codec.encode(doc))
+    ring = out["coordinates"][0]
+    assert ring[0] == ring[-1]
+    assert len(ring) == 4
+
+
+def test_precision_inference_capped():
+    e = codec.Encoder(10 ** 6)
+    e.encode({"type": "Point", "coordinates": [12.123456789, 0]})
+    d = codec.Decoder()
+    d.decode(e.encode({"type": "Point", "coordinates": [12.123456789, 0]}))
+    assert d.precision == 6  # capped at max_precision
+
+
+def test_dim3_inference():
+    d = codec.Decoder()
+    d.decode(codec.encode({"type": "Point", "coordinates": [1, 2, 3]}))
+    assert d.dim == 3
+    d.decode(codec.encode({"type": "Point", "coordinates": [1, 2, 0]}))
+    assert d.dim == 2  # z == 0 stays 2D (analyzePoint semantics)
+
+
+def test_mixed_2d_3d_parts():
+    # 3D anywhere promotes the whole document to dim 3 with z=0 fill
+    doc = {"type": "MultiLineString",
+           "coordinates": [[[-1.1, 2.1], [2, -999.9]],
+                           [[10, 20, 30], [20, 30, 40]]]}
+    out = codec.decode(codec.encode(doc))
+    assert out["coordinates"][0][0] == [-1.1, 2.1, 0]
+    assert out["coordinates"][1][1] == [20, 30, 40]
+
+
+def test_normalize_geobuf_idempotent():
+    doc = json.loads((GOLDENS / "sample1.json").read_text())
+    b = codec.Encoder(10 ** 8).encode(doc)
+    n1 = codec.normalize_geobuf(b)
+    assert codec.normalize_geobuf(n1) == n1
+
+
+# ---------------------------------------------------------------------------
+# batch codec == document codec
+# ---------------------------------------------------------------------------
+
+def test_batch_point_codec_matches_document_codec():
+    rng = np.random.default_rng(42)
+    n = 2000
+    lng = np.round(rng.uniform(-180, 180, n), 6)
+    lat = np.round(rng.uniform(-85, 85, n), 6)
+    lng[:200] = np.round(lng[:200], 2)
+    lat[200:300] = np.round(lat[200:300], 0)
+    lng[300] = 119.88281249999999
+    arr = codec_batch.encode_points(lng, lat)
+    for i in range(0, n, 97):
+        ref = codec.encode({"type": "Point",
+                            "coordinates": [float(lng[i]), float(lat[i])]})
+        assert arr[i].as_py() == ref
+    dl, dt = codec_batch.decode_points(arr)
+    assert np.allclose(dl, lng, atol=2e-6)
+    assert np.allclose(dt, lat, atol=2e-6)
+    # decode matches per-document decoder exactly
+    for i in range(0, n, 197):
+        ref = codec.decode(arr[i].as_py())["coordinates"]
+        assert ref == [dl[i], dt[i]]
