@@ -1,0 +1,252 @@
+"""Point-in-polygon spatial join (★J1) — broadcast and shuffle paths.
+
+Broadcast path (small polygon side, the common case): the polygon set is
+``ray.put`` once on the driver; each ``PIPJoiner`` actor builds a
+cell-inverted index + bbox arrays once in ``__init__`` and streams point
+batches through a vectorized candidate-prune + exact ray-casting refine.
+No shuffle (SURVEY.md §2.4 ★J1, north star BASELINE.json:6).
+
+Shuffle path (both sides large): explode polygons to covering cells,
+hash-co-partition points and polygon fragments on (cell, salt) via
+``groupby``, exact-test inside ``map_groups``.  Salting for hot cells is
+supplied by shuffle.py and MUST NOT change results (oracle-verified).
+
+Both paths and the brute-force oracle use the same crossing rule
+(geom.points_in_polygon_batch), so row counts and assignments agree
+exactly per BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import cells, geom
+
+DEFAULT_RES = 8  # join cell resolution (1.41° x 0.70° cells)
+
+
+class PolygonIndex:
+    """Immutable polygon-side state: per-polygon flat rings, bboxes and a
+    cell -> polygon-ids inverted index at ``res``.  Built once per actor."""
+
+    def __init__(self, polygons: dict, res: int = DEFAULT_RES):
+        self.res = res
+        self.poly_id = np.asarray(polygons["poly_id"], dtype=np.int64)
+        self.coords = [np.asarray(c, dtype=np.float64)
+                       for c in polygons["coords"]]
+        self.lengths = [np.asarray(ln, dtype=np.int64)
+                        for ln in polygons["lengths"]]
+        self.bbox = np.array([geom.polygon_bbox(c) for c in self.coords])
+        self.cell_to_polys: dict[int, list[int]] = {}
+        for i, (c, _l) in enumerate(zip(self.coords, self.lengths)):
+            bb = self.bbox[i]
+            for cid in cells.cells_for_bbox(bb[0], bb[1], bb[2], bb[3], res):
+                self.cell_to_polys.setdefault(int(cid), []).append(i)
+
+    def candidate_polys(self, cell_ids: np.ndarray) -> dict[int, np.ndarray]:
+        """poly index -> row positions whose cell could intersect it."""
+        out: dict[int, list[int]] = {}
+        # group rows by cell, then expand via the inverted index
+        order = np.argsort(cell_ids, kind="stable")
+        sorted_cells = cell_ids[order]
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], sorted_cells[1:] != sorted_cells[:-1])))
+        bounds = np.append(bounds, len(sorted_cells))
+        for b in range(len(bounds) - 1):
+            cid = int(sorted_cells[bounds[b]])
+            rows = order[bounds[b]:bounds[b + 1]]
+            for pi in self.cell_to_polys.get(cid, ()):
+                out.setdefault(pi, []).append(rows)
+        return {pi: np.concatenate(chunks) for pi, chunks in out.items()}
+
+    def match(self, lng: np.ndarray, lat: np.ndarray
+              ) -> tuple[np.ndarray, np.ndarray]:
+        """(row_positions, poly_ids) of all point-polygon containments."""
+        cell_ids = cells.cell_encode(lng, lat, self.res)
+        cand = self.candidate_polys(cell_ids)
+        rows_out: list[np.ndarray] = []
+        polys_out: list[np.ndarray] = []
+        for pi, rows in cand.items():
+            bb = self.bbox[pi]
+            sub = rows[(lng[rows] >= bb[0]) & (lng[rows] <= bb[2])
+                       & (lat[rows] >= bb[1]) & (lat[rows] <= bb[3])]
+            if len(sub) == 0:
+                continue
+            hit = geom.points_in_polygon_batch(lng[sub], lat[sub],
+                                               self.coords[pi],
+                                               self.lengths[pi])
+            matched = sub[hit]
+            if len(matched):
+                rows_out.append(matched)
+                polys_out.append(np.full(len(matched), self.poly_id[pi],
+                                         dtype=np.int64))
+        if not rows_out:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        rows_cat = np.concatenate(rows_out)
+        polys_cat = np.concatenate(polys_out)
+        # deterministic output order: by row position, then poly_id
+        order = np.lexsort((polys_cat, rows_cat))
+        return rows_cat[order], polys_cat[order]
+
+
+class PIPJoiner:
+    """Actor-pool stage: ``features.map_batches(PIPJoiner,
+    fn_constructor_kwargs={"polygons_ref": ref}, concurrency=N,
+    batch_format="pyarrow")`` -> inner-join rows with ``poly_id``."""
+
+    def __init__(self, polygons_ref=None, polygons: dict | None = None,
+                 res: int = DEFAULT_RES):
+        if polygons is None:
+            import ray
+            polygons = ray.get(polygons_ref)
+        self.index = PolygonIndex(polygons, res)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        rows, polys = self.index.match(lng, lat)
+        out = batch.take(pa.array(rows))
+        return out.append_column("poly_id", pa.array(polys,
+                                                     type=pa.int64()))
+
+
+def pip_join_bruteforce(lng: np.ndarray, lat: np.ndarray,
+                        polygons: dict) -> tuple[np.ndarray, np.ndarray]:
+    """O(n·m) oracle: every point against every polygon, scalar crossing
+    loop (independent of the vectorized kernel).  Returns (row_positions,
+    poly_ids) sorted like PolygonIndex.match."""
+    rows_out, polys_out = [], []
+    for pi, pid in enumerate(np.asarray(polygons["poly_id"])):
+        coords = np.asarray(polygons["coords"][pi], dtype=np.float64)
+        lengths = np.asarray(polygons["lengths"][pi], dtype=np.int64)
+        for r in range(len(lng)):
+            if _pip_scalar(float(lng[r]), float(lat[r]), coords, lengths):
+                rows_out.append(r)
+                polys_out.append(int(pid))
+    rows_cat = np.asarray(rows_out, dtype=np.int64)
+    polys_cat = np.asarray(polys_out, dtype=np.int64)
+    order = np.lexsort((polys_cat, rows_cat))
+    return rows_cat[order], polys_cat[order]
+
+
+def _pip_scalar(px: float, py: float, coords: np.ndarray,
+                lengths: np.ndarray) -> bool:
+    inside = False
+    off = 0
+    for n in lengths:
+        n = int(n)
+        xs = coords[2 * off:2 * (off + n):2].tolist()
+        ys = coords[2 * off + 1:2 * (off + n) + 1:2].tolist()
+        if n > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]:
+            xs, ys = xs[:-1], ys[:-1]
+        m = len(xs)
+        j = m - 1
+        for i in range(m):
+            if (ys[i] > py) != (ys[j] > py):
+                xint = (xs[j] - xs[i]) * (py - ys[i]) / (ys[j] - ys[i]) \
+                    + xs[i]
+                if px < xint:
+                    inside = not inside
+            j = i
+        off += n
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# shuffle (large-large) path
+# ---------------------------------------------------------------------------
+
+def explode_polygons_to_cells(polygons: dict, res: int = DEFAULT_RES,
+                              salt_map: dict[int, int] | None = None
+                              ) -> pa.Table:
+    """(cell, salt, poly_idx) fragments: one row per covering cell per salt
+    replica.  Small table — broadcast or unioned into the shuffle."""
+    salt_map = salt_map or {}
+    cells_out, salts_out, idx_out = [], [], []
+    for i in range(len(polygons["poly_id"])):
+        c = np.asarray(polygons["coords"][i], dtype=np.float64)
+        bb = geom.polygon_bbox(c)
+        for cid in cells.cells_for_bbox(bb[0], bb[1], bb[2], bb[3], res):
+            n_salts = salt_map.get(int(cid), 1)
+            for s in range(n_salts):
+                cells_out.append(int(cid))
+                salts_out.append(s)
+                idx_out.append(i)
+    return pa.table({
+        "cell": pa.array(np.asarray(cells_out, dtype=np.uint64).view(
+            np.int64)),
+        "salt": pa.array(salts_out, type=pa.int32()),
+        "poly_idx": pa.array(idx_out, type=pa.int32()),
+    })
+
+
+def grouped_pip_join(features_ds, polygons: dict, res: int = DEFAULT_RES,
+                     salt_map: dict[int, int] | None = None):
+    """Shuffle-path J1: co-partition points and polygon fragments on
+    (cell, salt) and exact-test per group.  ``features_ds`` must already
+    carry a ``cell`` int64 column at ``res`` (pipeline.with_cells).
+
+    The polygon side is small per-fragment, so fragments ride along as a
+    broadcast dict {(cell, salt): [poly_idx]} while the heavy point side is
+    the only shuffled data — this is the explicit groupby-on-cell
+    repartition of the north rule, with salted keys for hot cells.
+    """
+    import ray
+
+    salt_map = salt_map or {}
+    frag = explode_polygons_to_cells(polygons, res, salt_map)
+    cell_to_fragment: dict[tuple[int, int], list[int]] = {}
+    for cid, s, pi in zip(frag["cell"].to_pylist(),
+                          frag["salt"].to_pylist(),
+                          frag["poly_idx"].to_pylist()):
+        cell_to_fragment.setdefault((cid, s), []).append(pi)
+    polys_ref = ray.put(polygons)
+    frag_ref = ray.put(cell_to_fragment)
+    salt_ref = ray.put(salt_map)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        from .shuffle import add_salt_column
+        return add_salt_column(batch, "cell", ray.get(salt_ref), src="url")
+
+    def group_join(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _empty_join_result(group)
+        polygons_b = ray.get(polys_ref)   # local object-store read
+        fragments = ray.get(frag_ref)
+        cid = group["cell"][0].as_py()
+        s = group["salt"][0].as_py()
+        plist = fragments.get((cid, s), [])
+        if not plist:
+            return _empty_join_result(group)
+        lng = group["lng"].to_numpy(zero_copy_only=False)
+        lat = group["lat"].to_numpy(zero_copy_only=False)
+        rows_out, polys_out = [], []
+        for pi in plist:
+            coords = np.asarray(polygons_b["coords"][pi], dtype=np.float64)
+            lens = np.asarray(polygons_b["lengths"][pi], dtype=np.int64)
+            hit = geom.points_in_polygon_batch(lng, lat, coords, lens)
+            idx = np.flatnonzero(hit)
+            if len(idx):
+                rows_out.append(idx)
+                polys_out.append(np.full(len(idx),
+                                         polygons_b["poly_id"][pi],
+                                         dtype=np.int64))
+        if not rows_out:
+            return _empty_join_result(group)
+        rows_cat = np.concatenate(rows_out)
+        polys_cat = np.concatenate(polys_out)
+        order = np.lexsort((polys_cat, rows_cat))
+        out = group.take(pa.array(rows_cat[order]))
+        return out.append_column(
+            "poly_id", pa.array(polys_cat[order], type=pa.int64()))
+
+    salted = features_ds.map_batches(add_salt, batch_format="pyarrow")
+    return salted.groupby(["cell", "salt"]).map_groups(
+        group_join, batch_format="pyarrow")
+
+
+def _empty_join_result(group: pa.Table) -> pa.Table:
+    empty = group.slice(0, 0)
+    return empty.append_column("poly_id", pa.array([], type=pa.int64()))

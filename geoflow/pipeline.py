@@ -1,0 +1,146 @@
+"""Flagship pipeline (SURVEY.md §3.4): pages -> extract -> geobuf encode ->
+cell index -> PIP join -> tile assignment -> tile stats + checkpointed sink.
+
+Every stage is a ``map_batches`` over zero-copy Arrow; the polygon side is
+broadcast (no shuffle); the only wide ops are the small tile-stats groupby
+and the partitioned checkpoint write.  ``html`` is pruned AT THE READ —
+the fat column never leaves storage (BASELINE.md protocol / SURVEY §4
+memory row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from . import cells, codec_batch, synth, tiles
+from .extract import Extractor
+from .pip import DEFAULT_RES, PIPJoiner
+
+TILE_Z = 12
+PAGE_COLUMNS = ["url", "warc_ts", "text", "lang"]
+
+from .extract import FEATURES_SCHEMA  # noqa: E402
+
+SINK_SCHEMA = pa.schema(list(FEATURES_SCHEMA) + [
+    ("geobuf", pa.binary()), ("cell", pa.int64()),
+    ("tile_z", pa.int32()), ("tile_x", pa.int32()),
+    ("tile_y", pa.int32()), ("poly_id", pa.int64()),
+    ("part", pa.int64()),
+])
+
+
+def enrich(batch: pa.Table, res: int = DEFAULT_RES,
+           tile_z: int = TILE_Z) -> pa.Table:
+    """Stateless vectorized stage: geobuf bytes (M9), cell id (M16) and
+    WebMercator tile (M17) per extracted feature."""
+    lng = batch["lng"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    geobuf = codec_batch.encode_points(lng, lat)
+    cell = cells.cell_encode(lng, lat, res).view(np.int64)
+    tx, ty = tiles.tile_for_point(lng, lat, tile_z)
+    batch = batch.append_column("geobuf", geobuf)
+    batch = batch.append_column("cell", pa.array(cell))
+    batch = batch.append_column("tile_z",
+                                pa.array(np.full(len(lng), tile_z,
+                                                 dtype=np.int32)))
+    batch = batch.append_column("tile_x", pa.array(tx.astype(np.int32)))
+    batch = batch.append_column("tile_y", pa.array(ty.astype(np.int32)))
+    return batch
+
+
+def dedup_features(features_ds):
+    """Exact dedup per (url, quantized geometry) — SURVEY §2.7.
+
+    geom key = the geobuf bytes themselves (content-defined: same quantized
+    point -> same bytes).  Keeps the first occurrence by feature_idx."""
+    def add_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        h = [hashlib.sha1(g).hexdigest()[:16]
+             for g in batch["geobuf"].to_pylist()]
+        key = pc.binary_join_element_wise(
+            batch["url"].cast(pa.string()), pa.array(h), "|")
+        return batch.append_column("dedup_key", key)
+
+    def take_first(group):
+        g = group.sort_values("feature_idx", kind="mergesort")
+        return g.head(1)
+
+    return (features_ds
+            .map_batches(add_key, batch_format="pyarrow")
+            .groupby("dedup_key")
+            .map_groups(take_first, batch_format="pandas")
+            .drop_columns(["dedup_key"]))
+
+
+def extract_features(pages_ds, concurrency=None, batch_size: int = 2048):
+    return pages_ds.map_batches(
+        Extractor, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else (1, 16))
+
+
+def flagship(pages_dir: str, out_dir: str | None = None,
+             polygons: dict | None = None, res: int = DEFAULT_RES,
+             tile_z: int = TILE_Z, concurrency=None,
+             n_parts: int = 64):
+    """Full chain; returns (tile_stats_dataset, sink_summary | None).
+
+    tile_stats: one row per (tile_z, tile_x, tile_y) with feature and
+    match counts — the raster-side tile assembly aggregate (★G2/★G1).
+    """
+    import ray
+    import ray.data
+
+    pages = ray.data.read_parquet(pages_dir, columns=PAGE_COLUMNS)
+    feats = extract_features(pages, concurrency)
+    feats = feats.map_batches(enrich, batch_format="pyarrow",
+                              fn_kwargs={"res": res, "tile_z": tile_z})
+
+    if polygons is None:
+        polygons = synth.make_polygons().to_pydict()
+    polys_ref = ray.put(polygons)
+    joined = feats.map_batches(
+        PIPJoiner, fn_constructor_kwargs={"polygons_ref": polys_ref,
+                                          "res": res},
+        batch_format="pyarrow",
+        concurrency=concurrency if concurrency is not None else (1, 16))
+
+    summary = None
+    if out_dir is not None:
+        # checkpointed sink, then aggregate FROM the checkpoint so the
+        # heavy chain executes exactly once (lazy Datasets re-execute per
+        # consumer otherwise)
+        def add_part(batch: pa.Table) -> pa.Table:
+            cell = batch["cell"].to_numpy(zero_copy_only=False)
+            part = (cell.view(np.uint64) % np.uint64(n_parts)).astype(
+                np.int64)
+            return batch.append_column("part", pa.array(part))
+
+        from .checkpoint import checkpointed_write, read_checkpoint
+        sink = joined.map_batches(add_part, batch_format="pyarrow")
+        summary = checkpointed_write(sink, out_dir, input_id=pages_dir)
+        joined = read_checkpoint(out_dir, empty_schema=SINK_SCHEMA)
+
+    tile_stats = (joined
+                  .groupby(["tile_z", "tile_x", "tile_y"])
+                  .count())
+    return tile_stats, summary
+
+
+def verify_text_invariant(pages_dir: str, features_ds, sample: int = 2000
+                          ) -> bool:
+    """Per-row invariant (BASELINE.json:15): the ``text`` carried on every
+    extracted feature row is byte-identical to the source page text for
+    that url.  Full check on a sample of rows (hash compare)."""
+    import ray.data
+
+    src = ray.data.read_parquet(pages_dir, columns=["url", "text"])
+    truth = {r["url"]: hashlib.sha256(r["text"].encode()).hexdigest()
+             for r in src.take_all()}
+    got = features_ds.select_columns(["url", "text"]).take(sample)
+    for r in got:
+        if hashlib.sha256(r["text"].encode()).hexdigest() != truth[r["url"]]:
+            return False
+    return True

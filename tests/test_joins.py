@@ -1,0 +1,192 @@
+"""Distributed joins and pipeline vs brute-force oracles (Ray-based)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geoflow import cells, knn, pip, pipeline, shuffle, synth
+from geoflow.extract import Extractor
+
+
+@pytest.fixture(scope="module")
+def feats(ray_session):
+    pages = synth.make_pages(3000)
+    return Extractor()(pages)
+
+
+@pytest.fixture(scope="module")
+def polygons():
+    return synth.make_polygons(60).to_pydict()
+
+
+def _feats_ds(feats, res=pip.DEFAULT_RES):
+    import ray.data
+    lng = feats["lng"].to_numpy()
+    lat = feats["lat"].to_numpy()
+    cell = cells.cell_encode(lng, lat, res).view(np.int64)
+    t = feats.append_column("cell", pa.array(cell))
+    return ray.data.from_arrow(t)
+
+
+def _key_set(df: pd.DataFrame):
+    return set(zip(df["url"], df["feature_idx"], df["poly_id"]))
+
+
+def test_pip_broadcast_matches_bruteforce(ray_session, feats, polygons):
+    lng = feats["lng"].to_numpy()
+    lat = feats["lat"].to_numpy()
+    # oracle
+    rows, polys = pip.pip_join_bruteforce(lng, lat, polygons)
+    # distributed broadcast path
+    import ray
+    ds = _feats_ds(feats)
+    ref = ray.put(polygons)
+    out = ds.map_batches(
+        pip.PIPJoiner, fn_constructor_kwargs={"polygons_ref": ref},
+        batch_format="pyarrow", batch_size=512, concurrency=2).to_pandas()
+    # compare as sets of (url, feature_idx, poly_id)
+    upairs = feats.to_pydict()
+    oracle_keys = {(upairs["url"][r], upairs["feature_idx"][r], int(p))
+                   for r, p in zip(rows, polys)}
+    assert _key_set(out) == oracle_keys
+    assert len(out) == len(rows)  # exact row-count parity (BASELINE.json:6)
+    assert len(out) > 100
+
+
+def test_pip_grouped_matches_broadcast(ray_session, feats, polygons):
+    ds = _feats_ds(feats)
+    idx = pip.PolygonIndex(polygons)
+    lng = feats["lng"].to_numpy()
+    lat = feats["lat"].to_numpy()
+    rows, polys = idx.match(lng, lat)
+    upairs = feats.to_pydict()
+    expected = {(upairs["url"][r], upairs["feature_idx"][r], int(p))
+                for r, p in zip(rows, polys)}
+    out = pip.grouped_pip_join(ds, polygons).to_pandas()
+    assert _key_set(out) == expected
+
+
+def test_pip_grouped_salted_identical(ray_session, feats, polygons):
+    """Salting MUST NOT change join results (north rule skew handling)."""
+    ds = _feats_ds(feats)
+    plain = pip.grouped_pip_join(ds, polygons).to_pandas()
+    # salt the hot cell aggressively
+    lng = feats["lng"].to_numpy()
+    lat = feats["lat"].to_numpy()
+    c = cells.cell_encode(lng, lat, pip.DEFAULT_RES).view(np.int64)
+    vals, counts = np.unique(c, return_counts=True)
+    hot = {int(vals[np.argmax(counts)]): 4}
+    salted = pip.grouped_pip_join(ds, polygons, salt_map=hot).to_pandas()
+    assert _key_set(salted) == _key_set(plain)
+    assert len(salted) == len(plain)
+
+
+def test_detect_hot_keys(ray_session, feats):
+    ds = _feats_ds(feats)
+    hot = shuffle.detect_hot_keys(ds, "cell", target_rows_per_group=200,
+                                  sample_fraction=0.5)
+    lng = feats["lng"].to_numpy()
+    lat = feats["lat"].to_numpy()
+    c = cells.cell_encode(lng, lat, pip.DEFAULT_RES).view(np.int64)
+    vals, counts = np.unique(c, return_counts=True)
+    true_hot = int(vals[np.argmax(counts)])
+    assert true_hot in hot
+    assert hot[true_hot] >= 2
+
+
+def test_stable_hash_deterministic():
+    a = shuffle.stable_hash_strings(["x", "yy", "zzz"])
+    b = shuffle.stable_hash_strings(["x", "yy", "zzz"])
+    assert (a == b).all()
+    assert len(set(a.tolist())) == 3
+
+
+def test_knn_matches_bruteforce(ray_session, feats):
+    queries = synth.make_knn_queries(20).to_pydict()
+    ds = _feats_ds(feats)
+    got = knn.knn_join(ds, queries).to_pandas().sort_values(
+        ["query_id", "dist_m", "url", "feature_idx"],
+        kind="mergesort").reset_index(drop=True)
+    fd = feats.to_pydict()
+    want = knn.knn_bruteforce(fd, queries).sort_values(
+        ["query_id", "dist_m", "url", "feature_idx"],
+        kind="mergesort").reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "url", "feature_idx"]],
+        want[["query_id", "url", "feature_idx"]])
+    np.testing.assert_allclose(got["dist_m"], want["dist_m"], rtol=1e-12)
+
+
+def test_knn_pruned_matches_exact(ray_session, feats):
+    queries = synth.make_knn_queries(20).to_pydict()
+    ds = _feats_ds(feats, res=8)
+    got = knn.knn_join_pruned(ds, queries, res=8, ring=2)
+    fd = feats.to_pydict()
+    want = knn.knn_bruteforce(fd, queries).sort_values(
+        ["query_id", "dist_m", "url", "feature_idx"],
+        kind="mergesort").reset_index(drop=True)
+    assert got[["query_id", "url", "feature_idx"]].reset_index(
+        drop=True).equals(want[["query_id", "url", "feature_idx"]])
+
+
+def test_dedup_features(ray_session, feats):
+    import ray.data
+    enriched = pipeline.enrich(feats)
+    ds = ray.data.from_arrow(enriched)
+    dd = pipeline.dedup_features(ds).to_pandas()
+    # oracle: pandas dedup on (url, geobuf)
+    df = enriched.to_pandas()
+    want = (df.sort_values("feature_idx", kind="mergesort")
+              .drop_duplicates(subset=["url", "geobuf"]))
+    assert len(dd) == len(want)
+    assert set(zip(dd["url"], dd["feature_idx"])) == \
+        set(zip(want["url"], want["feature_idx"]))
+    assert len(dd) < len(df)  # synth injects duplicates
+
+
+def test_checkpoint_write_and_resume(ray_session, tmp_path):
+    import ray.data
+    from geoflow import checkpoint
+
+    t = pa.table({"part": pa.array([i % 4 for i in range(100)],
+                                   type=pa.int64()),
+                  "v": pa.array(range(100))})
+    ds = ray.data.from_arrow(t)
+    out = str(tmp_path / "ckpt")
+    s1 = checkpoint.checkpointed_write(ds, out)
+    assert s1["partitions"] == 4 and s1["rows"] == 100
+    # simulate partial failure: delete two partitions
+    import shutil
+    shutil.rmtree(f"{out}/part=1")
+    shutil.rmtree(f"{out}/part=3")
+    assert checkpoint.finished_partitions(out) == {0, 2}
+    s2 = checkpoint.checkpointed_write(ds, out)
+    assert s2["partitions"] == 4 and s2["rows"] == 100
+    assert s2["written_this_run"] == 50  # only the missing half re-written
+    back = checkpoint.read_checkpoint(out).to_pandas()
+    assert sorted(back["v"]) == list(range(100))
+
+
+def test_flagship_end_to_end(ray_session, tmp_path):
+    pages_dir = synth.pages_dir_for(2000)
+    out = str(tmp_path / "flag")
+    tile_stats, summary = pipeline.flagship(pages_dir, out_dir=out)
+    stats = tile_stats.to_pandas()
+    assert summary["rows"] > 0
+    assert stats["count()"].sum() == summary["rows"]
+    assert (stats["tile_z"] == pipeline.TILE_Z).all()
+    # resumable: rerun writes nothing new
+    _, summary2 = pipeline.flagship(pages_dir, out_dir=out)
+    assert summary2["written_this_run"] == 0
+    assert summary2["rows"] == summary["rows"]
+
+
+def test_flagship_text_invariant(ray_session):
+    pages_dir = synth.pages_dir_for(1000)
+    import ray.data
+    pages = ray.data.read_parquet(pages_dir,
+                                  columns=pipeline.PAGE_COLUMNS)
+    feats_ds = pipeline.extract_features(pages)
+    assert pipeline.verify_text_invariant(pages_dir, feats_ds)

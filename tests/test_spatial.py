@@ -1,0 +1,270 @@
+"""Spatial kernels: cells, tiles, geometry — against closed-form oracles."""
+
+import numpy as np
+import pytest
+
+from geoflow import cells, geom, synth, tiles
+from geoflow.extract import Extractor
+
+
+# ---------------------------------------------------------------------------
+# cells
+# ---------------------------------------------------------------------------
+
+def test_morton_roundtrip():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 2 ** 28, 1000).astype(np.uint64)
+    y = rng.integers(0, 2 ** 28, 1000).astype(np.uint64)
+    m = cells.morton_encode(x, y)
+    dx, dy = cells.morton_decode(m)
+    assert (dx == x).all() and (dy == y).all()
+
+
+def test_cell_encode_decode_roundtrip():
+    rng = np.random.default_rng(4)
+    lng = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    for res in (0, 1, 8, 15, 28):
+        c = cells.cell_encode(lng, lat, res)
+        r, x, y = cells.cell_decode(c)
+        assert (r == res).all()
+        # closed-form grid formula (the SQL-oracle formula)
+        n = 2 ** res
+        ex = np.mod(np.floor((lng + 180.0) / 360.0 * n).astype(np.int64), n)
+        ey = np.clip(np.floor((lat + 90.0) / 180.0 * n).astype(np.int64),
+                     0, n - 1)
+        assert (x.astype(np.int64) == ex).all()
+        assert (y.astype(np.int64) == ey).all()
+
+
+def test_cell_bounds_contain_point():
+    rng = np.random.default_rng(5)
+    lng = rng.uniform(-179.9, 179.9, 200)
+    lat = rng.uniform(-89.9, 89.9, 200)
+    c = cells.cell_encode(lng, lat, 10)
+    lng0, lat0, lng1, lat1 = cells.cell_bounds(c)
+    assert (lng >= lng0).all() and (lng < lng1 + 1e-9).all()
+    assert (lat >= lat0).all() and (lat < lat1 + 1e-9).all()
+
+
+def test_cell_parent_child():
+    c = cells.cell_encode(np.array([120.5]), np.array([31.25]), 10)[0]
+    p = cells.cell_parent(np.array([c]))[0]
+    kids = cells.cell_children(int(p))
+    assert c in kids
+    # parent contains the point
+    lng0, lat0, lng1, lat1 = cells.cell_bounds(np.array([p]))
+    assert lng0[0] <= 120.5 < lng1[0] and lat0[0] <= 31.25 < lat1[0]
+
+
+def test_cell_ring_and_disk():
+    x, y = 100, 50
+    res = 8
+    rx, ry = cells.cell_ring_xy(x, y, res, 1)
+    assert len(rx) == 8
+    rx2, _ = cells.cell_ring_xy(x, y, res, 2)
+    assert len(rx2) == 16
+    d = cells.cell_disk(int(cells.cell_from_xy(
+        np.array([x], dtype=np.uint64), np.array([y], dtype=np.uint64),
+        res)[0]), 2)
+    assert len(d) == 25
+    # antimeridian wrap
+    rx3, ry3 = cells.cell_ring_xy(0, 50, res, 1)
+    assert (rx3 == 255).sum() == 3  # wraps to the other side
+    # pole clipping
+    rx4, ry4 = cells.cell_ring_xy(10, 0, res, 1)
+    assert len(rx4) == 5  # bottom row dropped
+
+
+def test_cells_for_bbox():
+    got = cells.cells_for_bbox(0.0, 0.0, 3.0, 3.0, 8)
+    # every cell of a grid sample of the bbox must be included
+    gx = np.linspace(0.001, 2.999, 20)
+    sample = cells.cell_encode(np.repeat(gx, 20), np.tile(gx, 20), 8)
+    assert np.isin(sample, got).all()
+
+
+# ---------------------------------------------------------------------------
+# tiles
+# ---------------------------------------------------------------------------
+
+def test_tile_for_point_known_values():
+    x, y = tiles.tile_for_point(np.array([0.0]), np.array([0.0]), 1)
+    assert (x[0], y[0]) == (1, 1)
+    x, y = tiles.tile_for_point(np.array([-180.0]), np.array([85.0]), 2)
+    assert (x[0], y[0]) == (0, 0)
+    # z=0 is always tile (0,0)
+    x, y = tiles.tile_for_point(np.array([123.0]), np.array([-45.0]), 0)
+    assert (x[0], y[0]) == (0, 0)
+    # pole clamp stays in range
+    x, y = tiles.tile_for_point(np.array([0.0]), np.array([89.9]), 8)
+    assert 0 <= y[0] < 256
+
+
+def test_tile_bounds_roundtrip():
+    for z in (4, 8, 12):
+        lng = np.array([120.4, -0.1, 179.9])
+        lat = np.array([31.2, 51.5, -84.0])
+        x, y = tiles.tile_for_point(lng, lat, z)
+        for i in range(3):
+            lng0, lat0, lng1, lat1 = tiles.tile_bounds(int(x[i]), int(y[i]),
+                                                       z)
+            assert lng0 <= lng[i] < lng1 + 1e-9
+            assert lat0 - 1e-9 <= lat[i] < lat1 + 1e-9
+
+
+def test_tiles_for_polygon_vs_sampling():
+    polys = synth.make_polygons(20).to_pydict()
+    z = 8
+    rng = np.random.default_rng(9)
+    for i in range(len(polys["poly_id"])):
+        coords = np.asarray(polys["coords"][i])
+        lengths = np.asarray(polys["lengths"][i])
+        cover = {tuple(t) for t in tiles.tiles_for_polygon(coords, lengths,
+                                                           z)}
+        # dense interior sample: every tile containing an interior point
+        # must be in the cover
+        minx, miny, maxx, maxy = geom.polygon_bbox(coords)
+        sx = rng.uniform(minx, maxx, 3000)
+        sy = rng.uniform(miny, maxy, 3000)
+        inside = geom.points_in_polygon_batch(sx, sy, coords, lengths)
+        tx, ty = tiles.tile_for_point(sx[inside], sy[inside], z)
+        sampled = set(zip(tx.tolist(), ty.tolist()))
+        assert sampled <= cover, (i, sampled - cover)
+
+
+# ---------------------------------------------------------------------------
+# geometry kernels
+# ---------------------------------------------------------------------------
+
+def test_haversine_known():
+    # one degree of latitude ≈ 111.2 km
+    d = geom.haversine_m(0.0, 0.0, 0.0, 1.0)
+    assert abs(d - 111_195) < 200
+    assert geom.haversine_m(12.0, 34.0, 12.0, 34.0) == 0.0
+
+
+def test_pip_unit_square():
+    coords = np.array([0, 0, 10, 0, 10, 10, 0, 10, 0, 0], dtype=np.float64)
+    lengths = np.array([5])
+    px = np.array([5.0, -1.0, 10.5, 5.0])
+    py = np.array([5.0, 5.0, 5.0, 10.5])
+    got = geom.points_in_polygon_batch(px, py, coords, lengths)
+    assert got.tolist() == [True, False, False, False]
+
+
+def test_pip_with_hole():
+    shell = [0, 0, 10, 0, 10, 10, 0, 10, 0, 0]
+    hole = [4, 4, 6, 4, 6, 6, 4, 6, 4, 4]
+    coords = np.array(shell + hole, dtype=np.float64)
+    lengths = np.array([5, 5])
+    px = np.array([5.0, 2.0])
+    py = np.array([5.0, 2.0])
+    got = geom.points_in_polygon_batch(px, py, coords, lengths)
+    assert got.tolist() == [False, True]  # inside hole -> outside
+
+
+def test_pip_vectorized_matches_scalar():
+    from geoflow.pip import _pip_scalar
+    polys = synth.make_polygons(30).to_pydict()
+    rng = np.random.default_rng(12)
+    px = rng.uniform(95, 145, 300)
+    py = rng.uniform(15, 55, 300)
+    for i in range(len(polys["poly_id"])):
+        coords = np.asarray(polys["coords"][i])
+        lengths = np.asarray(polys["lengths"][i])
+        vec = geom.points_in_polygon_batch(px, py, coords, lengths)
+        ref = [_pip_scalar(float(px[j]), float(py[j]), coords, lengths)
+               for j in range(len(px))]
+        assert vec.tolist() == ref
+
+
+def test_point_in_rings_chunked_equals_batch():
+    polys = synth.make_polygons(5).to_pydict()
+    coords = np.asarray(polys["coords"][1])
+    lengths = np.asarray(polys["lengths"][1])
+    rng = np.random.default_rng(13)
+    px = rng.uniform(95, 145, 500)
+    py = rng.uniform(15, 55, 500)
+    assert (geom.point_in_rings(px, py, coords, lengths)
+            == geom.points_in_polygon_batch(px, py, coords, lengths)).all()
+
+
+def test_segments_intersect_box():
+    # crossing, inside, outside, touching
+    x1 = np.array([-1.0, 0.2, -5.0, -1.0])
+    y1 = np.array([0.5, 0.2, -5.0, 1.0])
+    x2 = np.array([2.0, 0.8, -4.0, 0.0])
+    y2 = np.array([0.5, 0.8, -4.0, 1.0])
+    got = geom.segments_intersect_box(x1, y1, x2, y2, 0, 0, 1, 1)
+    assert got.tolist() == [True, True, False, True]
+
+
+# ---------------------------------------------------------------------------
+# synth + extract (no Ray needed: call the stage directly)
+# ---------------------------------------------------------------------------
+
+def test_synth_deterministic():
+    a = synth.make_pages(500)
+    b = synth.make_pages(500)
+    assert a.equals(b)
+
+
+def test_extract_parses_all_embedded_geotags():
+    pages = synth.make_pages(2000)
+    feats = Extractor()(pages)
+    # independent re-parse with a split-based parser
+    import re
+    total = 0
+    pat_a = re.compile(r"located at (-?[\d.]+),(-?[\d.]+)")
+    pat_b = re.compile(r"lat=(-?[\d.]+) lng=(-?[\d.]+)")
+    for t in pages["text"].to_pylist():
+        total += len(pat_a.findall(t)) + len(pat_b.findall(t))
+    assert feats.num_rows == total
+    assert feats.num_rows > 1000  # ~60% pages tagged with 1..5 tags
+    # ranges respected
+    lng = feats["lng"].to_numpy()
+    lat = feats["lat"].to_numpy()
+    assert (np.abs(lng) <= 180).all() and (np.abs(lat) <= 90).all()
+
+
+def test_extract_text_invariant():
+    pages = synth.make_pages(300)
+    feats = Extractor()(pages)
+    src = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
+    for url, text in zip(feats["url"].to_pylist(),
+                         feats["text"].to_pylist()):
+        assert text == src[url]  # byte-identical carry-through
+
+
+def test_extract_feature_idx_ordering():
+    pages = synth.make_pages(500)
+    feats = Extractor()(pages).to_pydict()
+    by_url: dict = {}
+    for u, fi in zip(feats["url"], feats["feature_idx"]):
+        by_url.setdefault(u, []).append(fi)
+    for u, idxs in by_url.items():
+        assert idxs == list(range(len(idxs)))
+
+
+def test_extract_rejects_out_of_range():
+    import pyarrow as pa
+    t = pa.table({
+        "url": ["u1"], "warc_ts": pa.array([0], pa.timestamp("us")),
+        "lang": ["en"],
+        "text": ["located at 95.0,200.0 lat=45.0 lng=12.0"],
+    })
+    feats = Extractor()(t)
+    assert feats.num_rows == 1  # first tag out of range, second kept
+    assert feats["lat"][0].as_py() == 45.0
+
+
+def test_hot_cluster_skew_exists():
+    pages = synth.make_pages(3000)
+    feats = Extractor()(pages)
+    lng = feats["lng"].to_numpy()
+    lat = feats["lat"].to_numpy()
+    c = cells.cell_encode(lng, lat, 8)
+    _, counts = np.unique(c, return_counts=True)
+    # the hot cell holds >10% of all features (20% of tags in a 0.5° box)
+    assert counts.max() > 0.1 * len(c)
