@@ -1,44 +1,215 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``: flagship spatial pipeline on /root/testdata/sf0.001-sized
+synthetic pages (Ray already initialised by the driver).
+``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2 +
+training-data ops); each callable takes ``sf_dir``.
+``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query
+(same column names; integer/exact formulations — see geoflow.relational
+docstring).  Non-SQL ops (geobuf byte sizes, minhash/simhash/LSH, flagship
+over synthesized pages) are rows-only checked by the driver and oracled in
+pytest instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ray.init()/ray.shutdown() here (driver owns the session).
 """
 
 from __future__ import annotations
 
+import pathlib
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from geoflow import (dedup, multimodal, relational, similarity,  # noqa: E402
+                     spatial_queries, textops)
+
+# pages-table size per sf tier (synthesized deterministically, cached)
+_PAGES_N = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+
+def _pages_dir(sf_dir: str) -> str:
+    from geoflow import synth
+    name = pathlib.Path(sf_dir).name
+    return synth.pages_dir_for(_PAGES_N.get(name, 2_000))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at smoke scale; returns the joined features
+    Dataset (stable schema, >= 0 rows)."""
+    import ray
+    from geoflow import pipeline, synth
+
+    pages_dir = synth.pages_dir_for(2_000)
+    import ray.data
+    pages = ray.data.read_parquet(pages_dir,
+                                  columns=pipeline.PAGE_COLUMNS)
+    feats = pipeline.extract_features(pages)
+    feats = feats.map_batches(pipeline.enrich, batch_format="pyarrow")
+    polys = synth.make_polygons().to_pydict()
+    from geoflow.pip import PIPJoiner
+    joined = feats.map_batches(
+        PIPJoiner, fn_constructor_kwargs={"polygons_ref": ray.put(polys)},
+        batch_format="pyarrow", concurrency=(1, 8))
+    return joined
+
+
+# -- spatial pipeline queries over synthesized pages (rows-only checks;
+#    pytest holds the brute-force oracles) --------------------------------
+
+def _q_flagship_tiles(sf_dir: str):
+    from geoflow import pipeline
+    tile_stats, _ = pipeline.flagship(_pages_dir(sf_dir))
+    return tile_stats.sort(["tile_x", "tile_y"])
+
+
+def _q_pip_pages(sf_dir: str):
+    import ray
+    import ray.data
+    from geoflow import pipeline, synth
+    from geoflow.pip import PIPJoiner
+    from geoflow.relational import partial_grouped_agg
+
+    pages = ray.data.read_parquet(_pages_dir(sf_dir),
+                                  columns=pipeline.PAGE_COLUMNS)
+    feats = pipeline.extract_features(pages)
+    polys = synth.make_polygons().to_pydict()
+    joined = feats.map_batches(
+        PIPJoiner, fn_constructor_kwargs={"polygons_ref": ray.put(polys)},
+        batch_format="pyarrow", concurrency=(1, 8))
+    out = partial_grouped_agg(joined, ["poly_id"], {},
+                              count_alias="n_matches")
+    return out.sort("poly_id")
+
+
+def _q_knn_pages(sf_dir: str):
+    import ray
+    import ray.data
+    import numpy as np
+    import pyarrow as pa
+    from geoflow import cells, knn, pipeline, synth
+
+    pages = ray.data.read_parquet(_pages_dir(sf_dir),
+                                  columns=pipeline.PAGE_COLUMNS)
+    feats = pipeline.extract_features(pages)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        c = cells.cell_encode(batch["lng"].to_numpy(zero_copy_only=False),
+                              batch["lat"].to_numpy(zero_copy_only=False),
+                              8).view(np.int64)
+        return batch.append_column("cell", pa.array(c))
+
+    feats = feats.map_batches(add_cell, batch_format="pyarrow")
+    queries = synth.make_knn_queries(20).to_pydict()
+    out = knn.knn_join_pruned(feats, queries, res=8, ring=2)
+    return out[["query_id", "url", "feature_idx"]]
+
+
+def _q_dedup_pages(sf_dir: str):
+    import ray.data
+    from geoflow import pipeline
+    from geoflow.relational import partial_grouped_agg
+
+    pages = ray.data.read_parquet(_pages_dir(sf_dir),
+                                  columns=pipeline.PAGE_COLUMNS)
+    feats = pipeline.extract_features(pages)
+    feats = feats.map_batches(pipeline.enrich, batch_format="pyarrow")
+    dd = pipeline.dedup_features(feats)
+    out = partial_grouped_agg(dd.select_columns(["lang"]), ["lang"], {},
+                              count_alias="n_unique_features")
+    return out.sort("lang")
+
+
+def _q_geobuf_sizes(sf_dir: str):
+    """Geobuf encode over derived doc points: per-doc byte size (codec
+    surface not expressible in SQL — rows-only + pytest goldens)."""
+    import ray.data
+    import pyarrow as pa
+    from geoflow import codec_batch
+    from geoflow.spatial_queries import derive_lnglat
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def size(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lng, lat = derive_lnglat(ids)
+        enc = codec_batch.encode_points(lng, lat)
+        nbytes = np.asarray([len(b) for b in enc.to_pylist()],
+                            dtype=np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "nbytes": pa.array(nbytes)})
+
+    return docs.map_batches(size, batch_format="pyarrow").sort("doc_id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operators (full SQL oracles)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "q5_nation_volume": relational.q5_nation_volume,
+        "q_events_window": relational.q_events_window,
+        "q_orders_topk": relational.q_orders_topk,
+        "q_part_brand_stats": relational.q_part_brand_stats,
+        "q_distinct_segments": relational.q_distinct_segments,
+        "q_bucket_join": relational.q_bucket_join,
+        # text analysis (full SQL oracles)
+        "q_token_stats": textops.q_token_stats,
+        "q_quality": textops.q_quality,
+        "q_langid": textops.q_langid,
+        "q_fingerprint": textops.q_fingerprint,
+        # dedup
+        "q_dedup_exact": dedup.q_dedup_exact,
+        "q_dedup_prefix": dedup.q_dedup_prefix,
+        "q_dedup_minhash": dedup.q_dedup_minhash,
+        "q_dedup_simhash": dedup.q_dedup_simhash,
+        "q_embedding_dups": dedup.q_embedding_dups,
+        # similarity search
+        "q_ann_topk": similarity.q_ann_topk,
+        "q_ann_lsh": similarity.q_ann_lsh,
+        # multimodal plumbing
+        "q_media_features": multimodal.q_media_features,
+        # spatial operators with exact SQL oracles (derived coordinates)
+        "q_cell_grid": spatial_queries.q_cell_grid,
+        "q_tile_assign": spatial_queries.q_tile_assign,
+        "q_pip_events": spatial_queries.q_pip_events,
+        "q_knn_events": spatial_queries.q_knn_events,
+        "q_geobuf_roundtrip": spatial_queries.q_geobuf_roundtrip,
+        # spatial pipeline over synthesized pages (rows-only; pytest
+        # brute-force oracles in tests/test_joins.py)
+        "q_flagship_tiles": _q_flagship_tiles,
+        "q_pip_pages": _q_pip_pages,
+        "q_knn_pages": _q_knn_pages,
+        "q_dedup_pages": _q_dedup_pages,
+        "q_geobuf_sizes": _q_geobuf_sizes,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": relational.Q1_SQL,
+        "q3_top_orders": relational.q3_sql(),
+        "q5_nation_volume": relational.Q5_SQL,
+        "q_events_window": relational.q_events_window_sql(),
+        "q_orders_topk": relational.Q_ORDERS_TOPK_SQL,
+        "q_part_brand_stats": relational.Q_PART_SQL,
+        "q_distinct_segments": relational.Q_DISTINCT_SQL,
+        "q_bucket_join": relational.Q_BUCKET_JOIN_SQL,
+        "q_token_stats": textops.TOKEN_STATS_SQL,
+        "q_quality": textops.QUALITY_SQL,
+        "q_langid": textops.LANGID_SQL,
+        "q_fingerprint": textops.FINGERPRINT_SQL,
+        "q_dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
+        "q_dedup_prefix": dedup.Q_DEDUP_PREFIX_SQL,
+        "q_embedding_dups": dedup.Q_EMBEDDING_DUPS_SQL,
+        "q_ann_topk": similarity.Q_ANN_TOPK_SQL,
+        "q_media_features": multimodal.Q_MEDIA_SQL,
+        "q_cell_grid": spatial_queries.q_cell_grid_sql(),
+        "q_tile_assign": spatial_queries.q_tile_assign_sql(),
+        "q_pip_events": spatial_queries.q_pip_events_sql(),
+        "q_knn_events": spatial_queries.q_knn_events_sql(),
+        "q_geobuf_roundtrip": spatial_queries.q_geobuf_roundtrip_sql(),
+    }

@@ -1,0 +1,122 @@
+"""Multimodal column handling: opaque ``binary`` payloads with typed
+metadata, processed by actor-pool ``map_batches`` stages.
+
+The decode kernels for real media (image/audio/video) are STUBS — the
+container has no codec libraries — but the Ray-side plumbing is real and
+tested: schema, batch sizing for fat binary rows, actor signature, output
+layout.  ``FakeDecoder`` is the deterministic stand-in (byte histogram +
+size features) used by tests and queries; ``ImageDecoder`` /
+``AudioDecoder`` raise ``NotImplementedError`` with the intended contract
+documented.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("payload", pa.binary()),
+    ("media_type", pa.string()),   # "image" | "audio" | "video" | "text"
+    ("meta", pa.string()),         # JSON metadata (dims, codec, duration)
+])
+
+
+class FakeDecoder:
+    """Deterministic media 'decode': 16-bin byte histogram + size.
+
+    Real pipelines swap this class for ImageDecoder/AudioDecoder with the
+    same signature; everything else (batching, actor pool, schema) stays.
+    Use small ``batch_size`` — payloads are fat binary rows.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hists = np.zeros((batch.num_rows, 16), dtype=np.int64)
+        sizes = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, payload in enumerate(batch["payload"]):
+            buf = np.frombuffer(payload.as_py(), dtype=np.uint8)
+            sizes[i] = len(buf)
+            hists[i] = np.bincount(buf >> 4, minlength=16)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "n_bytes": pa.array(sizes),
+            "feature": pa.array(list(hists),
+                                type=pa.list_(pa.int64(), 16)),
+        })
+
+
+class ImageDecoder:
+    """STUB: decode image bytes -> (H, W, 3) uint8 + resize to
+    ``target``.  Contract: __init__ loads the codec once per actor;
+    __call__ returns columns (media_id, height, width, pixels:
+    fixed_size_list<uint8>).  Requires an image library not present in
+    this container."""
+
+    def __init__(self, target: tuple[int, int] = (224, 224)):
+        self.target = target
+        raise NotImplementedError(
+            "image decoding requires PIL/cv2 (not in this container); "
+            "use FakeDecoder for plumbing tests")
+
+
+class AudioDecoder:
+    """STUB: decode audio bytes -> mono float32 PCM + frame-sample.
+    Requires an audio library not present in this container."""
+
+    def __init__(self, sample_rate: int = 16000):
+        self.sample_rate = sample_rate
+        raise NotImplementedError(
+            "audio decoding requires soundfile/ffmpeg (not in this "
+            "container); use FakeDecoder for plumbing tests")
+
+
+def media_from_documents(sf_dir: str):
+    """Documents' text bytes as stand-in media payloads (deterministic)."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode("utf-8") for t in batch["text"].to_pylist()]
+        return pa.table({
+            "media_id": batch["doc_id"],
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": pa.array(["text"] * batch.num_rows),
+            "meta": pa.array(["{}"] * batch.num_rows),
+        })
+
+    return docs.map_batches(to_media, batch_format="pyarrow")
+
+
+def q_media_features(sf_dir: str):
+    """Actor-pool decode stage over binary payloads; small batches."""
+    media = media_from_documents(sf_dir)
+    out = media.map_batches(FakeDecoder, batch_format="pyarrow",
+                            batch_size=256, concurrency=(1, 4))
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        feats = np.stack([np.asarray(f) for f in
+                          batch["feature"].to_pylist()])
+        return pa.table({
+            "media_id": batch["media_id"],
+            "n_bytes": batch["n_bytes"],
+            "hist0": pa.array(feats[:, 0]),
+            "hist6": pa.array(feats[:, 6]),
+        })
+
+    return out.map_batches(flatten, batch_format="pyarrow") \
+        .sort("media_id")
+
+
+Q_MEDIA_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       LENGTH(text) - LENGTH(regexp_replace(text,
+           '[\\x00-\\x0f]', '', 'g')) AS hist0,
+       LENGTH(text) - LENGTH(regexp_replace(text,
+           '[\\x60-\\x6f]', '', 'g')) AS hist6
+FROM documents ORDER BY media_id
+"""

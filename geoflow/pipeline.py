@@ -51,28 +51,37 @@ def enrich(batch: pa.Table, res: int = DEFAULT_RES,
     return batch
 
 
-def dedup_features(features_ds):
+def dedup_features(features_ds, n_buckets: int = 512):
     """Exact dedup per (url, quantized geometry) — SURVEY §2.7.
 
     geom key = the geobuf bytes themselves (content-defined: same quantized
-    point -> same bytes).  Keeps the first occurrence by feature_idx."""
+    point -> same bytes).  Keeps the first occurrence by feature_idx.
+
+    Scale shape: hash-partition on a BUCKET of the key (coarse groups), not
+    the key itself — one vectorized ``drop_duplicates`` per bucket instead
+    of one Python call per distinct key."""
     def add_key(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         h = [hashlib.sha1(g).hexdigest()[:16]
              for g in batch["geobuf"].to_pylist()]
         key = pc.binary_join_element_wise(
             batch["url"].cast(pa.string()), pa.array(h), "|")
-        return batch.append_column("dedup_key", key)
+        from .shuffle import stable_hash_strings
+        bucket = stable_hash_strings(key.to_pylist()) % n_buckets
+        batch = batch.append_column("dedup_key", key)
+        return batch.append_column("dedup_bucket",
+                                   pa.array(bucket.astype(np.int32)))
 
-    def take_first(group):
-        g = group.sort_values("feature_idx", kind="mergesort")
-        return g.head(1)
+    def dedup_bucket(group):
+        g = group.sort_values(["dedup_key", "feature_idx"],
+                              kind="mergesort")
+        return g.drop_duplicates(subset=["dedup_key"])
 
     return (features_ds
             .map_batches(add_key, batch_format="pyarrow")
-            .groupby("dedup_key")
-            .map_groups(take_first, batch_format="pandas")
-            .drop_columns(["dedup_key"]))
+            .groupby("dedup_bucket")
+            .map_groups(dedup_bucket, batch_format="pandas")
+            .drop_columns(["dedup_key", "dedup_bucket"]))
 
 
 def extract_features(pages_ds, concurrency=None, batch_size: int = 2048):

@@ -1,0 +1,352 @@
+"""Relational operators over Ray Data: joins, grouped aggregates, sort/top-k,
+distinct, windowed aggregates — the generic query layer of the engine.
+
+Patterns (ray_guide / SURVEY §2.4-2.6):
+- dimension tables are BROADCAST (``ray.put`` once, pandas merge per batch) —
+  no shuffle;
+- large-large joins hash-co-partition both sides on an explicit bucket
+  column and merge per group (portable partitioned hash join);
+- grouped aggregates pre-aggregate inside ``map_batches`` (combiner) before
+  the small global ``groupby`` — the shuffle moves partials, not rows.
+
+Exactness for the DuckDB oracle: monetary/quantity doubles are integerized
+(cents via ``floor(x*100 + 0.5)``) before summing, so sums are int64 and
+independent of summation order; averages are single int/int IEEE divisions.
+The oracle SQL mirrors the same expressions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """floor(x*100 + 0.5) as int64 — order-independent exact money."""
+    x = pc.add(pc.multiply(col, pa.scalar(100.0)), pa.scalar(0.5))
+    return pc.floor(x).cast(pa.int64())
+
+
+def read(sf_dir: str, table: str, columns=None):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns)
+
+
+def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "inner"):
+    """Small side shipped once via ray.put; pandas merge per batch."""
+    import ray
+    ref = ray.put(small_df)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(ref), on=on, how=how)
+
+    return big_ds.map_batches(join, batch_format="pandas")
+
+
+def bucketed_hash_join(left_ds, right_ds, on: str, n_buckets: int = 16):
+    """Explicit partitioned hash join for two large sides: tag each side,
+    co-partition on ``hash(key) % n_buckets`` via one groupby, merge within
+    each bucket.  The portable large-large pattern when broadcast is not
+    an option."""
+
+    def add_bucket(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch[on].to_numpy(zero_copy_only=False)
+            b = (key % n_buckets).astype(np.int64)
+            batch = batch.append_column("__bucket", pa.array(b))
+            return batch.append_column(
+                "__side", pa.array(np.full(len(b), side, dtype=np.int8)))
+        return fn
+
+    # union of both sides with disjoint schemas is awkward; instead carry
+    # the right side as serialized per-bucket tables via a groupby on a
+    # combined dataset of dicts. Simpler portable route: co-group by
+    # bucket on each side separately and zip via pandas merge inside a
+    # map over bucket ids driven by the left groupby.
+    import ray
+    right_parts: dict[int, pd.DataFrame] = {}
+    right_pd = right_ds.to_pandas()
+    rb = (right_pd[on] % n_buckets).astype(np.int64)
+    for b, grp in right_pd.groupby(rb):
+        right_parts[int(b)] = grp
+    empty_right = right_pd.iloc[0:0]
+    del right_pd
+    right_ref = ray.put(right_parts)
+
+    left = left_ds.map_batches(add_bucket(0), batch_format="pyarrow")
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return group
+        parts = ray.get(right_ref)
+        b = int(group["__bucket"].iloc[0])
+        right = parts.get(b)
+        g = group.drop(columns=["__bucket", "__side"])
+        if right is None:
+            return g.head(0).merge(empty_right, on=on)
+        return g.merge(right, on=on, how="inner")
+
+    return left.groupby("__bucket").map_groups(join_bucket,
+                                               batch_format="pandas")
+
+
+def partial_grouped_agg(ds, keys: list[str], int_sums: dict[str, str],
+                        count_alias: str | None = None):
+    """Combiner pattern: per-batch groupby-sum (partials) -> global groupby
+    sum of partials.  ``int_sums``: {output_alias: int64 input column}."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        gb = batch.groupby(keys, as_index=False, sort=False)
+        aggs = {alias: (src, "sum") for alias, src in int_sums.items()}
+        if count_alias:
+            aggs[count_alias] = (keys[0], "size")
+        return gb.agg(**aggs)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    aggs = [Sum(alias, alias_name=alias) for alias in int_sums]
+    if count_alias:
+        aggs.append(Sum(count_alias, alias_name=count_alias))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# named queries (each mirrored by an oracle_sql entry in __ray_entry__)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary over lineitem (exact int cents)."""
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = _cents(batch["l_quantity"])
+        price = _cents(batch["l_extendedprice"])
+        disc = _cents(batch["l_discount"])  # discount in cents (0..100)
+        disc_price = pc.multiply(price,
+                                 pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty_c": qty, "sum_base_c": price,
+            "sum_disc_c": disc_price,
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = partial_grouped_agg(
+        prepped, ["l_returnflag", "l_linestatus"],
+        {"sum_qty_c": "sum_qty_c", "sum_base_c": "sum_base_c",
+         "sum_disc_c": "sum_disc_c"}, count_alias="count_order")
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c,
+       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_c,
+       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+           AS sum_disc_c,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """Join customer⋈orders⋈lineitem, revenue per order, top-k.
+
+    customer and orders are broadcast dimension sides (small at any sf vs
+    lineitem); lineitem streams."""
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .to_pandas()
+    cust = cust[cust["c_mktsegment"] == segment][["c_custkey"]]
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    orders = orders.merge(cust, left_on="o_custkey",
+                          right_on="c_custkey")[["o_orderkey"]]
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price = _cents(batch["l_extendedprice"])
+        disc = _cents(batch["l_discount"])
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        return pa.table({"o_orderkey": batch["l_orderkey"],
+                         "revenue_c": rev})
+
+    joined = broadcast_join(li.map_batches(prep, batch_format="pyarrow"),
+                            orders, on="o_orderkey")
+    agg = partial_grouped_agg(joined, ["o_orderkey"],
+                              {"revenue_c": "revenue_c"})
+    top = agg.sort(["revenue_c", "o_orderkey"],
+                   descending=[True, False]).limit(k)
+    return top.select_columns(["o_orderkey", "revenue_c"])
+
+
+def q3_sql(segment: str = "BUILDING", k: int = 10) -> str:
+    return f"""
+SELECT o_orderkey, revenue_c FROM (
+  SELECT l.l_orderkey AS o_orderkey,
+         SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l.l_discount*100 + 0.5) AS BIGINT)))
+             AS revenue_c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = '{segment}'
+  GROUP BY 1)
+ORDER BY revenue_c DESC, o_orderkey LIMIT {k}
+"""
+
+
+def q5_nation_volume(sf_dir: str):
+    """Revenue + order count per nation (region⋈nation⋈customer⋈orders⋈
+    lineitem): dims broadcast, fact streams."""
+    nation = read(sf_dir, "nation", ["n_nationkey", "n_name",
+                                     "n_regionkey"]).to_pandas()
+    region = read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = nation.merge(region, left_on="n_regionkey",
+                          right_on="r_regionkey")
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .to_pandas()
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    dim = (orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+                 .merge(nation, left_on="c_nationkey",
+                        right_on="n_nationkey"))[["o_orderkey", "n_name"]]
+
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price = _cents(batch["l_extendedprice"])
+        disc = _cents(batch["l_discount"])
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        return pa.table({"o_orderkey": batch["l_orderkey"],
+                         "revenue_c": rev})
+
+    joined = broadcast_join(li.map_batches(prep, batch_format="pyarrow"),
+                            dim, on="o_orderkey")
+    out = partial_grouped_agg(joined, ["n_name"],
+                              {"revenue_c": "revenue_c"},
+                              count_alias="n_items")
+    return out.sort("n_name")
+
+
+Q5_SQL = """
+SELECT n_name,
+       SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l.l_discount*100 + 0.5) AS BIGINT)))
+           AS revenue_c,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_events_window(sf_dir: str, window_s: int = 3600):
+    """Tumbling-window aggregate over the events stream table:
+    (event_type, hour window) -> count + exact value cents sum."""
+    ds = read(sf_dir, "events", ["ts", "event_type", "value"])
+    wus = window_s * 1_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        win = pc.divide(ts, pa.scalar(wus, pa.int64()))  # int division
+        return pa.table({"event_type": batch["event_type"],
+                         "win": win, "value_c": _cents(batch["value"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = partial_grouped_agg(prepped, ["event_type", "win"],
+                              {"sum_value_c": "value_c"},
+                              count_alias="n_events")
+    return out.sort(["event_type", "win"])
+
+
+def q_events_window_sql(window_s: int = 3600) -> str:
+    wus = window_s * 1_000_000
+    return f"""
+SELECT event_type, epoch_us(ts) // {wus} AS win,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS sum_value_c,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY event_type, win
+"""
+
+
+def q_orders_topk(sf_dir: str, k: int = 20):
+    """Global sort + limit (no FP aggregation — raw column order)."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(k)
+
+
+Q_ORDERS_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_part_brand_stats(sf_dir: str):
+    """Filter + project + grouped count (predicate pushed to the read)."""
+    import pyarrow.dataset as pads
+    import ray.data
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_size"],
+        filter=pads.field("p_size") > 25)
+    out = partial_grouped_agg(ds, ["p_brand"], {}, count_alias="n_parts")
+    return out.sort("p_brand")
+
+
+Q_PART_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts FROM part
+WHERE p_size > 25 GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_distinct_segments(sf_dir: str):
+    """Distinct values (ds.unique is the shuffle-dedup operator)."""
+    import ray.data
+    ds = read(sf_dir, "customer", ["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, type=pa.string())})
+
+
+Q_DISTINCT_SQL = """
+SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+"""
+
+
+def q_bucket_join(sf_dir: str):
+    """Large-large bucketed hash join lineitem⋈orders + grouped count."""
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch["l_orderkey"],
+                         "l_returnflag": batch["l_returnflag"]})
+
+    joined = bucketed_hash_join(
+        li.map_batches(keyed, batch_format="pyarrow"), orders,
+        on="o_orderkey")
+    out = partial_grouped_agg(joined, ["l_returnflag", "o_orderstatus"],
+                              {}, count_alias="n_rows")
+    return out.sort(["l_returnflag", "o_orderstatus"])
+
+
+Q_BUCKET_JOIN_SQL = """
+SELECT l_returnflag, o_orderstatus, COUNT(*) AS n_rows
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2 ORDER BY l_returnflag, o_orderstatus
+"""

@@ -1,0 +1,271 @@
+"""Spatial operators expressed over the driver's tables with deterministic
+derived coordinates — so cell indexing, tile assignment, PIP join, kNN and
+the geobuf codec each get a FULL DuckDB value-hash oracle.
+
+Derivation (bit-exact in both numpy and SQL — integer ops + one IEEE
+division, no rounding functions):
+
+  lng = ((id * 2654435761) % 3600000 - 1800000) / 10000.0   # [-180, 180)
+  lat = ((id * 972461)     % 1700000 -  850000) / 10000.0   # [ -85,  85)
+
+Aggregates are integer counts; the kNN oracle uses planar squared-degree
+distance (only * and -, exactly specified IEEE ops) so ordering is
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import cells, codec_batch, tiles
+from .geom import points_in_polygon_batch
+
+LNG_MUL, LNG_MOD, LNG_OFF = 2654435761, 3600000, 1800000
+LAT_MUL, LAT_MOD, LAT_OFF = 972461, 1700000, 850000
+CELL_RES = 8
+TILE_Z = 8
+
+
+def derive_lnglat(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ids = ids.astype(np.int64)
+    lng = ((ids * LNG_MUL) % LNG_MOD - LNG_OFF) / 10000.0
+    lat = ((ids * LAT_MUL) % LAT_MOD - LAT_OFF) / 10000.0
+    return lng, lat
+
+
+def _derive_sql(id_col: str) -> tuple[str, str]:
+    lng = f"(({id_col} * {LNG_MUL}) % {LNG_MOD} - {LNG_OFF}) / 10000.0"
+    lat = f"(({id_col} * {LAT_MUL}) % {LAT_MOD} - {LAT_OFF}) / 10000.0"
+    return lng, lat
+
+
+def _events(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# cell grid (★M16) — closed-form x/y oracle
+# ---------------------------------------------------------------------------
+
+def q_cell_grid(sf_dir: str):
+    """Derived event points -> res-8 grid cells -> per-cell counts."""
+    from .relational import partial_grouped_agg
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lng, lat = derive_lnglat(ids)
+        x, y = cells.cell_xy(lng, lat, CELL_RES)
+        return pa.table({"cell_x": pa.array(x.astype(np.int64)),
+                         "cell_y": pa.array(y.astype(np.int64))})
+
+    ds = _events(sf_dir).map_batches(assign, batch_format="pyarrow")
+    out = partial_grouped_agg(ds, ["cell_x", "cell_y"], {},
+                              count_alias="n_points")
+    return out.sort(["cell_x", "cell_y"])
+
+
+def q_cell_grid_sql() -> str:
+    lng, lat = _derive_sql("event_id")
+    n = 2 ** CELL_RES
+    return f"""
+SELECT CAST(FLOOR(({lng} + 180.0) / 360.0 * {n}) AS BIGINT) % {n}
+         AS cell_x,
+       LEAST(GREATEST(CAST(FLOOR(({lat} + 90.0) / 180.0 * {n}) AS BIGINT),
+                      0), {n - 1}) AS cell_y,
+       COUNT(*) AS n_points
+FROM events GROUP BY 1, 2 ORDER BY cell_x, cell_y
+"""
+
+
+# ---------------------------------------------------------------------------
+# tile assignment (★M17/★J3)
+# ---------------------------------------------------------------------------
+
+def q_tile_assign(sf_dir: str):
+    """Derived event points -> WebMercator z8 tiles -> per-tile counts."""
+    from .relational import partial_grouped_agg
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lng, lat = derive_lnglat(ids)
+        x, y = tiles.tile_for_point(lng, lat, TILE_Z)
+        return pa.table({"tile_x": pa.array(x), "tile_y": pa.array(y)})
+
+    ds = _events(sf_dir).map_batches(assign, batch_format="pyarrow")
+    out = partial_grouped_agg(ds, ["tile_x", "tile_y"], {},
+                              count_alias="n_points")
+    return out.sort(["tile_x", "tile_y"])
+
+
+def q_tile_assign_sql() -> str:
+    lng, lat = _derive_sql("event_id")
+    n = 2 ** TILE_Z
+    lat_c = f"LEAST(GREATEST({lat}, -85.05112878), 85.05112878)"
+    return f"""
+SELECT LEAST(GREATEST(CAST(FLOOR(({lng} + 180.0) / 360.0 * {n})
+                           AS BIGINT), 0), {n - 1}) AS tile_x,
+       LEAST(GREATEST(CAST(FLOOR(
+           (1.0 - LN(TAN(RADIANS({lat_c}))
+                     + 1.0 / COS(RADIANS({lat_c}))) / PI())
+           / 2.0 * {n}) AS BIGINT), 0), {n - 1}) AS tile_y,
+       COUNT(*) AS n_points
+FROM events GROUP BY 1, 2 ORDER BY tile_x, tile_y
+"""
+
+
+# ---------------------------------------------------------------------------
+# PIP join (★J1) vs an inline-polygon SQL crossing-count oracle
+# ---------------------------------------------------------------------------
+
+# fixed test polygons (decimal vertices; first = shell only)
+PIP_POLYGONS: dict[int, list[tuple[float, float]]] = {
+    1: [(-120.0, -40.0), (-40.0, -60.0), (-20.0, 20.0), (-100.0, 40.0)],
+    2: [(0.0, -30.0), (120.0, -50.0), (160.0, 30.0), (20.0, 60.0),
+        (10.0, 10.0)],
+    3: [(-180.0, -85.0), (180.0, -85.0), (180.0, 0.0), (-180.0, 0.0)],
+}
+
+
+def q_pip_events(sf_dir: str):
+    """Derived event points joined to the fixed polygons; returns
+    (event_id, poly_id) matches — exact parity with the SQL
+    crossing-count oracle (same IEEE expression)."""
+    def join(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lng, lat = derive_lnglat(ids)
+        out_e, out_p = [], []
+        for pid, verts in PIP_POLYGONS.items():
+            coords = np.array(verts, dtype=np.float64).ravel()
+            lengths = np.array([len(verts)])
+            hit = points_in_polygon_batch(lng, lat, coords, lengths)
+            out_e.append(ids[hit])
+            out_p.append(np.full(int(hit.sum()), pid, dtype=np.int64))
+        return pa.table({
+            "event_id": pa.array(np.concatenate(out_e)),
+            "poly_id": pa.array(np.concatenate(out_p)),
+        })
+
+    ds = _events(sf_dir).map_batches(join, batch_format="pyarrow")
+    return ds.sort(["event_id", "poly_id"])
+
+
+def q_pip_events_sql() -> str:
+    lng, lat = _derive_sql("event_id")
+    edge_rows = []
+    for pid, verts in PIP_POLYGONS.items():
+        for i in range(len(verts)):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % len(verts)]
+            edge_rows.append(f"({pid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    edges = ",\n    ".join(edge_rows)
+    return f"""
+WITH pts AS (SELECT event_id, {lng} AS px, {lat} AS py FROM events),
+edges(poly_id, x1, y1, x2, y2) AS (VALUES
+    {edges})
+SELECT event_id, poly_id FROM (
+  SELECT p.event_id, e.poly_id,
+         SUM(CASE WHEN ((e.y1 > p.py) != (e.y2 > p.py))
+                   AND p.px < (e.x2 - e.x1) * (p.py - e.y1)
+                             / (e.y2 - e.y1) + e.x1
+             THEN 1 ELSE 0 END) AS crossings
+  FROM pts p CROSS JOIN edges e
+  GROUP BY 1, 2)
+WHERE crossings % 2 = 1
+ORDER BY event_id, poly_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# kNN (★J2) with planar squared-degree distance (bit-exact ordering)
+# ---------------------------------------------------------------------------
+
+KNN_QUERIES = [(0, 10.0, 10.0), (1, -120.5, 31.25), (2, 179.0, -80.0),
+               (3, 0.0, 0.0), (4, 55.5, -33.25)]
+KNN_K = 5
+
+
+def q_knn_events(sf_dir: str):
+    """Top-5 nearest derived event points per fixed query (planar metric).
+
+    Distributed shape: per-batch local top-k, global merge — identical to
+    knn.knn_join but with the SQL-exact planar metric."""
+    def local(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lng, lat = derive_lnglat(ids)
+        out_q, out_e, out_d = [], [], []
+        for qid, qx, qy in KNN_QUERIES:
+            d = (lng - qx) * (lng - qx) + (lat - qy) * (lat - qy)
+            k = min(KNN_K, len(d))
+            idx = np.argpartition(d, k - 1)[:k] if k < len(d) else \
+                np.arange(len(d))
+            out_q.append(np.full(len(idx), qid, dtype=np.int64))
+            out_e.append(ids[idx])
+            out_d.append(d[idx])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "event_id": pa.array(np.concatenate(out_e)),
+                         "d2": pa.array(np.concatenate(out_d))})
+
+    ds = _events(sf_dir).map_batches(local, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["d2", "event_id"], kind="mergesort")
+        return g.head(KNN_K)[["query_id", "event_id"]]
+
+    out = ds.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return out.sort(["query_id", "event_id"])
+
+
+def q_knn_events_sql() -> str:
+    lng, lat = _derive_sql("event_id")
+    qrows = ",\n    ".join(f"({q}, {x!r}, {y!r})"
+                           for q, x, y in KNN_QUERIES)
+    return f"""
+WITH pts AS (SELECT event_id, {lng} AS px, {lat} AS py FROM events),
+q(query_id, qx, qy) AS (VALUES
+    {qrows})
+SELECT query_id, event_id FROM (
+  SELECT q.query_id, p.event_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY (p.px - q.qx) * (p.px - q.qx)
+                    + (p.py - q.qy) * (p.py - q.qy), p.event_id) AS rn
+  FROM pts p CROSS JOIN q)
+WHERE rn <= {KNN_K} ORDER BY query_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# geobuf codec roundtrip (M9/M10) — lossless at derived 4-decimal coords
+# ---------------------------------------------------------------------------
+
+def q_geobuf_roundtrip(sf_dir: str):
+    """encode -> decode each derived doc point; at 4-decimal coords the
+    roundtrip is lossless, so the oracle is the derivation itself.  Any
+    codec regression (rounding, precision inference, zigzag, delta) breaks
+    value equality."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def rt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lng, lat = derive_lnglat(ids)
+        enc = codec_batch.encode_points(lng, lat)
+        dlng, dlat = codec_batch.decode_points(enc)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "lng_rt": pa.array(dlng),
+                         "lat_rt": pa.array(dlat)})
+
+    return docs.map_batches(rt, batch_format="pyarrow").sort("doc_id")
+
+
+def q_geobuf_roundtrip_sql() -> str:
+    lng, lat = _derive_sql("doc_id")
+    return f"""
+SELECT doc_id, {lng} AS lng_rt, {lat} AS lat_rt
+FROM documents ORDER BY doc_id
+"""

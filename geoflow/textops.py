@@ -1,0 +1,170 @@
+"""Text-analysis operators for training-data pipelines over ``documents``:
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All vectorized per batch (pandas str / hashlib); every deterministic rule
+is mirrored exactly by an ANSI-SQL oracle (``*_SQL``) so the driver's
+value-hash comparison is exact: counts are ints, ratios are single
+int/int IEEE divisions, fingerprints are md5 hex.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_TOKEN = re.compile(r"\S+")
+_ALPHA = re.compile(r"[A-Za-z]")
+
+# language marker words (priority order) — a deterministic heuristic rule,
+# not a linguistic claim; the SQL oracle implements the identical CASE.
+LANG_MARKERS = [
+    ("de", r"\b(und|der|nicht)\b"),
+    ("fr", r"\b(et|le|pas)\b"),
+    ("es", r"\b(el|que|los)\b"),
+    ("zh", r"[一-鿿]"),
+    ("en", r"\b(the|and|of)\b"),
+]
+
+
+class TokenStats:
+    """map_batches stage: per-doc token/alpha counts + avg token length."""
+
+    def __init__(self):
+        self.token = _TOKEN
+        self.alpha = _ALPHA
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_tokens = batch["text"].str.count(self.token).astype(np.int64)
+        n_alpha = batch["text"].str.count(self.alpha).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tokens,
+            "n_alpha": n_alpha,
+            # single int/int IEEE division -> bit-identical to SQL
+            "avg_token_len": n_alpha / n_tokens.where(n_tokens > 0, 1),
+        })
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       LENGTH(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       / GREATEST(LENGTH(regexp_extract_all(text, '\\S+')), 1)
+       AS avg_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+class QualityScore:
+    """Quality gate: integer signals + boolean keep decision."""
+
+    def __init__(self, min_tokens: int = 20, max_tokens: int = 100_000):
+        self.min_tokens = min_tokens
+        self.max_tokens = max_tokens
+        self.token = _TOKEN
+        self.digit = re.compile(r"[0-9]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_tokens = batch["text"].str.count(self.token).astype(np.int64)
+        n_digits = batch["text"].str.count(self.digit).astype(np.int64)
+        n_chars = batch["text"].str.len().astype(np.int64)
+        keep = ((n_tokens >= self.min_tokens)
+                & (n_tokens <= self.max_tokens)
+                & (n_digits * 5 < n_chars))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"], "n_tokens": n_tokens,
+            "n_digits": n_digits, "n_chars2": n_chars, "keep": keep,
+        })
+
+
+QUALITY_SQL = """
+SELECT doc_id,
+       LENGTH(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+       LENGTH(text) AS n_chars2,
+       (LENGTH(regexp_extract_all(text, '\\S+')) >= 20
+        AND LENGTH(regexp_extract_all(text, '\\S+')) <= 100000
+        AND LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) * 5
+            < LENGTH(text)) AS keep
+FROM documents ORDER BY doc_id
+"""
+
+
+class LangId:
+    """First-matching-marker language guess (deterministic priority)."""
+
+    def __init__(self):
+        self.markers = [(lang, re.compile(pat))
+                        for lang, pat in LANG_MARKERS]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        pred = pd.Series("unk", index=batch.index)
+        unset = pd.Series(True, index=batch.index)
+        for lang, pat in self.markers:
+            hit = unset & batch["text"].str.contains(pat)
+            pred[hit] = lang
+            unset &= ~hit
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "pred_lang": pred})
+
+
+LANGID_SQL = """
+SELECT doc_id, CASE
+  WHEN regexp_matches(text, '\\b(und|der|nicht)\\b') THEN 'de'
+  WHEN regexp_matches(text, '\\b(et|le|pas)\\b') THEN 'fr'
+  WHEN regexp_matches(text, '\\b(el|que|los)\\b') THEN 'es'
+  WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+  WHEN regexp_matches(text, '\\b(the|and|of)\\b') THEN 'en'
+  ELSE 'unk' END AS pred_lang
+FROM documents ORDER BY doc_id
+"""
+
+
+class Fingerprint:
+    """Document fingerprint: md5 hex (content-addressed identity)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fp = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in batch["text"]]
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fp})
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id
+"""
+
+
+# -- query wrappers ---------------------------------------------------------
+
+def _docs(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def q_token_stats(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        TokenStats, batch_format="pandas", concurrency=(1, 8)) \
+        .sort("doc_id")
+
+
+def q_quality(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        QualityScore, batch_format="pandas", concurrency=(1, 8)) \
+        .sort("doc_id")
+
+
+def q_langid(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        LangId, batch_format="pandas", concurrency=(1, 8)).sort("doc_id")
+
+
+def q_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        Fingerprint, batch_format="pandas", concurrency=(1, 8)) \
+        .sort("doc_id")
