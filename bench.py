@@ -61,7 +61,7 @@ def run_bench() -> dict:
     # headline: flagship spatial-join + tile-assignment pipeline
     def flagship():
         tile_stats, _ = pipeline.flagship(pages_dir, concurrency=None)
-        return tile_stats.to_pandas()["count()"].sum()
+        return tile_stats.to_pandas()["n_features"].sum()
 
     n_matches = timed("flagship", flagship)
 

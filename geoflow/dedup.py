@@ -21,59 +21,76 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_WORD_SEED = 0x9E3779B97F4A7C15
+_FNV_PRIME = np.uint64(1099511628211)
 
 
 def _hash_tokens(tokens: list[str]) -> np.ndarray:
-    """Deterministic 64-bit hashes of tokens (FNV-1a)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = 1469598103934665603
-        for b in t.encode():
-            h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h
-    return out
+    """Deterministic 64-bit hashes of tokens — vectorized polars hash
+    (fixed seed, stable across worker processes)."""
+    import polars as pl
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    return pl.Series(tokens, dtype=pl.String).hash(seed=0).to_numpy()
+
+
+def _seg_ranges(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated (vectorized per-segment arange)."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lengths[:-1])))
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+
+
+def _batch_shingles(texts: list[str], n: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Word n-gram shingle hashes for a whole batch at once.
+
+    Returns (shingle_hashes, offsets) where doc i's shingles are
+    ``sh[offsets[i]:offsets[i+1]]``.  Docs shorter than n tokens are padded
+    with "\\x00" so every doc has >= 1 shingle (mirrors the reference
+    single-doc behavior).  One vectorized hash over all tokens of the
+    batch, rolling combine in uint64 (wraparound is the mod)."""
+    tok_lists = [t.split() for t in texts]
+    for tl in tok_lists:
+        if len(tl) < n:
+            tl.extend(["\x00"] * (n - len(tl)))
+    counts = np.asarray([len(tl) for tl in tok_lists], dtype=np.int64)
+    flat = [t for tl in tok_lists for t in tl]
+    th = _hash_tokens(flat)
+    total = len(th)
+    m = total - n + 1
+    sh_full = th[:m].copy()
+    for k in range(1, n):
+        sh_full = (sh_full * _FNV_PRIME) ^ th[k:m + k]
+    # valid shingle start positions: within-doc offset <= count - n
+    starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+    n_sh = counts - n + 1  # >= 1 after padding
+    valid = np.repeat(starts, n_sh) + _seg_ranges(n_sh)
+    offsets = np.concatenate(([0], np.cumsum(n_sh)))
+    return sh_full[valid], offsets
 
 
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Hashes of word n-gram shingles (rolling combine of token hashes)."""
-    toks = text.split()
-    if len(toks) < n:
-        toks = toks + ["\x00"] * (n - len(toks))
-    th = _hash_tokens(toks)
-    sh = th[:len(th) - n + 1].copy()
-    for k in range(1, n):
-        sh = (sh * np.uint64(1099511628211)) ^ th[k:len(th) - n + 1 + k]
+    """Hashes of word n-gram shingles of one doc (unique set)."""
+    sh, _ = _batch_shingles([text], n)
     return np.unique(sh)
 
 
-# MinHash: h_i(x) = (a_i * x + b_i) mod p (universal family, fixed seed)
-_P = np.uint64((1 << 61) - 1)
-
-
+# MinHash family: h_i(x) = a_i * x + b_i in uint64 (multiply-add with
+# wraparound — vectorizes as one broadcast over (shingles x permutations))
 def _minhash_params(num_perm: int, seed: int = 1):
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, int(_P), num_perm, dtype=np.uint64)
-    b = rng.integers(0, int(_P), num_perm, dtype=np.uint64)
+    a = rng.integers(1, np.iinfo(np.int64).max, num_perm).astype(np.uint64)
+    a |= np.uint64(1)  # odd multipliers
+    b = rng.integers(0, np.iinfo(np.int64).max, num_perm).astype(np.uint64)
     return a, b
 
 
-def minhash_signature(shingles: np.ndarray, a: np.ndarray,
-                      b: np.ndarray) -> np.ndarray:
-    """num_perm minima of universal hashes over the shingle set."""
-    if len(shingles) == 0:
-        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = shingles.astype(np.object_)  # python ints: exact mod-p arithmetic
-    sig = np.empty(len(a), dtype=np.uint64)
-    p = int(_P)
-    for i in range(len(a)):
-        vals = (int(a[i]) * x + int(b[i])) % p
-        sig[i] = np.uint64(vals.min())
-    return sig
-
-
 class MinHasher:
-    """map_batches stage: doc -> minhash signature + LSH band rows."""
+    """map_batches stage: doc -> minhash signature + LSH band rows.
+    Fully vectorized: one polars hash over all tokens of the batch, one
+    (shingles x num_perm) uint64 broadcast, per-doc minima via reduceat."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16,
                  shingle_n: int = 3):
@@ -85,11 +102,12 @@ class MinHasher:
         self.a, self.b = _minhash_params(num_perm)
 
     def signatures(self, texts: list[str]) -> np.ndarray:
-        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = minhash_signature(shingle_hashes(t, self.shingle_n),
-                                        self.a, self.b)
-        return sigs
+        if not texts:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        sh, offsets = _batch_shingles(texts, self.shingle_n)
+        vals = sh[:, None] * self.a[None, :] + self.b[None, :]
+        # every doc has >= 1 shingle, so reduceat segments are non-empty
+        return np.minimum.reduceat(vals, offsets[:-1], axis=0)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         """Explode each doc into one row per LSH band."""
@@ -97,17 +115,12 @@ class MinHasher:
         n = len(batch)
         band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
         doc_ids = np.repeat(batch["doc_id"].to_numpy(), self.bands)
-        # band hash = FNV over the band's signature slice
-        bh = np.empty(n * self.bands, dtype=np.int64)
-        k = 0
-        for i in range(n):
-            for bidx in range(self.bands):
-                sl = sigs[i, bidx * self.rows:(bidx + 1) * self.rows]
-                h = 1469598103934665603
-                for v in sl.tobytes():
-                    h = ((h ^ v) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-                bh[k] = h & 0x7FFFFFFFFFFFFFFF
-                k += 1
+        # band hash: FNV-style rolling combine across the band's rows
+        s3 = sigs.reshape(n, self.bands, self.rows)
+        h = np.full((n, self.bands), 1469598103934665603, dtype=np.uint64)
+        for r in range(self.rows):
+            h = (h ^ s3[:, :, r]) * _FNV_PRIME
+        bh = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).ravel()
         return pd.DataFrame({"doc_id": doc_ids, "band": band_ids,
                              "band_hash": bh})
 
@@ -135,21 +148,57 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, num_perm: int = 64,
                                           "bands": bands},
         batch_format="pandas", concurrency=(1, 8))
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(group["doc_id"].to_numpy())
-        if len(ids) < 2:
+    # co-locate LSH buckets via a COARSE hash bucket (band_hash is already
+    # uniform) — one vectorized pass per coarse bucket instead of one
+    # Python map_groups call per (band, band_hash) group
+    n_coarse = 32
+
+    def add_coarse(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["__b"] = (batch["band_hash"].to_numpy()
+                        % n_coarse).astype(np.int64)
+        return batch
+
+    def coarse_pairs(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.drop_duplicates(["band", "band_hash", "doc_id"])
+        sizes = block.groupby(["band", "band_hash"])["doc_id"] \
+            .transform("size")
+        multi = block[sizes > 1]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for _, grp in multi.groupby(["band", "band_hash"]):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            a, b = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64)})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[a], "b": ids[b]})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)}) \
+            .drop_duplicates()
 
-    pairs = (bands_ds.groupby(["band", "band_hash"])
-             .map_groups(bucket_pairs, batch_format="pandas")
+    pairs = (bands_ds.map_batches(add_coarse, batch_format="pandas")
+             .groupby("__b")
+             .map_groups(coarse_pairs, batch_format="pandas")
              .to_pandas().drop_duplicates())
 
-    # verify candidates with exact jaccard (small set -> driver-side)
-    texts = dict(zip(*[c.to_pylist() for c in
-                       _texts_table(docs_ds).columns]))
+    # verify candidates with exact jaccard; ship ONLY the candidate docs'
+    # texts to the driver (candidate set << corpus at scale)
+    if len(pairs):
+        need = np.unique(np.concatenate(
+            [pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
+        need_ref = ray.put(set(int(x) for x in need))
+
+        def pick(batch: pd.DataFrame) -> pd.DataFrame:
+            wanted = ray.get(need_ref)
+            return batch[batch["doc_id"].isin(wanted)][["doc_id", "text"]]
+
+        cand_docs = docs_ds.map_batches(pick, batch_format="pandas") \
+            .to_pandas()
+        texts = dict(zip(cand_docs["doc_id"].astype(int),
+                         cand_docs["text"]))
+    else:
+        texts = {}
     verified = [(int(r.a), int(r.b)) for r in pairs.itertuples()
                 if jaccard(texts[int(r.a)], texts[int(r.b)]) >= threshold]
 
@@ -167,7 +216,8 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, num_perm: int = 64,
             lo, hi = min(rx, ry), max(rx, ry)
             parent[hi] = lo
 
-    all_ids = sorted(texts)
+    all_ids = sorted(int(i) for i in docs_ds.select_columns(["doc_id"])
+                     .to_pandas()["doc_id"])
     return pa.table({
         "doc_id": pa.array(all_ids, type=pa.int64()),
         "rep_id": pa.array([find(i) for i in all_ids], type=pa.int64()),
@@ -181,21 +231,28 @@ def _texts_table(docs_ds) -> pa.Table:
 
 
 class SimHasher:
-    """64-bit SimHash per doc over token hashes (vectorized bit counting)."""
+    """64-bit SimHash per doc over token hashes — one vectorized pass per
+    batch: hash all tokens at once, per-doc bit votes via cumsum windows
+    (handles zero-token docs)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = np.empty(len(batch), dtype=np.uint64)
-        for i, t in enumerate(batch["text"]):
-            th = _hash_tokens(t.split())
-            if len(th) == 0:
-                out[i] = 0
-                continue
-            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            out[i] = np.bitwise_or.reduce(
-                (votes > 0).astype(np.uint64)
-                << np.arange(64, dtype=np.uint64))
+        texts = list(batch["text"])
+        tok_lists = [t.split() for t in texts]
+        counts = np.asarray([len(tl) for tl in tok_lists], dtype=np.int64)
+        flat = [t for tl in tok_lists for t in tl]
+        th = _hash_tokens(flat)
+        shifts = np.arange(64, dtype=np.uint64)[None, :]
+        bits = ((th[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        # per-doc bit sums via prefix sums (robust to empty docs)
+        csum = np.zeros((len(th) + 1, 64), dtype=np.int64)
+        np.cumsum(bits, axis=0, out=csum[1:])
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        sums = csum[ends] - csum[starts]
+        votes = 2 * sums - counts[:, None]
+        out = np.bitwise_or.reduce(
+            (votes > 0).astype(np.uint64) << shifts, axis=1)
+        out[counts == 0] = 0
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "simhash": out.view(np.int64)})
 
@@ -279,7 +336,7 @@ def _docs(sf_dir: str):
 def q_dedup_exact(sf_dir: str):
     """Exact dedup by md5 fingerprint: min doc_id + dup count per text."""
     import hashlib
-    from ray.data.aggregate import Count, Min
+    from .relational import grouped_agg
 
     def key(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -288,8 +345,8 @@ def q_dedup_exact(sf_dir: str):
                    for t in batch["text"]]})
 
     ds = _docs(sf_dir).map_batches(key, batch_format="pandas")
-    out = ds.groupby("fp").aggregate(Min("doc_id", alias_name="keep_id"),
-                                     Count(alias_name="n_dups"))
+    out = grouped_agg(ds, ["fp"], {"keep_id": ("doc_id", "min"),
+                                   "n_dups": ("doc_id", "size")})
     return out.sort("keep_id").select_columns(["keep_id", "n_dups"])
 
 
@@ -301,7 +358,7 @@ FROM documents GROUP BY md5(text) ORDER BY keep_id
 
 def q_dedup_prefix(sf_dir: str):
     """Dedup by 3-token prefix (content-key groupby-keep-min)."""
-    from ray.data.aggregate import Count, Min
+    from .relational import grouped_agg
 
     def key(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -309,8 +366,8 @@ def q_dedup_prefix(sf_dir: str):
             "pfx": [" ".join(t.split()[:3]) for t in batch["text"]]})
 
     ds = _docs(sf_dir).map_batches(key, batch_format="pandas")
-    out = ds.groupby("pfx").aggregate(Min("doc_id", alias_name="keep_id"),
-                                      Count(alias_name="n_dups"))
+    out = grouped_agg(ds, ["pfx"], {"keep_id": ("doc_id", "min"),
+                                    "n_dups": ("doc_id", "size")})
     return out.sort("keep_id").select_columns(["keep_id", "n_dups"])
 
 

@@ -37,40 +37,62 @@ FEATURES_SCHEMA = pa.schema([
 
 class Extractor:
     """Callable class for ``ds.map_batches(Extractor, batch_format="pyarrow",
-    concurrency=N)`` — regex compiled once per actor."""
+    concurrency=N)``.  The whole batch is matched at once with polars'
+    Rust-regex ``str.extract_all`` (vectorized flat-map: explode matches,
+    parse the two grammar forms, bounds-filter, per-page cumcount) — no
+    per-row Python.  A compiled Python regex is kept for the scalar
+    fallback/oracle path (tests)."""
 
     def __init__(self):
         self.pat = re.compile(GEOTAG)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        row_idx: list[int] = []
-        feat_idx: list[int] = []
-        lngs: list[float] = []
-        lats: list[float] = []
-        findall = self.pat.finditer
-        for r, t in enumerate(texts):
-            fi = 0
-            for m in findall(t):
-                if m.group(1) is not None:
-                    lat = float(m.group(1))
-                    lng = float(m.group(2))
-                else:
-                    lat = float(m.group(3))
-                    lng = float(m.group(4))
-                if -90.0 <= lat <= 90.0 and -180.0 <= lng <= 180.0:
-                    row_idx.append(r)
-                    feat_idx.append(fi)
-                    lngs.append(lng)
-                    lats.append(lat)
-                    fi += 1
-        take = pa.array(np.asarray(row_idx, dtype=np.int64))
+        import polars as pl
+
+        texts = pl.DataFrame({"text": pl.from_arrow(
+            batch["text"].combine_chunks()
+            if isinstance(batch["text"], pa.ChunkedArray)
+            else batch["text"])})
+        m = (texts.with_row_index("row")
+             .select(["row",
+                      pl.col("text").str.extract_all(GEOTAG).alias("m")])
+             .explode("m")
+             .drop_nulls("m"))
+        if m.height == 0:
+            take = pa.array(np.empty(0, dtype=np.int64))
+            return pa.table({
+                "url": pc.take(batch["url"], take),
+                "warc_ts": pc.take(batch["warc_ts"], take),
+                "lang": pc.take(batch["lang"], take),
+                "text": pc.take(batch["text"], take),
+                "feature_idx": pa.array([], type=pa.int32()),
+                "lng": pa.array([], type=pa.float64()),
+                "lat": pa.array([], type=pa.float64()),
+            }).cast(FEATURES_SCHEMA)
+        num = r"(-?\d+(?:\.\d+)?)"
+        m = m.with_columns([
+            pl.coalesce([
+                pl.col("m").str.extract(rf"located at {num},", 1),
+                pl.col("m").str.extract(rf"lat={num}", 1),
+            ]).cast(pl.Float64).alias("lat"),
+            pl.coalesce([
+                pl.col("m").str.extract(rf",{num}", 1),
+                pl.col("m").str.extract(rf"lng={num}", 1),
+            ]).cast(pl.Float64).alias("lng"),
+        ])
+        m = m.filter((pl.col("lat") >= -90.0) & (pl.col("lat") <= 90.0)
+                     & (pl.col("lng") >= -180.0)
+                     & (pl.col("lng") <= 180.0))
+        m = m.with_columns(
+            pl.int_range(pl.len(), dtype=pl.Int32).over("row")
+            .alias("feature_idx"))
+        take = pa.array(m["row"].to_numpy().astype(np.int64))
         return pa.table({
             "url": pc.take(batch["url"], take),
             "warc_ts": pc.take(batch["warc_ts"], take),
             "lang": pc.take(batch["lang"], take),
             "text": pc.take(batch["text"], take),
-            "feature_idx": pa.array(np.asarray(feat_idx, dtype=np.int32)),
-            "lng": pa.array(np.asarray(lngs, dtype=np.float64)),
-            "lat": pa.array(np.asarray(lats, dtype=np.float64)),
+            "feature_idx": pa.array(m["feature_idx"].to_numpy()),
+            "lng": pa.array(m["lng"].to_numpy()),
+            "lat": pa.array(m["lat"].to_numpy()),
         }).cast(FEATURES_SCHEMA)

@@ -61,27 +61,25 @@ def dedup_features(features_ds, n_buckets: int = 512):
     the key itself — one vectorized ``drop_duplicates`` per bucket instead
     of one Python call per distinct key."""
     def add_key(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        h = [hashlib.sha1(g).hexdigest()[:16]
-             for g in batch["geobuf"].to_pylist()]
-        key = pc.binary_join_element_wise(
-            batch["url"].cast(pa.string()), pa.array(h), "|")
-        from .shuffle import stable_hash_strings
-        bucket = stable_hash_strings(key.to_pylist()) % n_buckets
-        batch = batch.append_column("dedup_key", key)
-        return batch.append_column("dedup_bucket",
-                                   pa.array(bucket.astype(np.int32)))
+        # content key = (url, geobuf bytes); bucket by combined 64-bit
+        # hash (vectorized polars, process-stable)
+        import polars as pl
+        h_url = pl.from_arrow(batch["url"]).hash(seed=0).to_numpy()
+        h_geo = pl.from_arrow(batch["geobuf"]).hash(seed=0).to_numpy()
+        key = (h_url * np.uint64(1099511628211)) ^ h_geo
+        bucket = (key % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("dedup_bucket", pa.array(bucket))
 
     def dedup_bucket(group):
-        g = group.sort_values(["dedup_key", "feature_idx"],
+        g = group.sort_values(["url", "geobuf", "feature_idx"],
                               kind="mergesort")
-        return g.drop_duplicates(subset=["dedup_key"])
+        return g.drop_duplicates(subset=["url", "geobuf"])
 
     return (features_ds
             .map_batches(add_key, batch_format="pyarrow")
             .groupby("dedup_bucket")
             .map_groups(dedup_bucket, batch_format="pandas")
-            .drop_columns(["dedup_key", "dedup_bucket"]))
+            .drop_columns(["dedup_bucket"]))
 
 
 def extract_features(pages_ds, concurrency=None, batch_size: int = 2048):
@@ -132,9 +130,11 @@ def flagship(pages_dir: str, out_dir: str | None = None,
         summary = checkpointed_write(sink, out_dir, input_id=pages_dir)
         joined = read_checkpoint(out_dir, empty_schema=SINK_SCHEMA)
 
-    tile_stats = (joined
-                  .groupby(["tile_z", "tile_x", "tile_y"])
-                  .count())
+    from .relational import grouped_agg
+    tile_stats = grouped_agg(joined.select_columns(
+        ["tile_z", "tile_x", "tile_y"]),
+        ["tile_z", "tile_x", "tile_y"],
+        {"n_features": ("tile_z", "size")})
     return tile_stats, summary
 
 

@@ -35,16 +35,17 @@ def detect_hot_keys(ds, key: str, target_rows_per_group: int,
     }
 
 
-def stable_hash_strings(values: list[str]) -> np.ndarray:
+def stable_hash_strings(values) -> np.ndarray:
     """Deterministic (process-independent) 63-bit hash per string —
-    Python's ``hash`` is salted per process, unusable across workers."""
-    out = np.empty(len(values), dtype=np.int64)
-    for i, v in enumerate(values):
-        h = 1469598103934665603  # FNV-1a 64
-        for b in v.encode():
-            h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h & 0x7FFFFFFFFFFFFFFF
-    return out
+    Python's ``hash`` is salted per process, unusable across workers.
+    Vectorized via polars (fixed seed; stable across worker processes)."""
+    import polars as pl
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        s = pl.from_arrow(values)
+    else:
+        s = pl.Series(list(values), dtype=pl.String)
+    h = s.hash(seed=0).to_numpy()
+    return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
 def add_salt_column(batch: pa.Table, key: str, salt_map: dict[int, int],
@@ -53,7 +54,7 @@ def add_salt_column(batch: pa.Table, key: str, salt_map: dict[int, int],
     keys = batch[key].to_numpy(zero_copy_only=False)
     salt = np.zeros(len(keys), dtype=np.int32)
     if salt_map:
-        h = stable_hash_strings(batch[src].to_pylist())
+        h = stable_hash_strings(batch[src])
         for k, n in salt_map.items():
             m = keys == k
             if m.any():

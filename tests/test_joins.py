@@ -175,7 +175,7 @@ def test_flagship_end_to_end(ray_session, tmp_path):
     tile_stats, summary = pipeline.flagship(pages_dir, out_dir=out)
     stats = tile_stats.to_pandas()
     assert summary["rows"] > 0
-    assert stats["count()"].sum() == summary["rows"]
+    assert stats["n_features"].sum() == summary["rows"]
     assert (stats["tile_z"] == pipeline.TILE_Z).all()
     # resumable: rerun writes nothing new
     _, summary2 = pipeline.flagship(pages_dir, out_dir=out)
