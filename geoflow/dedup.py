@@ -144,9 +144,8 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, num_perm: int = 64,
     import ray
 
     bands_ds = docs_ds.map_batches(
-        MinHasher, fn_constructor_kwargs={"num_perm": num_perm,
-                                          "bands": bands},
-        batch_format="pandas", concurrency=(1, 8))
+        MinHasher(num_perm=num_perm, bands=bands),
+        batch_format="pandas")
 
     # co-locate LSH buckets via a COARSE hash bucket (band_hash is already
     # uniform) — one vectorized pass per coarse bucket instead of one
@@ -260,8 +259,8 @@ class SimHasher:
 def simhash_dedup(docs_ds, max_hamming: int = 3):
     """SimHash near-dup: 4x16-bit bands; pairs sharing a band verified by
     Hamming distance <= max_hamming.  Returns (doc_id, rep_id)."""
-    sh = docs_ds.map_batches(SimHasher, batch_format="pandas",
-                             concurrency=(1, 8)).to_pandas()
+    sh = docs_ds.map_batches(SimHasher(),
+                             batch_format="pandas").to_pandas()
     sig = sh["simhash"].to_numpy().view(np.uint64)
     ids = sh["doc_id"].to_numpy()
     cand: set[tuple[int, int]] = set()

@@ -98,15 +98,14 @@ def _merge_topk_factory(k_by_query: dict[int, int]):
 
 def knn_join(features_ds, queries: dict, concurrency: int | None = None):
     """Exact distributed kNN: streaming scan + tiny merge shuffle."""
-    import ray
-
-    qref = ray.put(queries)
     k_by_query = dict(zip((int(q) for q in queries["query_id"]),
                           (int(k) for k in queries["k"])))
+    # task pool: the query set is small, so it ships in the task closure;
+    # for huge query sets switch to fn_constructor_kwargs + actor pool
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
     local = features_ds.map_batches(
-        BatchTopK, fn_constructor_kwargs={"queries_ref": qref},
-        batch_format="pyarrow", batch_size=8192,
-        concurrency=concurrency if concurrency is not None else (1, 8))
+        BatchTopK(queries=queries),
+        batch_format="pyarrow", batch_size=8192, **kwargs)
     return local.groupby("query_id").map_groups(
         _merge_topk_factory(k_by_query), batch_format="pandas")
 

@@ -83,9 +83,15 @@ def dedup_features(features_ds, n_buckets: int = 512):
 
 
 def extract_features(pages_ds, concurrency=None, batch_size: int = 2048):
+    """Task-pool stage (the extractor holds no expensive state — polars
+    compiles the Rust regex per process once); task pool lets Ray fuse
+    read -> extract -> enrich into one pipelined operator."""
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
     return pages_ds.map_batches(
-        Extractor, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else (1, 16))
+        Extractor(), batch_format="pyarrow", batch_size=batch_size,
+        **kwargs)
 
 
 def flagship(pages_dir: str, out_dir: str | None = None,

@@ -53,13 +53,10 @@ class BatchCosineTopK:
 def ann_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
              k: int = 10):
     """Exact cosine top-k per query; returns (query_id, vec_id) sorted."""
-    import ray
-
-    qref = ray.put({"query_id": query_ids, "matrix": query_matrix})
     local = emb_ds.map_batches(
-        BatchCosineTopK, fn_constructor_kwargs={"queries_ref": qref,
-                                                "k": k},
-        batch_format="pandas", batch_size=4096, concurrency=(1, 8))
+        BatchCosineTopK(queries={"query_id": query_ids,
+                                 "matrix": query_matrix}, k=k),
+        batch_format="pandas", batch_size=4096)
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["cos", "vec_id"],

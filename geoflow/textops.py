@@ -149,22 +149,22 @@ def _docs(sf_dir: str):
 
 def q_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        TokenStats, batch_format="pandas", concurrency=(1, 8)) \
+        TokenStats(), batch_format="pandas") \
         .sort("doc_id")
 
 
 def q_quality(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        QualityScore, batch_format="pandas", concurrency=(1, 8)) \
+        QualityScore(), batch_format="pandas") \
         .sort("doc_id")
 
 
 def q_langid(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        LangId, batch_format="pandas", concurrency=(1, 8)).sort("doc_id")
+        LangId(), batch_format="pandas").sort("doc_id")
 
 
 def q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        Fingerprint, batch_format="pandas", concurrency=(1, 8)) \
+        Fingerprint(), batch_format="pandas") \
         .sort("doc_id")
