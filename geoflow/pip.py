@@ -91,22 +91,64 @@ class PolygonIndex:
         return rows_cat[order], polys_cat[order]
 
 
+# per-worker-process cache: PolygonIndex built once per (ref, res) per
+# worker even when PIPJoiner runs as a task-pool stage (Ray reuses worker
+# processes across tasks, so this gives actor-style amortization without
+# per-actor process cold-start)
+_INDEX_CACHE: dict[tuple, "PolygonIndex"] = {}
+
+
 class PIPJoiner:
-    """Actor-pool stage: ``features.map_batches(PIPJoiner,
-    fn_constructor_kwargs={"polygons_ref": ref}, concurrency=N,
-    batch_format="pyarrow")`` -> inner-join rows with ``poly_id``."""
+    """Stateful join stage.  Two deployment shapes:
+
+    - task pool (default, small/medium polygon sets):
+      ``features.map_batches(PIPJoiner(polygons_ref=ref))`` — the index is
+      built once per worker process (module cache) on first use;
+    - actor pool (huge polygon sets / heavy index):
+      ``features.map_batches(PIPJoiner, fn_constructor_kwargs=
+      {"polygons_ref": ref}, concurrency=N, batch_format="pyarrow")`` —
+      built once per actor in ``__init__``.
+    """
 
     def __init__(self, polygons_ref=None, polygons: dict | None = None,
                  res: int = DEFAULT_RES):
-        if polygons is None:
-            import ray
-            polygons = ray.get(polygons_ref)
-        self.index = PolygonIndex(polygons, res)
+        if polygons is None and polygons_ref is None:
+            raise ValueError("need polygons or polygons_ref")
+        self.res = res
+        self._ref = polygons_ref
+        self._polygons = polygons
+        self._index: PolygonIndex | None = None
+        if polygons is not None:
+            self._index = PolygonIndex(polygons, res)
+
+    def _get_index(self) -> "PolygonIndex":
+        if self._index is not None:
+            return self._index
+        if self._ref is not None:
+            key = (self._ref.hex(), self.res)
+            idx = _INDEX_CACHE.get(key)
+            if idx is None:
+                import ray
+                idx = PolygonIndex(ray.get(self._ref), self.res)
+                _INDEX_CACHE[key] = idx
+        else:
+            idx = PolygonIndex(self._polygons, self.res)
+        self._index = idx
+        return idx
+
+    def __getstate__(self):
+        # never pickle the built index into task closures
+        return {"res": self.res, "_ref": self._ref,
+                "_polygons": self._polygons, "_index": None}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        index = self._get_index()
         lng = batch["lng"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
-        rows, polys = self.index.match(lng, lat)
+        rows, polys = index.match(lng, lat)
         out = batch.take(pa.array(rows))
         return out.append_column("poly_id", pa.array(polys,
                                                      type=pa.int64()))

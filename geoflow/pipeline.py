@@ -106,7 +106,11 @@ def flagship(pages_dir: str, out_dir: str | None = None,
     import ray
     import ray.data
 
-    pages = ray.data.read_parquet(pages_dir, columns=PAGE_COLUMNS)
+    # split the read into ~4 tasks per core so no stage is
+    # read-parallelism-bound (scale shape: fragments >> cores)
+    n_read = int(ray.cluster_resources().get("CPU", 32)) * 4
+    pages = ray.data.read_parquet(pages_dir, columns=PAGE_COLUMNS,
+                                  override_num_blocks=n_read)
     feats = extract_features(pages, concurrency)
     feats = feats.map_batches(enrich, batch_format="pyarrow",
                               fn_kwargs={"res": res, "tile_z": tile_z})
@@ -114,11 +118,16 @@ def flagship(pages_dir: str, out_dir: str | None = None,
     if polygons is None:
         polygons = synth.make_polygons().to_pydict()
     polys_ref = ray.put(polygons)
-    joined = feats.map_batches(
-        PIPJoiner, fn_constructor_kwargs={"polygons_ref": polys_ref,
-                                          "res": res},
-        batch_format="pyarrow",
-        concurrency=concurrency if concurrency is not None else (1, 16))
+    if concurrency is None:
+        # task pool + per-worker index cache (pip._INDEX_CACHE)
+        joined = feats.map_batches(
+            PIPJoiner(polygons_ref=polys_ref, res=res),
+            batch_format="pyarrow")
+    else:
+        joined = feats.map_batches(
+            PIPJoiner, fn_constructor_kwargs={"polygons_ref": polys_ref,
+                                              "res": res},
+            batch_format="pyarrow", concurrency=concurrency)
 
     summary = None
     if out_dir is not None:

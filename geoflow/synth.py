@@ -55,8 +55,43 @@ def _geotag_coords(rng: np.random.Generator, n: int
     return lng, lat
 
 
-def make_pages(n_rows: int, seed: int = SEED) -> pa.Table:
-    """Build the pages table (vectorized; ~1M rows in a few seconds)."""
+_FILLER_POOL_SENTENCES = [
+    "The quick brown fox jumps over the lazy dog near the old river "
+    "bridge while tourists take photographs of the ancient stone wall. ",
+    "Local news reports describe steady growth in regional commerce as "
+    "markets reopen and shipping lanes return to normal schedules. ",
+    "A detailed weather analysis predicts scattered showers across the "
+    "coastal plains with gradual clearing expected by late afternoon. ",
+    "Archived records from the municipal library document the town's "
+    "founding, its early trade routes and the harbor expansion of 1890. ",
+    "Die Landesregierung und der Stadtrat haben nicht nur neue Radwege "
+    "geplant, sondern auch die Sanierung der alten Markthalle beschlossen. ",
+    "Le conseil municipal et le comité des fêtes ne se réunissent pas "
+    "le même jour, et le marché couvert reste ouvert toute la semaine. ",
+    "El ayuntamiento anunció que los trabajos de restauración de la "
+    "plaza mayor continuarán durante los próximos meses del año. ",
+    "Community volunteers organized a cleanup of the waterfront park "
+    "and planted native shrubs along the footpath to the lighthouse. ",
+]
+
+
+def _filler_pool(fill_kb: int) -> list[str]:
+    """8 deterministic ~fill_kb-KB paragraphs (Common-Crawl-ish text
+    mass; contains no geotag grammar)."""
+    out = []
+    for i in range(8):
+        s = _FILLER_POOL_SENTENCES[i]
+        reps = max(1, (fill_kb * 1024) // len(s.encode()))
+        out.append(s * reps)
+    return out
+
+
+def make_pages(n_rows: int, seed: int = SEED, fill_kb: int = 0) -> pa.Table:
+    """Build the pages table (vectorized; ~1M rows in a few seconds).
+
+    ``fill_kb`` > 0 appends a deterministic ~fill_kb-KB filler paragraph
+    per page so text sizes match Common-Crawl-scale documents (the
+    benchmark shape); 0 keeps the compact fixture shape used by tests."""
     rng = np.random.default_rng(seed)
     i = np.arange(n_rows)
     host = i % N_HOSTS
@@ -79,6 +114,7 @@ def make_pages(n_rows: int, seed: int = SEED) -> pa.Table:
     url = [f"https://site{host[r]}.example/page/{r}" for r in i]
     filler = ["The quick brown fox.", "Nothing to see here.",
               "Weather report and news.", "Archived copy of the page."]
+    pool = _filler_pool(fill_kb) if fill_kb > 0 else None
     texts = []
     for r in range(n_rows):
         parts = [f"Page {r} from site{host[r]}."]
@@ -88,6 +124,8 @@ def make_pages(n_rows: int, seed: int = SEED) -> pa.Table:
             else:
                 parts.append(f"lat={glat[g]} lng={glng[g]}")
             parts.append(filler[g % 4])
+        if pool is not None:
+            parts.append(pool[r % 8])
         texts.append(" ".join(parts))
     html = [f"<html><body>{t}</body></html>".encode() for t in texts]
 
@@ -102,7 +140,7 @@ def make_pages(n_rows: int, seed: int = SEED) -> pa.Table:
 
 
 def write_pages(out_dir: str, n_rows: int, seed: int = SEED,
-                rows_per_file: int = 50_000) -> str:
+                rows_per_file: int = 50_000, fill_kb: int = 0) -> str:
     """Write pages as a directory of parquet shards; cached (idempotent)."""
     out = pathlib.Path(out_dir)
     marker = out / "_COMPLETE"
@@ -112,19 +150,23 @@ def write_pages(out_dir: str, n_rows: int, seed: int = SEED,
     shard = 0
     for start in range(0, n_rows, rows_per_file):
         n = min(rows_per_file, n_rows - start)
-        t = _pages_shard(start, n, seed)
-        pq.write_table(t, out / f"pages-{shard:05d}.parquet")
+        t = _pages_shard(start, n, seed, fill_kb)
+        # small row groups let the reader split a file into many read
+        # tasks without re-decoding whole groups (scale: fragment >> core)
+        pq.write_table(t, out / f"pages-{shard:05d}.parquet",
+                       row_group_size=8192)
         shard += 1
-    marker.write_text(f"{n_rows} rows, seed {seed}\n")
+    marker.write_text(f"{n_rows} rows, seed {seed}, fill {fill_kb}kb\n")
     return str(out)
 
 
-def _pages_shard(start: int, n: int, seed: int) -> pa.Table:
+def _pages_shard(start: int, n: int, seed: int, fill_kb: int = 0
+                 ) -> pa.Table:
     """Shard [start, start+n) of the logical table; each shard is generated
     with an offset-derived rng so shards are independent of rows_per_file
     only when the full table is materialized via make_pages — for sharded
     writes we instead derive determinism from (seed, start)."""
-    t = make_pages(n, seed=seed + start)
+    t = make_pages(n, seed=seed + start, fill_kb=fill_kb)
     # fix row-dependent columns to global row ids
     i = np.arange(start, start + n)
     url = [f"https://site{r % N_HOSTS}.example/page/{r}" for r in i]
@@ -138,9 +180,11 @@ def _pages_shard(start: int, n: int, seed: int) -> pa.Table:
     })
 
 
-def pages_dir_for(n_rows: int, seed: int = SEED) -> str:
-    """Cached pages dataset under /tmp, keyed by (n, seed)."""
-    return write_pages(f"/tmp/geoflow_pages/n{n_rows}_s{seed}", n_rows, seed)
+def pages_dir_for(n_rows: int, seed: int = SEED, fill_kb: int = 0) -> str:
+    """Cached pages dataset under /tmp, keyed by (n, seed, fill)."""
+    name = (f"/tmp/geoflow_pages/n{n_rows}_s{seed}" if fill_kb == 0
+            else f"/tmp/geoflow_pages/n{n_rows}_s{seed}_f{fill_kb}")
+    return write_pages(name, n_rows, seed, fill_kb=fill_kb)
 
 
 # ---------------------------------------------------------------------------
