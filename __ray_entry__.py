@@ -22,8 +22,8 @@ from typing import Any
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-from geoflow import (dedup, multimodal, relational, similarity,  # noqa: E402
-                     spatial_queries, textops)
+from geoflow import (dedup, jsonops, multimodal, relational,  # noqa: E402
+                     similarity, spatial_queries, textops)
 
 # pages-table size per sf tier (synthesized deterministically, cached)
 _PAGES_N = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_part_brand_stats": relational.q_part_brand_stats,
         "q_distinct_segments": relational.q_distinct_segments,
         "q_bucket_join": relational.q_bucket_join,
+        "q_sessionize": relational.q_sessionize,
+        "q_asof_join": relational.q_asof_join,
         # text analysis (full SQL oracles)
         "q_token_stats": textops.q_token_stats,
         "q_quality": textops.q_quality,
@@ -166,12 +168,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_prefix": dedup.q_dedup_prefix,
         "q_dedup_minhash": dedup.q_dedup_minhash,
         "q_dedup_simhash": dedup.q_dedup_simhash,
+        "q_dedup_jaccard": dedup.q_dedup_jaccard,
         "q_embedding_dups": dedup.q_embedding_dups,
         # similarity search
         "q_ann_topk": similarity.q_ann_topk,
         "q_ann_lsh": similarity.q_ann_lsh,
+        "q_ann_ivf": similarity.q_ann_ivf,
         # multimodal plumbing
         "q_media_features": multimodal.q_media_features,
+        # JSON normalization / codec utility surface (M3/M5/M6/M7)
+        "q_json_normalize": jsonops.q_json_normalize,
         # spatial operators with exact SQL oracles (derived coordinates)
         "q_cell_grid": spatial_queries.q_cell_grid,
         "q_tile_assign": spatial_queries.q_tile_assign,
@@ -198,6 +204,8 @@ def oracle_sql() -> dict[str, str]:
         "q_part_brand_stats": relational.Q_PART_SQL,
         "q_distinct_segments": relational.Q_DISTINCT_SQL,
         "q_bucket_join": relational.Q_BUCKET_JOIN_SQL,
+        "q_sessionize": relational.Q_SESSIONIZE_SQL,
+        "q_asof_join": relational.Q_ASOF_JOIN_SQL,
         "q_token_stats": textops.TOKEN_STATS_SQL,
         "q_quality": textops.QUALITY_SQL,
         "q_langid": textops.LANGID_SQL,

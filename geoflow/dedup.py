@@ -324,6 +324,80 @@ def embedding_dups(emb_ds, threshold: float = 0.45):
         .sort(["vec_id_a", "vec_id_b"])
 
 
+def jaccard_pairs(docs_ds, threshold: float = 0.7, shingle_n: int = 3,
+                  max_df: int = 64, n_coarse: int = 32):
+    """Exact n-gram-Jaccard near-dup pairs (a < b, jaccard >= threshold).
+
+    Scale shape (exact counterpart of the MinHash path): per-batch shingle
+    sets -> explode (shingle_hash, doc_id) with a document-frequency
+    cutoff (``max_df``) dropping stop-shingles -> candidate pairs per
+    shingle group (coarse-bucketed groupby) -> exact Jaccard verify over
+    only the candidate docs' texts."""
+    import ray
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = list(batch["text"])
+        sh, offs = _batch_shingles(texts, shingle_n)
+        # per-doc unique shingles
+        ids_rep = []
+        sh_u = []
+        doc_ids = batch["doc_id"].to_numpy()
+        for i in range(len(texts)):
+            u = np.unique(sh[offs[i]:offs[i + 1]])
+            sh_u.append(u)
+            ids_rep.append(np.full(len(u), doc_ids[i], dtype=np.int64))
+        sh_all = np.concatenate(sh_u) if sh_u else np.empty(0, np.uint64)
+        out = pd.DataFrame({
+            "shingle": sh_all.view(np.int64),
+            "doc_id": (np.concatenate(ids_rep) if ids_rep
+                       else np.empty(0, np.int64))})
+        out["__b"] = (sh_all % np.uint64(n_coarse)).astype(np.int64)
+        return out
+
+    def coarse_pairs(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.drop_duplicates(["shingle", "doc_id"])
+        df_counts = block.groupby("shingle")["doc_id"].transform("size")
+        multi = block[(df_counts > 1) & (df_counts <= max_df)]
+        out_a, out_b = [], []
+        for _, grp in multi.groupby("shingle"):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            a, b = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)}).drop_duplicates()
+
+    pairs = (docs_ds.map_batches(explode, batch_format="pandas")
+             .groupby("__b").map_groups(coarse_pairs,
+                                        batch_format="pandas")
+             .to_pandas().drop_duplicates())
+
+    if not len(pairs):
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64())})
+    need = np.unique(np.concatenate([pairs["a"].to_numpy(),
+                                     pairs["b"].to_numpy()]))
+    need_ref = ray.put(set(int(x) for x in need))
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(need_ref)
+        return batch[batch["doc_id"].isin(wanted)][["doc_id", "text"]]
+
+    cand = docs_ds.map_batches(pick, batch_format="pandas").to_pandas()
+    texts = dict(zip(cand["doc_id"].astype(int), cand["text"]))
+    keep = [(int(r.a), int(r.b)) for r in pairs.itertuples()
+            if jaccard(texts[int(r.a)], texts[int(r.b)],
+                       shingle_n) >= threshold]
+    keep.sort()
+    return pa.table({
+        "a": pa.array([p[0] for p in keep], type=pa.int64()),
+        "b": pa.array([p[1] for p in keep], type=pa.int64()),
+    })
+
+
 # -- query wrappers ---------------------------------------------------------
 
 def _docs(sf_dir: str):
@@ -383,6 +457,10 @@ def q_dedup_minhash(sf_dir: str):
 
 def q_dedup_simhash(sf_dir: str):
     return simhash_dedup(_docs(sf_dir))
+
+
+def q_dedup_jaccard(sf_dir: str):
+    return jaccard_pairs(_docs(sf_dir))
 
 
 def q_embedding_dups(sf_dir: str):

@@ -145,6 +145,95 @@ def partial_grouped_agg(ds, keys: list[str], int_sums: dict[str, str],
     return grouped_agg(ds, keys, specs, n_buckets=n_buckets)
 
 
+def asof_join_bucketed(left_ds, right_pd: pd.DataFrame, key: str,
+                       left_time: str, right_time: str,
+                       n_buckets: int = 32):
+    """As-of join (latest right row with right_time <= left_time per key)
+    — an operator Ray Data lacks (SURVEY §2 custom-operator rule).
+
+    Shape: hash-co-partition both sides on ``key % n_buckets``; one
+    vectorized ``pandas.merge_asof`` per bucket.  The right side here is
+    collected + bucketed on the driver (dimension-sized); at 100-TB both
+    sides would flow through the same groupby(bucket) shuffle and the
+    merge is unchanged.  Tie-break on equal right_time: last row in
+    (right_time, ...) sort order, i.e. the max of the remaining columns'
+    sort — callers pass a deterministic sort below.
+    """
+    import ray
+
+    right_pd = right_pd.sort_values([right_time] +
+                                    [c for c in right_pd.columns
+                                     if c != right_time],
+                                    kind="mergesort")
+    parts = {int(b): g for b, g in
+             right_pd.groupby(right_pd[key] % n_buckets)}
+    right_ref = ray.put(parts)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch[key].to_numpy(zero_copy_only=False) % n_buckets
+        return batch.append_column("__b", pa.array(b.astype(np.int64)))
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return group.drop(columns=["__b"])
+        right = ray.get(right_ref).get(int(group["__b"].iloc[0]))
+        g = group.drop(columns=["__b"]).sort_values(
+            left_time, kind="mergesort")
+        if right is None or len(right) == 0:
+            return g.head(0)
+        out = pd.merge_asof(g, right, left_on=left_time,
+                            right_on=right_time, by=key,
+                            direction="backward")
+        return out[out[right_time].notna()]
+
+    return (left_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(join_bucket,
+                                       batch_format="pandas"))
+
+
+def sessionize(ds, user_col: str, time_col: str, order_col: str,
+               gap_us: int, n_buckets: int = 32):
+    """Gap-based sessionization (streaming window op): a new session
+    starts when the user's inter-event gap exceeds ``gap_us``.
+
+    Shape: hash-co-partition users into coarse buckets, then one
+    vectorized pandas pass per bucket (sort by (user, time, order),
+    per-user diff > gap -> cumsum session index).  Returns one row per
+    session: (user, session_idx, n_events, start_us, end_us)."""
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__b"] = (batch[user_col].to_numpy()
+                        % n_buckets).astype(np.int64)
+        return batch
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame({user_col: pd.Series(dtype=np.int64),
+                                 "session_idx": pd.Series(dtype=np.int64),
+                                 "n_events": pd.Series(dtype=np.int64),
+                                 "start_us": pd.Series(dtype=np.int64),
+                                 "end_us": pd.Series(dtype=np.int64)})
+        g = group.sort_values([user_col, time_col, order_col],
+                              kind="mergesort")
+        t = g[time_col].to_numpy()
+        u = g[user_col].to_numpy()
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([0], t[1:] - t[:-1]))
+        new_sess = new_user | (gap > gap_us)
+        sess_global = np.cumsum(new_sess) - 1  # global session label
+        g = g.assign(__sess=sess_global)
+        agg = g.groupby([user_col, "__sess"], as_index=False,
+                        sort=False).agg(
+            n_events=(time_col, "size"), start_us=(time_col, "min"),
+            end_us=(time_col, "max"))
+        agg["session_idx"] = agg.groupby(user_col, sort=False).cumcount()
+        return agg[[user_col, "session_idx", "n_events",
+                    "start_us", "end_us"]]
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__b").map_groups(build, batch_format="pandas"))
+
+
 def topk(ds, sort_cols: list[str], k: int, descending: list[bool]):
     """Top-k pushdown: per-block local top-k (vectorized) before the global
     sort+limit — the shuffle moves at most k rows per block."""
@@ -394,4 +483,79 @@ Q_BUCKET_JOIN_SQL = """
 SELECT l_returnflag, o_orderstatus, COUNT(*) AS n_rows
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2 ORDER BY l_returnflag, o_orderstatus
+"""
+
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessions per user over the events stream."""
+    ds = read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"],
+                         "tus": batch["ts"].cast(pa.int64()),
+                         "event_id": batch["event_id"]})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = sessionize(prepped, "user_id", "tus", "event_id",
+                     SESSION_GAP_US)
+    return out.sort(["user_id", "session_idx"])
+
+
+Q_SESSIONIZE_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+d AS (SELECT user_id, tus, event_id,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                    OR tus - LAG(tus) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+s AS (SELECT user_id, tus,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM d)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(tus) AS start_us, MAX(tus) AS end_us
+FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx
+"""
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each event matched to the user's latest order placed
+    at or before the event time (inner; unmatched events dropped)."""
+    ev = read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "tus": batch["ts"].cast(pa.int64()),
+                         "user_id": batch["user_id"]})
+
+    orders = read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    right = pd.DataFrame({
+        "user_id": orders["o_custkey"].astype(np.int64),
+        "odate_us": orders["o_orderdate"].astype("int64"),
+        "o_orderkey": orders["o_orderkey"].astype(np.int64)})
+    joined = asof_join_bucketed(
+        ev.map_batches(prep, batch_format="pyarrow"), right,
+        key="user_id", left_time="tus", right_time="odate_us")
+
+    def out(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": batch["event_id"].astype(np.int64),
+            "o_orderkey": batch["o_orderkey"].astype(np.int64)})
+
+    return joined.map_batches(out, batch_format="pandas").sort("event_id")
+
+
+Q_ASOF_JOIN_SQL = """
+SELECT event_id, o_orderkey FROM (
+  SELECT e.event_id, o.o_orderkey,
+         ROW_NUMBER() OVER (
+            PARTITION BY e.event_id
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+WHERE rn = 1 ORDER BY event_id
 """

@@ -121,6 +121,54 @@ def ann_lsh_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
     return ann_topk(candidates, query_ids, qm, k)
 
 
+def kmeans_centroids(m: np.ndarray, n_centroids: int, iters: int = 8,
+                     seed: int = 11) -> np.ndarray:
+    """Deterministic mini k-means on a (sampled) matrix — IVF coarse
+    quantizer.  Spherical: centroids re-normalized each iter (cosine)."""
+    m = _normalize(np.asarray(m, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(m))
+    c = m[rng.choice(len(m), n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ c.T, axis=1)
+        for j in range(n_centroids):
+            sel = m[assign == j]
+            if len(sel):
+                c[j] = sel.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ann_ivf_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
+                 k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+                 train_sample: int = 4096):
+    """IVF-bucketed ANN (the scale path): vectors are assigned to their
+    nearest coarse centroid inside ``map_batches``; only vectors whose
+    centroid is among the union of each query's ``n_probe`` closest
+    centroids are scored exactly.  Centroids are trained once on a
+    driver-side sample and broadcast.  Approximate — recall vs the exact
+    path measured in tests."""
+    import ray
+
+    sample = emb_ds.limit(train_sample).to_pandas()
+    sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    cents = kmeans_centroids(sm, n_centroids)
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qprobe = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    probe_set = np.unique(qprobe.ravel())
+    cents_ref = ray.put((cents, probe_set))
+
+    def bucket_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        c, probes = ray.get(cents_ref)
+        m = _normalize(np.stack(batch["embedding"].to_numpy())
+                       .astype(np.float64))
+        assign = np.argmax(m @ c.T, axis=1)
+        return batch[np.isin(assign, probes)]
+
+    candidates = emb_ds.map_batches(bucket_filter, batch_format="pandas")
+    return ann_topk(candidates, query_ids, qm, k)
+
+
 # -- query wrappers ---------------------------------------------------------
 
 def _fixed_queries(sf_dir: str, n: int = 5):
@@ -163,3 +211,8 @@ WHERE rn <= 10 ORDER BY query_id, vec_id
 def q_ann_lsh(sf_dir: str):
     qids, qm = _fixed_queries(sf_dir)
     return ann_lsh_topk(_emb(sf_dir), qids, qm, k=10)
+
+
+def q_ann_ivf(sf_dir: str):
+    qids, qm = _fixed_queries(sf_dir)
+    return ann_ivf_topk(_emb(sf_dir), qids, qm, k=10)

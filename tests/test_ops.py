@@ -199,3 +199,165 @@ def test_bucketed_join_matches_broadcast(ray_session):
     want = left.to_pandas().merge(right_t.to_pandas(), on="k")
     assert sorted(zip(out["k"], out["v"], out["w"])) == \
         sorted(zip(want["k"], want["v"], want["w"]))
+
+
+# ---------------------------------------------------------------------------
+# sessionize / as-of join (relational.py) vs direct pandas oracles
+# ---------------------------------------------------------------------------
+
+def test_sessionize_matches_pandas_oracle(ray_session):
+    import ray.data
+    from geoflow.relational import sessionize
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "tus": rng.integers(0, 10**7, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+    gap = 50_000
+    out = sessionize(ray.data.from_pandas(df), "user_id", "tus",
+                     "event_id", gap).to_pandas() \
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+    # oracle: plain pandas
+    g = df.sort_values(["user_id", "tus", "event_id"], kind="mergesort")
+    new = (g["user_id"].ne(g["user_id"].shift())
+           | (g["tus"] - g["tus"].shift() > gap))
+    g = g.assign(sess=np.cumsum(new.to_numpy()) - 1)
+    want = g.groupby(["user_id", "sess"], as_index=False, sort=False).agg(
+        n_events=("tus", "size"), start_us=("tus", "min"),
+        end_us=("tus", "max"))
+    want["session_idx"] = want.groupby("user_id", sort=False).cumcount()
+    want = want[["user_id", "session_idx", "n_events", "start_us",
+                 "end_us"]].sort_values(["user_id", "session_idx"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[want.columns].astype(np.int64), want.astype(np.int64))
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    import ray.data
+    from geoflow.relational import asof_join_bucketed
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame({
+        "event_id": np.arange(2000, dtype=np.int64),
+        "user_id": rng.integers(0, 50, 2000),
+        "tus": rng.integers(0, 10**6, 2000).astype(np.int64)})
+    right = pd.DataFrame({
+        "user_id": rng.integers(0, 50, 400),
+        "rtus": rng.integers(0, 10**6, 400).astype(np.int64),
+        "payload": np.arange(400, dtype=np.int64)})
+    out = asof_join_bucketed(ray.data.from_pandas(left), right,
+                             key="user_id", left_time="tus",
+                             right_time="rtus", n_buckets=8).to_pandas()
+    want = pd.merge_asof(
+        left.sort_values("tus", kind="mergesort"),
+        right.sort_values(["rtus", "user_id", "payload"],
+                          kind="mergesort"),
+        left_on="tus", right_on="rtus", by="user_id",
+        direction="backward")
+    want = want[want["rtus"].notna()]
+    key = ["event_id", "payload"]
+    assert sorted(map(tuple, out[key].astype(np.int64).to_numpy())) == \
+        sorted(map(tuple, want[key].astype(np.int64).to_numpy()))
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN recall + n-gram jaccard pairs vs brute force
+# ---------------------------------------------------------------------------
+
+def test_ann_ivf_recall(ray_session):
+    import ray.data
+    rng = np.random.default_rng(9)
+    n, dim = 3000, 16
+    m = rng.standard_normal((n, dim))
+    emb = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                        "embedding": list(m.astype(np.float32))})
+    qids = np.arange(5, dtype=np.int64)
+    qm = m[:5]
+    ds = ray.data.from_pandas(emb)
+    exact = similarity.ann_topk(ds, qids, qm, k=10).to_pandas()
+    approx = similarity.ann_ivf_topk(ds, qids, qm, k=10,
+                                     n_centroids=16,
+                                     n_probe=6).to_pandas()
+    hits = 0
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+    assert hits / (len(qids) * 10) >= 0.6  # multi-probe recall floor
+
+
+def test_jaccard_pairs_bruteforce(ray_session):
+    import ray.data
+    t = _docs_corpus()
+    out = dedup.jaccard_pairs(ray.data.from_arrow(t),
+                              threshold=0.6).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    texts = t["text"].to_pylist()
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if dedup.jaccard(texts[i], texts[j]) >= 0.6:
+                want.add((i, j))
+    assert got == want and len(want) >= 2
+
+
+# ---------------------------------------------------------------------------
+# jsonops: M3/M5/M6/M7 byte-level oracles, M11 pbf dump, M12 numpy views
+# ---------------------------------------------------------------------------
+
+def test_jsonops_sort_and_lint():
+    from geoflow import jsonops
+    s = '{"b": 1, "a": {"z": [3, {"y": 2, "x": 1}], "w": null}}'
+    want = '{"a":{"w":null,"z":[3,{"x":1,"y":2}]},"b":1}'
+    assert jsonops.str2json2str(s, sort_keys=True) == want
+    # idempotent
+    assert jsonops.str2json2str(want, sort_keys=True) == want
+
+
+def test_jsonops_geojson_model_roundtrip():
+    from geoflow import jsonops
+    messy = ('{"custom": 7, "type": "Feature", "properties": null,'
+             '"geometry": {"type": "Point", "coordinates": [1.5, 2.5]}}')
+    out = jsonops.str2geojson2str(messy)
+    obj = __import__("json").loads(out)
+    assert obj["type"] == "Feature" and obj["properties"] == {}
+    assert obj["custom"] == 7  # foreign member preserved
+    assert obj["geometry"]["coordinates"] == [1.5, 2.5]
+    # non-geojson input raises
+    with pytest.raises(ValueError):
+        jsonops.str2geojson2str('{"type": "Nope"}')
+
+
+def test_jsonops_normalize_precision_roundtrip():
+    from geoflow import jsonops
+    s = ('{"type": "Point", "coordinates": '
+         '[1.23456789012, -2.3456789012]}')
+    out = jsonops.normalize_json(s, indent=0, precision=4)
+    obj = __import__("json").loads(out)
+    assert obj["coordinates"] == [1.2346, -2.3457]
+
+
+def test_pbf_printable_roundtrip():
+    from geoflow import codec, jsonops
+    data = codec.encode({"type": "Feature", "id": 42,
+                         "properties": {"name": "x"},
+                         "geometry": {"type": "Point",
+                                      "coordinates": [1.0, 2.0]}})
+    dump = jsonops.pbf_printable(data)
+    assert "varint" in dump and "message" in dump
+    assert jsonops.pbf_printable(b"\xff\xff\xff") \
+        .startswith("<not a protobuf")
+
+
+def test_geometry_numpy_views():
+    from geoflow import jsonops
+    g = {"type": "MultiLineString",
+         "coordinates": [[[0.0, 1.0], [2.0, 3.0]], [[4.0, 5.0, 6.0]]]}
+    m = jsonops.geometry_to_numpy(g)
+    assert m.shape == (3, 3)
+    assert m[2].tolist() == [4.0, 5.0, 6.0]
+    back = jsonops.geometry_from_numpy("LineString", m[:2, :2])
+    assert back["coordinates"] == [[0.0, 1.0], [2.0, 3.0]]
