@@ -50,8 +50,8 @@ def entry() -> Any:
     polys = synth.make_polygons().to_pydict()
     from geoflow.pip import PIPJoiner
     joined = feats.map_batches(
-        PIPJoiner, fn_constructor_kwargs={"polygons_ref": ray.put(polys)},
-        batch_format="pyarrow", concurrency=(1, 8))
+        PIPJoiner(polygons_ref=ray.put(polys)),
+        batch_format="pyarrow")
     return joined
 
 
@@ -76,8 +76,8 @@ def _q_pip_pages(sf_dir: str):
     feats = pipeline.extract_features(pages)
     polys = synth.make_polygons().to_pydict()
     joined = feats.map_batches(
-        PIPJoiner, fn_constructor_kwargs={"polygons_ref": ray.put(polys)},
-        batch_format="pyarrow", concurrency=(1, 8))
+        PIPJoiner(polygons_ref=ray.put(polys)),
+        batch_format="pyarrow")
     out = partial_grouped_agg(joined, ["poly_id"], {},
                               count_alias="n_matches")
     return out.sort("poly_id")

@@ -256,24 +256,60 @@ class SimHasher:
                              "simhash": out.view(np.int64)})
 
 
-def simhash_dedup(docs_ds, max_hamming: int = 3):
+def simhash_dedup(docs_ds, max_hamming: int = 3, n_coarse: int = 32):
     """SimHash near-dup: 4x16-bit bands; pairs sharing a band verified by
-    Hamming distance <= max_hamming.  Returns (doc_id, rep_id)."""
-    sh = docs_ds.map_batches(SimHasher(),
-                             batch_format="pandas").to_pandas()
-    sig = sh["simhash"].to_numpy().view(np.uint64)
-    ids = sh["doc_id"].to_numpy()
-    cand: set[tuple[int, int]] = set()
-    for band in range(4):
-        key = (sig >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-        df = pd.DataFrame({"k": key, "i": np.arange(len(ids))})
-        for _, grp in df.groupby("k"):
-            idx = grp["i"].to_numpy()
-            if len(idx) < 2:
-                continue
-            a, b = np.triu_indices(len(idx), k=1)
-            for x, y in zip(idx[a], idx[b]):
-                cand.add((min(x, y), max(x, y)))
+    Hamming distance <= max_hamming.  Returns (doc_id, rep_id).
+
+    Distributed shape: signatures per batch -> explode one row per band
+    (doc_id, band, band_key, simhash) -> coarse-bucket groupby -> per
+    bucket, candidate pairs AND the Hamming verification run vectorized
+    (both signatures are co-located in the group).  Only the verified
+    pair set (small) reaches the driver for union-find."""
+    sigs = docs_ds.map_batches(SimHasher(), batch_format="pandas")
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = batch["simhash"].to_numpy().view(np.uint64)
+        ids = batch["doc_id"].to_numpy()
+        n = len(batch)
+        band = np.tile(np.arange(4, dtype=np.int64), n)
+        sig_r = np.repeat(sig, 4)
+        key = (sig_r >> (np.uint64(16) * band.astype(np.uint64))) \
+            & np.uint64(0xFFFF)
+        out = pd.DataFrame({"doc_id": np.repeat(ids, 4), "band": band,
+                            "band_key": key.astype(np.int64),
+                            "simhash": sig_r.view(np.int64)})
+        out["__b"] = ((key + np.uint64(65536) * band.astype(np.uint64))
+                      % np.uint64(n_coarse)).astype(np.int64)
+        return out
+
+    def verified_pairs(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.drop_duplicates(["band", "band_key", "doc_id"])
+        sizes = block.groupby(["band", "band_key"])["doc_id"] \
+            .transform("size")
+        multi = block[sizes > 1]
+        out_a, out_b = [], []
+        for _, grp in multi.groupby(["band", "band_key"]):
+            g = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            sg = g["simhash"].to_numpy().view(np.uint64)
+            a, b = np.triu_indices(len(ids), k=1)
+            x = sg[a] ^ sg[b]
+            # vectorized popcount via byte LUT
+            ham = _POPCNT[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+            keep = ham <= max_hamming
+            out_a.append(ids[a][keep])
+            out_b.append(ids[b][keep])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)}).drop_duplicates()
+
+    pairs = (sigs.map_batches(explode, batch_format="pandas")
+             .groupby("__b").map_groups(verified_pairs,
+                                        batch_format="pandas")
+             .to_pandas().drop_duplicates())
+
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -282,16 +318,21 @@ def simhash_dedup(docs_ds, max_hamming: int = 3):
             x = parent[x]
         return x
 
-    for x, y in sorted(cand):
-        if bin(int(sig[x]) ^ int(sig[y])).count("1") <= max_hamming:
-            ix, iy = int(ids[x]), int(ids[y])
-            rx, ry = find(ix), find(iy)
-            if rx != ry:
-                parent[max(rx, ry)] = min(rx, ry)
+    for x, y in sorted(zip(pairs["a"].astype(int),
+                           pairs["b"].astype(int))):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    all_ids = sorted(int(i) for i in docs_ds.select_columns(["doc_id"])
+                     .to_pandas()["doc_id"])
     return pa.table({
-        "doc_id": pa.array([int(i) for i in ids], type=pa.int64()),
-        "rep_id": pa.array([find(int(i)) for i in ids], type=pa.int64()),
+        "doc_id": pa.array(all_ids, type=pa.int64()),
+        "rep_id": pa.array([find(i) for i in all_ids], type=pa.int64()),
     })
+
+
+_POPCNT = np.array([bin(i).count("1") for i in range(256)],
+                   dtype=np.int64)
 
 
 def embedding_dups(emb_ds, threshold: float = 0.45):
