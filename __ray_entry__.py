@@ -121,6 +121,35 @@ def _q_dedup_pages(sf_dir: str):
     return out.sort("lang")
 
 
+def _q_tile_blobs(sf_dir: str):
+    """Vector-tile assembly (G2): per-tile geobuf FeatureCollection blob
+    sizes (rows-only; blob decode oracled in tests/test_joins.py)."""
+    import ray
+    import ray.data
+    import pyarrow as pa
+    from geoflow import pipeline, synth
+    from geoflow.pip import PIPJoiner
+
+    pages = ray.data.read_parquet(_pages_dir(sf_dir),
+                                  columns=pipeline.PAGE_COLUMNS)
+    feats = pipeline.extract_features(pages)
+    feats = feats.map_batches(pipeline.enrich, batch_format="pyarrow")
+    polys = synth.make_polygons().to_pydict()
+    joined = feats.map_batches(
+        PIPJoiner(polygons_ref=ray.put(polys)), batch_format="pyarrow")
+    tiles = pipeline.assemble_tiles(joined)
+
+    def size(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "tile_z": batch["tile_z"], "tile_x": batch["tile_x"],
+            "tile_y": batch["tile_y"], "n_features": batch["n_features"],
+            "blob_bytes": pc.binary_length(batch["tile_geobuf"])})
+
+    return tiles.map_batches(size, batch_format="pyarrow") \
+        .sort(["tile_z", "tile_x", "tile_y"])
+
+
 def _q_geobuf_sizes(sf_dir: str):
     """Geobuf encode over derived doc points: per-doc byte size (codec
     surface not expressible in SQL — rows-only + pytest goldens)."""
@@ -190,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pip_pages": _q_pip_pages,
         "q_knn_pages": _q_knn_pages,
         "q_dedup_pages": _q_dedup_pages,
+        "q_tile_blobs": _q_tile_blobs,
         "q_geobuf_sizes": _q_geobuf_sizes,
     }
 

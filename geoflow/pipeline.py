@@ -82,6 +82,67 @@ def dedup_features(features_ds, n_buckets: int = 512):
             .drop_columns(["dedup_bucket"]))
 
 
+def assemble_tiles(joined_ds, n_buckets: int = 64):
+    """Vector-tile assembly (★G2): one geobuf FeatureCollection blob per
+    (tile_z, tile_x, tile_y), features ordered deterministically by
+    (url, feature_idx).
+
+    Shape: tiles are hash-co-located via a coarse bucket groupby (one
+    shuffle); each bucket assembles its tiles with a vectorized pandas
+    group loop — the per-tile document encode is the irreducible work.
+    Returns (tile_z, tile_x, tile_y, n_features, tile_geobuf)."""
+    from . import codec
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        z = batch["tile_z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch["tile_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["tile_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (z * np.int64(0x9E3779B1)) ^ (x * np.int64(85157)) \
+            ^ (y * np.int64(1299721))
+        return batch.append_column(
+            "__b", pa.array((key % n_buckets).astype(np.int64)))
+
+    def assemble(block) -> "pa.Table":
+        import pandas as pd
+        if len(block) == 0:
+            return pa.table({
+                "tile_z": pa.array([], type=pa.int32()),
+                "tile_x": pa.array([], type=pa.int32()),
+                "tile_y": pa.array([], type=pa.int32()),
+                "n_features": pa.array([], type=pa.int64()),
+                "tile_geobuf": pa.array([], type=pa.binary()),
+            })
+        block = block.sort_values(["tile_z", "tile_x", "tile_y",
+                                   "url", "feature_idx"],
+                                  kind="mergesort")
+        zs, xs, ys, ns, blobs = [], [], [], [], []
+        for (z, x, y), g in block.groupby(
+                ["tile_z", "tile_x", "tile_y"], sort=False):
+            features = [
+                {"type": "Feature",
+                 "properties": {"url": u, "idx": int(fi)},
+                 "geometry": {"type": "Point",
+                              "coordinates": [lng, lat]}}
+                for u, fi, lng, lat in zip(g["url"], g["feature_idx"],
+                                           g["lng"], g["lat"])]
+            blobs.append(codec.encode(
+                {"type": "FeatureCollection", "features": features}))
+            zs.append(int(z))
+            xs.append(int(x))
+            ys.append(int(y))
+            ns.append(len(features))
+        return pa.table({
+            "tile_z": pa.array(zs, type=pa.int32()),
+            "tile_x": pa.array(xs, type=pa.int32()),
+            "tile_y": pa.array(ys, type=pa.int32()),
+            "n_features": pa.array(ns, type=pa.int64()),
+            "tile_geobuf": pa.array(blobs, type=pa.binary()),
+        })
+
+    return (joined_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(assemble, batch_format="pandas"))
+
+
 def extract_features(pages_ds, concurrency=None, batch_size: int = 2048):
     """Task-pool stage (the extractor holds no expensive state — polars
     compiles the Rust regex per process once); task pool lets Ray fuse

@@ -190,3 +190,36 @@ def test_flagship_text_invariant(ray_session):
                                   columns=pipeline.PAGE_COLUMNS)
     feats_ds = pipeline.extract_features(pages)
     assert pipeline.verify_text_invariant(pages_dir, feats_ds)
+
+
+def test_assemble_tiles_blobs(ray_session):
+    import ray
+    import ray.data
+    from geoflow import codec
+    from geoflow.pip import PIPJoiner
+
+    pages_dir = synth.pages_dir_for(1000)
+    pages = ray.data.read_parquet(pages_dir,
+                                  columns=pipeline.PAGE_COLUMNS)
+    feats = pipeline.extract_features(pages)
+    feats = feats.map_batches(pipeline.enrich, batch_format="pyarrow")
+    polys = synth.make_polygons().to_pydict()
+    joined = feats.map_batches(PIPJoiner(polygons_ref=ray.put(polys)),
+                               batch_format="pyarrow")
+    want = joined.to_pandas()
+    tiles = pipeline.assemble_tiles(joined).to_pandas()
+    assert tiles["n_features"].sum() == len(want)
+    # decode one non-trivial blob and check contents vs the join output
+    row = tiles[tiles["n_features"] > 1].iloc[0]
+    doc = codec.decode(bytes(row["tile_geobuf"]))
+    assert doc["type"] == "FeatureCollection"
+    assert len(doc["features"]) == row["n_features"]
+    g = want[(want["tile_z"] == row["tile_z"])
+             & (want["tile_x"] == row["tile_x"])
+             & (want["tile_y"] == row["tile_y"])] \
+        .sort_values(["url", "feature_idx"], kind="mergesort")
+    # one feature per joined row of the tile... rows can repeat per poly
+    assert len(g) == len(doc["features"])
+    f0 = doc["features"][0]
+    assert f0["properties"]["url"] == g.iloc[0]["url"]
+    assert abs(f0["geometry"]["coordinates"][0] - g.iloc[0]["lng"]) < 1e-6
