@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bucket_join": relational.q_bucket_join,
         "q_sessionize": relational.q_sessionize,
         "q_asof_join": relational.q_asof_join,
+        "q_value_quantiles": relational.q_value_quantiles,
         # text analysis (full SQL oracles)
         "q_token_stats": textops.q_token_stats,
         "q_quality": textops.q_quality,
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bucket_join": relational.Q_BUCKET_JOIN_SQL,
         "q_sessionize": relational.Q_SESSIONIZE_SQL,
         "q_asof_join": relational.Q_ASOF_JOIN_SQL,
+        "q_value_quantiles": relational.Q_VALUE_QUANTILES_SQL,
         "q_token_stats": textops.TOKEN_STATS_SQL,
         "q_quality": textops.QUALITY_SQL,
         "q_langid": textops.LANGID_SQL,

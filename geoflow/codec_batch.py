@@ -121,6 +121,164 @@ def encode_points(lng: np.ndarray, lat: np.ndarray,
                          pa.py_buffer(out.tobytes())])
 
 
+def _row_precision(vals: np.ndarray, offsets: np.ndarray,
+                   max_precision: int) -> np.ndarray:
+    """Per-row smallest k (e=10^k) preserving EVERY coordinate of the row
+    (vectorized analyze over a ragged batch)."""
+    n = len(offsets) - 1
+    kmax = int(round(np.log10(max_precision)))
+    ok_k = np.zeros((kmax + 1, n), dtype=bool)
+    for cand in range(kmax + 1):
+        e = 10.0 ** cand
+        ok = round_half_away_np(vals * e) / e == vals
+        # row is ok iff all its values are ok: min over segments
+        if len(vals):
+            idx = np.minimum(offsets[:-1], len(vals) - 1)
+            ok_k[cand] = np.minimum.reduceat(
+                ok.astype(np.int8), idx).astype(bool)
+            ok_k[cand, offsets[:-1] == offsets[1:]] = True
+        else:
+            ok_k[cand] = True
+    k = np.full(n, kmax, dtype=np.int64)
+    for cand in range(kmax, -1, -1):
+        k[ok_k[cand]] = cand
+    return k
+
+
+def encode_lines(coords_col, max_precision: int = 10 ** DEFAULT_PRECISION
+                 ) -> pa.Array:
+    """Encode N LineStrings (ragged flat-xy ``large_list<float64>`` rows)
+    as N geometry-typed Geobuf documents — whole batch vectorized.
+
+    Wire per doc (reference semantics, `src/geobuf/geobuf.cpp:485-500,
+    537-552`): optional tag3 precision, tag6 Geometry{tag1 enum 2, tag3
+    packed sint64 per-point per-dim deltas}; single line => tag2 lengths
+    omitted.  Byte-identical to ``codec.Encoder`` per row (tests)."""
+    if isinstance(coords_col, pa.ChunkedArray):
+        coords_col = coords_col.combine_chunks()
+    if isinstance(coords_col, (pa.ListArray, pa.LargeListArray)):
+        offsets_d = np.asarray(coords_col.offsets, dtype=np.int64)
+        vals = np.asarray(coords_col.values, dtype=np.float64)
+        vals = vals[offsets_d[0]:offsets_d[-1]]
+        offsets_d = offsets_d - offsets_d[0]
+    else:
+        rows = [np.asarray(r, dtype=np.float64) for r in coords_col]
+        offsets_d = np.concatenate(
+            ([0], np.cumsum([len(r) for r in rows]))).astype(np.int64)
+        vals = (np.concatenate(rows) if rows
+                else np.empty(0, dtype=np.float64))
+    n = len(offsets_d) - 1
+    if n == 0:
+        return pa.array([], type=pa.binary())
+    if (np.diff(offsets_d) % 2).any():
+        raise ValueError("flat xy rows must have even length")
+
+    k = _row_precision(vals, offsets_d, max_precision)
+    e_row = np.power(10.0, k)
+    e_full = np.repeat(e_row, np.diff(offsets_d))
+    q = round_half_away_np(vals * e_full)
+
+    # per-dimension deltas with reset at row starts (even row lengths =>
+    # global x/y de-interleave preserves row grouping)
+    x = q[0::2].copy()
+    y = q[1::2].copy()
+    starts_pt = offsets_d[:-1] // 2  # row start in point index space
+    dx = np.empty_like(x)
+    dy = np.empty_like(y)
+    if len(x):
+        dx[1:] = x[1:] - x[:-1]
+        dy[1:] = y[1:] - y[:-1]
+        dx[0] = x[0]
+        dy[0] = y[0]
+        nonempty = starts_pt[np.diff(offsets_d) > 0]
+        dx[nonempty] = x[nonempty]
+        dy[nonempty] = y[nonempty]
+    deltas = np.empty(len(q), dtype=np.int64)
+    deltas[0::2] = dx
+    deltas[1::2] = dy
+
+    z, nbytes = pbf.varint_encode_array(pbf.zigzag_np(deltas))
+    # per-row packed payload byte length
+    if len(nbytes):
+        row_nb = np.add.reduceat(
+            nbytes, np.minimum(offsets_d[:-1], len(nbytes) - 1))
+    else:
+        row_nb = np.zeros(n, dtype=np.int64)
+    row_nb[offsets_d[:-1] == offsets_d[1:]] = 0
+    row_nb = row_nb.astype(np.int64)
+
+    len1 = pbf.varint_nbytes(row_nb.astype(np.uint64))   # payload-len var
+    has_coords = (row_nb > 0).astype(np.int64)
+    geom_len = 2 + has_coords * (1 + len1 + row_nb)      # tag1 + [tag3..]
+    len2 = pbf.varint_nbytes(geom_len.astype(np.uint64))  # geometry-len
+    has_prec = (k != DEFAULT_PRECISION).astype(np.int64)
+    doc_len = has_prec * 2 + 1 + len2 + geom_len
+
+    total = int(doc_len.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    doc_starts = np.concatenate(([0], np.cumsum(doc_len[:-1])))
+
+    def put_varints(pos: np.ndarray, values: np.ndarray,
+                    widths: np.ndarray) -> None:
+        vb, vn = pbf.varint_encode_array(values.astype(np.uint64))
+        assert (vn == widths).all()
+        vs = np.concatenate(([0], np.cumsum(vn[:-1])))
+        idx = np.repeat(pos, vn) + (np.arange(len(vb))
+                                    - np.repeat(vs, vn))
+        out[idx] = vb
+
+    pos = doc_starts.copy()
+    hp = np.flatnonzero(has_prec)
+    out[pos[hp]] = 0x18
+    out[pos[hp] + 1] = k[hp].astype(np.uint8)
+    pos = pos + has_prec * 2
+    out[pos] = 0x32                      # tag6 geometry
+    put_varints(pos + 1, geom_len, len2)
+    body = pos + 1 + len2
+    out[body] = 0x08                     # tag1 enum
+    out[body + 1] = 2                    # LineString
+    hc = np.flatnonzero(has_coords)
+    out[body[hc] + 2] = 0x1A             # tag3 packed sint64
+    put_varints(body[hc] + 3, row_nb[hc], len1[hc])
+    coords_at = body + 2 + has_coords * (1 + len1)
+
+    # scatter the varint stream of each row
+    byte_starts = np.concatenate(([0], np.cumsum(row_nb[:-1])))
+    idx = np.repeat(coords_at, row_nb) + (
+        np.arange(int(row_nb.sum()), dtype=np.int64)
+        - np.repeat(byte_starts, row_nb))
+    out[idx] = z
+
+    offsets32 = np.concatenate(([0], np.cumsum(doc_len))).astype(np.int64)
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(offsets32.tobytes()),
+         pa.py_buffer(out.tobytes())])
+
+
+def decode_lines(geobuf_col) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode of N LineString Geobuf documents produced by
+    ``encode_lines`` -> (flat_xy_values, row_offsets) in doubles."""
+    if isinstance(geobuf_col, pa.ChunkedArray):
+        geobuf_col = geobuf_col.combine_chunks()
+    from . import codec
+    # variable-width headers make full vectorization of header parsing
+    # marginal; decode headers per row (cheap) and the coord streams
+    # (the bulk) vectorized
+    vals_out: list[np.ndarray] = []
+    offsets = [0]
+    total = 0
+    for b in geobuf_col:
+        doc = codec.decode(bytes(b.as_py()))
+        c = np.asarray(doc["coordinates"], dtype=np.float64).ravel() \
+            if doc and doc.get("coordinates") else np.empty(0)
+        vals_out.append(c)
+        total += len(c)
+        offsets.append(total)
+    return (np.concatenate(vals_out) if vals_out else np.empty(0),
+            np.asarray(offsets, dtype=np.int64))
+
+
 def decode_points(geobuf_col) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized decode of N point-geometry Geobuf documents -> (lng, lat).
 

@@ -491,6 +491,59 @@ GROUP BY 1, 2 ORDER BY l_returnflag, o_orderstatus
 """
 
 
+QUANTILES = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def int_histogram(ds, col: str):
+    """Exact integer histogram: per-batch value_counts (partials) ->
+    bucketed combine.  Output size is bounded by the value domain, not
+    the row count — the exact-sketch shape for distributed quantiles."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[col].value_counts()
+        out = pd.DataFrame({col: vc.index.to_numpy(np.int64),
+                            "n": vc.to_numpy(np.int64)})
+        return out
+
+    return grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                       [col], {"n": ("n", "sum")})
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact quantiles of events.value (in cents) from a distributed
+    integer histogram; quantile q = sorted value at 0-based index
+    floor((n-1)*q) (mirrored exactly by the ROW_NUMBER oracle)."""
+    ds = read(sf_dir, "events", ["value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"value_c": _cents(batch["value"])})
+
+    hist = int_histogram(ds.map_batches(prep, batch_format="pyarrow"),
+                         "value_c").to_pandas() \
+        .sort_values("value_c").reset_index(drop=True)
+    cum = hist["n"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    qs, vals = [], []
+    for q in QUANTILES:
+        target = int(np.floor((n - 1) * q))
+        i = int(np.searchsorted(cum, target + 1))
+        qs.append(q)
+        vals.append(int(hist["value_c"].iloc[i]))
+    return pa.table({"q": pa.array(qs, type=pa.float64()),
+                     "value_c": pa.array(vals, type=pa.int64())})
+
+
+Q_VALUE_QUANTILES_SQL = f"""
+WITH v AS (SELECT CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
+           FROM events),
+r AS (SELECT value_c, ROW_NUMBER() OVER (ORDER BY value_c) - 1 AS rn,
+             COUNT(*) OVER () AS n FROM v)
+SELECT q, value_c
+FROM (VALUES {", ".join(f"({q})" for q in QUANTILES)}) qs(q)
+JOIN r ON r.rn = CAST(FLOOR((r.n - 1) * qs.q) AS BIGINT)
+ORDER BY q
+"""
+
+
 SESSION_GAP_US = 1800 * 1_000_000  # 30-minute inactivity gap
 
 

@@ -268,3 +268,33 @@ def test_batch_point_codec_matches_document_codec():
     for i in range(0, n, 197):
         ref = codec.decode(arr[i].as_py())["coordinates"]
         assert ref == [dl[i], dt[i]]
+
+
+def test_encode_lines_byte_identical_to_encoder():
+    """Vectorized LineString batch codec == per-document Encoder bytes
+    (variable lengths, multi-byte length varints, mixed precisions)."""
+    import numpy as np
+    import pyarrow as pa
+    from geoflow import codec, codec_batch
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for _ in range(200):
+        npts = int(rng.integers(2, 40))
+        pts = np.round(rng.uniform(-180, 180, (npts, 2)),
+                       int(rng.integers(0, 8)))
+        pts[:, 1] = np.clip(pts[:, 1], -85, 85)
+        rows.append(pts.ravel())
+    rows.append(np.round(rng.uniform(-180, 180, (200, 2)), 6).ravel())
+    col = pa.array([r.tolist() for r in rows],
+                   type=pa.large_list(pa.float64()))
+    enc = codec_batch.encode_lines(col)
+    for i, r in enumerate(rows):
+        doc = {"type": "LineString",
+               "coordinates": np.asarray(r).reshape(-1, 2).tolist()}
+        assert enc[i].as_py() == codec.encode(doc), f"row {i}"
+    vals, offs = codec_batch.decode_lines(enc)
+    flat = np.concatenate(rows)
+    assert len(vals) == len(flat)
+    assert np.abs(vals - flat).max() <= 5.1e-7  # within quantization
+    # (bound: half of 1e-6 default precision + FP division slack)
