@@ -92,6 +92,18 @@ def run_bench() -> dict:
     timings["flagship"] = round(best, 3)
 
     if not FLAGSHIP_ONLY:
+        # end-to-end with the checkpointed partitioned sink (resume path)
+        import shutil
+
+        def flagship_sink():
+            shutil.rmtree("/tmp/geoflow_bench_sink", ignore_errors=True)
+            _, summary = pipeline.flagship(
+                pages_dir, out_dir="/tmp/geoflow_bench_sink",
+                concurrency=None)
+            return summary["rows"]
+
+        timed("flagship_sink", flagship_sink)
+
         import __ray_entry__ as entrymod
         qs = entrymod.queries()
         for name in ["q1_pricing_summary", "q3_top_orders",
