@@ -83,6 +83,36 @@ def _q_pip_pages(sf_dir: str):
     return out.sort("poly_id")
 
 
+def _q_pip_salted(sf_dir: str):
+    """Shuffle-path PIP join (groupby on cell with hot-cell salting from
+    sampled skew detection) — must produce IDENTICAL per-polygon counts
+    to the broadcast path _q_pip_pages (oracle equality in tests)."""
+    import ray.data
+    import numpy as np
+    import pyarrow as pa
+    from geoflow import cells, pip, pipeline, shuffle, synth
+    from geoflow.relational import partial_grouped_agg
+
+    pages = ray.data.read_parquet(_pages_dir(sf_dir),
+                                  columns=pipeline.PAGE_COLUMNS)
+    feats = pipeline.extract_features(pages)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        c = cells.cell_encode(batch["lng"].to_numpy(zero_copy_only=False),
+                              batch["lat"].to_numpy(zero_copy_only=False),
+                              pip.DEFAULT_RES).view(np.int64)
+        return batch.append_column("cell", pa.array(c))
+
+    feats = feats.map_batches(add_cell, batch_format="pyarrow")
+    polys = synth.make_polygons().to_pydict()
+    salt_map = shuffle.detect_hot_keys(feats, "cell",
+                                       target_rows_per_group=2000)
+    joined = pip.grouped_pip_join(feats, polys, salt_map=salt_map)
+    out = partial_grouped_agg(joined, ["poly_id"], {},
+                              count_alias="n_matches")
+    return out.sort("poly_id")
+
+
 def _q_knn_pages(sf_dir: str):
     import ray
     import ray.data
@@ -193,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quality": textops.q_quality,
         "q_langid": textops.q_langid,
         "q_fingerprint": textops.q_fingerprint,
+        "q_winnow": textops.q_winnow,
         # dedup
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_dedup_prefix": dedup.q_dedup_prefix,
@@ -218,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # brute-force oracles in tests/test_joins.py)
         "q_flagship_tiles": _q_flagship_tiles,
         "q_pip_pages": _q_pip_pages,
+        "q_pip_salted": _q_pip_salted,
         "q_knn_pages": _q_knn_pages,
         "q_dedup_pages": _q_dedup_pages,
         "q_tile_blobs": _q_tile_blobs,

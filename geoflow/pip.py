@@ -248,45 +248,68 @@ def grouped_pip_join(features_ds, polygons: dict, res: int = DEFAULT_RES,
     frag_ref = ray.put(cell_to_fragment)
     salt_ref = ray.put(salt_map)
 
+    n_coarse = 64
+
     def add_salt(batch: pa.Table) -> pa.Table:
         from .shuffle import add_salt_column
-        return add_salt_column(batch, "cell", ray.get(salt_ref), src="url")
+        batch = add_salt_column(batch, "cell", ray.get(salt_ref),
+                                src="url")
+        # coarse co-location bucket: the shuffle moves n_coarse groups,
+        # not one per (cell, salt) — per-group Python overhead stays
+        # O(n_coarse) while every (cell, salt) still lands whole
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        s = batch["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ((cell.view(np.uint64) * np.uint64(0x9E3779B1)
+              + s.view(np.uint64)) % np.uint64(n_coarse)).astype(np.int64)
+        return batch.append_column("__b", pa.array(b))
 
-    def group_join(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return _empty_join_result(group)
+    def bucket_join(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _empty_join_result(block.drop_columns(["__b"]))
+        block = block.drop_columns(["__b"])
         polygons_b = ray.get(polys_ref)   # local object-store read
         fragments = ray.get(frag_ref)
-        cid = group["cell"][0].as_py()
-        s = group["salt"][0].as_py()
-        plist = fragments.get((cid, s), [])
-        if not plist:
-            return _empty_join_result(group)
-        lng = group["lng"].to_numpy(zero_copy_only=False)
-        lat = group["lat"].to_numpy(zero_copy_only=False)
+        cell = block["cell"].to_numpy(zero_copy_only=False)
+        salt = block["salt"].to_numpy(zero_copy_only=False)
+        lng = block["lng"].to_numpy(zero_copy_only=False)
+        lat = block["lat"].to_numpy(zero_copy_only=False)
+        # group rows by (cell, salt) vectorized
+        order = np.lexsort((salt, cell))
+        cs = cell[order]
+        ss = salt[order]
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], (cs[1:] != cs[:-1]) | (ss[1:] != ss[:-1]))))
+        bounds = np.append(bounds, len(cs))
         rows_out, polys_out = [], []
-        for pi in plist:
-            coords = np.asarray(polygons_b["coords"][pi], dtype=np.float64)
-            lens = np.asarray(polygons_b["lengths"][pi], dtype=np.int64)
-            hit = geom.points_in_polygon_batch(lng, lat, coords, lens)
-            idx = np.flatnonzero(hit)
-            if len(idx):
-                rows_out.append(idx)
-                polys_out.append(np.full(len(idx),
-                                         polygons_b["poly_id"][pi],
-                                         dtype=np.int64))
+        for g in range(len(bounds) - 1):
+            rows = order[bounds[g]:bounds[g + 1]]
+            plist = fragments.get((int(cs[bounds[g]]),
+                                   int(ss[bounds[g]])), [])
+            for pi in plist:
+                coords = np.asarray(polygons_b["coords"][pi],
+                                    dtype=np.float64)
+                lens = np.asarray(polygons_b["lengths"][pi],
+                                  dtype=np.int64)
+                hit = geom.points_in_polygon_batch(lng[rows], lat[rows],
+                                                   coords, lens)
+                idx = rows[hit]
+                if len(idx):
+                    rows_out.append(idx)
+                    polys_out.append(np.full(
+                        len(idx), polygons_b["poly_id"][pi],
+                        dtype=np.int64))
         if not rows_out:
-            return _empty_join_result(group)
+            return _empty_join_result(block)
         rows_cat = np.concatenate(rows_out)
         polys_cat = np.concatenate(polys_out)
-        order = np.lexsort((polys_cat, rows_cat))
-        out = group.take(pa.array(rows_cat[order]))
+        order2 = np.lexsort((polys_cat, rows_cat))
+        out = block.take(pa.array(rows_cat[order2]))
         return out.append_column(
-            "poly_id", pa.array(polys_cat[order], type=pa.int64()))
+            "poly_id", pa.array(polys_cat[order2], type=pa.int64()))
 
     salted = features_ds.map_batches(add_salt, batch_format="pyarrow")
-    return salted.groupby(["cell", "salt"]).map_groups(
-        group_join, batch_format="pyarrow")
+    return salted.groupby("__b").map_groups(
+        bucket_join, batch_format="pyarrow")
 
 
 def _empty_join_result(group: pa.Table) -> pa.Table:

@@ -23,11 +23,14 @@ def detect_hot_keys(ds, key: str, target_rows_per_group: int,
     full count exceeds ``target_rows_per_group``.
 
     One small shuffle over the sample; the full dataset is not moved."""
-    sample = ds.random_sample(sample_fraction, seed=seed)
-    counts = sample.groupby(key).count().to_pandas()
+    from .relational import grouped_agg
+    sample = ds.select_columns([key]).random_sample(sample_fraction,
+                                                    seed=seed)
+    counts = grouped_agg(sample, [key],
+                         {"n": (key, "size")}).to_pandas()
     if len(counts) == 0:
         return {}
-    est = counts["count()"] / sample_fraction
+    est = counts["n"] / sample_fraction
     hot = counts[est > target_rows_per_group]
     return {
         int(k): int(math.ceil(e / target_rows_per_group))

@@ -18,6 +18,8 @@ import pyarrow as pa
 
 _TOKEN = re.compile(r"\S+")
 _ALPHA = re.compile(r"[A-Za-z]")
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+_BPE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 
 # language marker words (priority order) — a deterministic heuristic rule,
 # not a linguistic claim; the SQL oracle implements the identical CASE.
@@ -40,10 +42,12 @@ class TokenStats:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         n_tokens = batch["text"].str.count(self.token).astype(np.int64)
         n_alpha = batch["text"].str.count(self.alpha).astype(np.int64)
+        n_bpe = batch["text"].str.count(_BPE).astype(np.int64)
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
             "n_tokens": n_tokens,
             "n_alpha": n_alpha,
+            "n_bpe_tokens": n_bpe,
             # single int/int IEEE division -> bit-identical to SQL
             "avg_token_len": n_alpha / n_tokens.where(n_tokens > 0, 1),
         })
@@ -53,6 +57,8 @@ TOKEN_STATS_SQL = """
 SELECT doc_id,
        LENGTH(regexp_extract_all(text, '\\S+')) AS n_tokens,
        LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       LENGTH(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
        CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
        / GREATEST(LENGTH(regexp_extract_all(text, '\\S+')), 1)
        AS avg_token_len
@@ -168,3 +174,56 @@ def q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(
         Fingerprint(), batch_format="pandas") \
         .sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling hash; Schleimer et al. winnowing scheme)
+# ---------------------------------------------------------------------------
+
+_WINNOW_BASE = np.uint64(1000003)
+
+
+def winnow_fingerprints(text: str, k: int = 8, w: int = 4) -> np.ndarray:
+    """Winnowed k-gram rolling-hash fingerprints of one document.
+
+    Vectorized: byte k-gram hashes via a sliding-window dot product with
+    base powers (uint64 wraparound), then the per-window minimum sample
+    (guarantees any match of length >= w+k-1 shares a fingerprint)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
+        return np.empty(0, dtype=np.uint64)
+    pw = _WINNOW_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    hs = (win * pw[None, :]).sum(axis=1)  # uint64 wraparound == mod 2^64
+    if len(hs) <= w:
+        return np.unique(hs.min(keepdims=True))
+    mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+    return np.unique(mins)
+
+
+class WinnowFingerprint:
+    """map_batches stage: per-doc winnow fingerprint count + min/max
+    (content-robust identity for plagiarism-style matching)."""
+
+    def __init__(self, k: int = 8, w: int = 4):
+        self.k = k
+        self.w = w
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n, lo, hi = [], [], []
+        for t in batch["text"]:
+            fp = winnow_fingerprints(t, self.k, self.w)
+            n.append(len(fp))
+            lo.append(int(fp.min()) if len(fp) else 0)
+            hi.append(int(fp.max()) if len(fp) else 0)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_fprints": np.asarray(n, dtype=np.int64),
+            "min_fp": np.asarray(lo, dtype=np.uint64).view(np.int64),
+            "max_fp": np.asarray(hi, dtype=np.uint64).view(np.int64),
+        })
+
+
+def q_winnow(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        WinnowFingerprint(), batch_format="pandas").sort("doc_id")

@@ -361,3 +361,17 @@ def test_geometry_numpy_views():
     assert m[2].tolist() == [4.0, 5.0, 6.0]
     back = jsonops.geometry_from_numpy("LineString", m[:2, :2])
     assert back["coordinates"] == [[0.0, 1.0], [2.0, 3.0]]
+
+
+def test_winnow_fingerprints_properties(ray_session):
+    from geoflow import textops
+    t = _docs_corpus().to_pydict()
+    base_fp = set(textops.winnow_fingerprints(t["text"][0]).tolist())
+    near_fp = set(textops.winnow_fingerprints(t["text"][1]).tolist())
+    far_fp = set(textops.winnow_fingerprints(t["text"][3]).tolist())
+    assert base_fp == set(textops.winnow_fingerprints(
+        t["text"][0]).tolist())  # deterministic
+    j_near = len(base_fp & near_fp) / len(base_fp | near_fp)
+    j_far = len(base_fp & far_fp) / max(1, len(base_fp | far_fp))
+    assert j_near > 0.5 > j_far
+    assert textops.winnow_fingerprints("abc", k=8).size == 0
