@@ -33,12 +33,20 @@ class FakeDecoder:
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hists = np.zeros((batch.num_rows, 16), dtype=np.int64)
-        sizes = np.zeros(batch.num_rows, dtype=np.int64)
-        for i, payload in enumerate(batch["payload"]):
-            buf = np.frombuffer(payload.as_py(), dtype=np.uint8)
-            sizes[i] = len(buf)
-            hists[i] = np.bincount(buf >> 4, minlength=16)
+        col = batch["payload"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        # zero-copy over the concatenated payload buffer
+        off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset:col.offset + n + 1].astype(np.int64)
+        buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)[
+            off[0]:off[-1]]
+        off = off - off[0]
+        sizes = np.diff(off)
+        rows = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        hists = np.bincount(rows * 16 + (buf >> 4).astype(np.int64),
+                            minlength=n * 16).reshape(n, 16)
         return pa.table({
             "media_id": batch["media_id"],
             "n_bytes": pa.array(sizes),
@@ -69,6 +77,19 @@ class AudioDecoder:
         self.sample_rate = sample_rate
         raise NotImplementedError(
             "audio decoding requires soundfile/ffmpeg (not in this "
+            "container); use FakeDecoder for plumbing tests")
+
+
+class VideoFrameSampler:
+    """STUB: demux video bytes -> every Nth frame as (H, W, 3) uint8.
+    Contract: __init__ opens the demuxer once per actor; __call__ flat-maps
+    each video row into ``n_frames`` rows (media_id, frame_idx, pixels).
+    Requires ffmpeg/pyav (not in this container)."""
+
+    def __init__(self, every_n: int = 30):
+        self.every_n = every_n
+        raise NotImplementedError(
+            "video demuxing requires pyav/ffmpeg (not in this "
             "container); use FakeDecoder for plumbing tests")
 
 

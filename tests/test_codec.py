@@ -298,3 +298,34 @@ def test_encode_lines_byte_identical_to_encoder():
     assert len(vals) == len(flat)
     assert np.abs(vals - flat).max() <= 5.1e-7  # within quantization
     # (bound: half of 1e-6 default precision + FP division slack)
+
+
+def test_encode_polygons_byte_identical_to_encoder():
+    """Vectorized Polygon batch codec == per-document Encoder bytes
+    (multi-ring holes, single-ring length omission, ring delta resets)."""
+    import numpy as np
+    from geoflow import codec, codec_batch
+
+    rng = np.random.default_rng(13)
+    coords_rows, ring_rows, docs = [], [], []
+    for i in range(150):
+        n_rings = 1 if i % 3 else int(rng.integers(2, 4))
+        flat, lens, rings_json = [], [], []
+        for _ in range(n_rings):
+            npts = int(rng.integers(3, 12))
+            pts = np.round(rng.uniform(-180, 180, (npts, 2)),
+                           int(rng.integers(0, 8)))
+            ring = np.vstack([pts, pts[:1]])
+            flat.append(ring.ravel())
+            lens.append(len(ring))
+            rings_json.append(ring.tolist())
+        coords_rows.append(np.concatenate(flat))
+        ring_rows.append(lens)
+        docs.append({"type": "Polygon", "coordinates": rings_json})
+
+    enc = codec_batch.encode_polygons(coords_rows, ring_rows)
+    for i, d in enumerate(docs):
+        assert enc[i].as_py() == codec.encode(d), f"row {i}"
+    back = codec.decode(enc[0].as_py())
+    assert back["type"] == "Polygon"
+    assert len(back["coordinates"]) == len(docs[0]["coordinates"])
