@@ -86,7 +86,10 @@ def run_bench() -> dict:
         return time.time() - t0, n
 
     best, n_matches = None, 0
-    for _ in range(repeats):
+    for i in range(repeats):
+        if i:
+            time.sleep(2)  # let object-store cleanup of the previous
+            #              trial drain (single-node measurement artifact)
         sec, n_matches = flagship_once()
         best = sec if best is None else min(best, sec)
     timings["flagship"] = round(best, 3)
@@ -141,6 +144,7 @@ def run_scaling() -> dict:
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GEOFLOW_BENCH_ONLY="flagship")
+        env.setdefault("GEOFLOW_BENCH_REPEATS", "5")
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
