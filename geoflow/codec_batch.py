@@ -1,9 +1,7 @@
-"""Vectorized Geobuf codec for batches of Point geometry documents.
-
-The flagship pipeline encodes one geometry-typed Geobuf document per
-extracted point (wire: header + tag6 Geometry{enum 0, packed sint64 xy}).
-This module does that for a whole Arrow batch at once with numpy — no
-per-row Python in the hot path.  Byte output is verified (tests) to be
+"""Vectorized Geobuf codec for whole Arrow batches of geometry documents:
+Point (flagship hot path), MultiPoint / LineString (``encode_lines``),
+MultiLineString (``encode_multilines``) and Polygon-with-holes
+(``encode_polygons``) — all numpy, no per-row Python in the hot path.  Byte output is verified (tests) to be
 identical to ``codec.Encoder`` run per row, and therefore carries the same
 wire semantics as the reference encoder for this document shape
 (`/root/reference/src/geobuf/geobuf.cpp:210-256,473-482`): per-document
@@ -145,13 +143,16 @@ def _row_precision(vals: np.ndarray, offsets: np.ndarray,
     return k
 
 
-def encode_lines(coords_col, max_precision: int = 10 ** DEFAULT_PRECISION
-                 ) -> pa.Array:
-    """Encode N LineStrings (ragged flat-xy ``large_list<float64>`` rows)
-    as N geometry-typed Geobuf documents — whole batch vectorized.
+def encode_lines(coords_col, max_precision: int = 10 ** DEFAULT_PRECISION,
+                 geom_code: int = 2) -> pa.Array:
+    """Encode N single-sequence geometries (ragged flat-xy
+    ``large_list<float64>`` rows) as N geometry-typed Geobuf documents —
+    whole batch vectorized.  ``geom_code``: 2 = LineString (default),
+    1 = MultiPoint (identical wire shape, reference
+    `src/geobuf/geobuf.cpp:485-489`).
 
     Wire per doc (reference semantics, `src/geobuf/geobuf.cpp:485-500,
-    537-552`): optional tag3 precision, tag6 Geometry{tag1 enum 2, tag3
+    537-552`): optional tag3 precision, tag6 Geometry{tag1 enum, tag3
     packed sint64 per-point per-dim deltas}; single line => tag2 lengths
     omitted.  Byte-identical to ``codec.Encoder`` per row (tests)."""
     if isinstance(coords_col, pa.ChunkedArray):
@@ -236,7 +237,7 @@ def encode_lines(coords_col, max_precision: int = 10 ** DEFAULT_PRECISION
     put_varints(pos + 1, geom_len, len2)
     body = pos + 1 + len2
     out[body] = 0x08                     # tag1 enum
-    out[body + 1] = 2                    # LineString
+    out[body + 1] = geom_code            # LineString / MultiPoint
     hc = np.flatnonzero(has_coords)
     out[body[hc] + 2] = 0x1A             # tag3 packed sint64
     put_varints(body[hc] + 3, row_nb[hc], len1[hc])
@@ -271,6 +272,25 @@ def encode_polygons(coords_rows, ring_rows,
     omitted for single-ring polygons; tag3 packed sint64 deltas with the
     running sum RESET per ring and the closing point dropped.  Byte-
     identical to ``codec.Encoder`` per row (tests)."""
+    return _encode_segmented(coords_rows, ring_rows, geom_code=4,
+                             closed=True, max_precision=max_precision)
+
+
+def encode_multilines(coords_rows, line_rows,
+                      max_precision: int = 10 ** DEFAULT_PRECISION
+                      ) -> pa.Array:
+    """Encode N MultiLineStrings (segmented flat-xy rows + per-line point
+    counts) — same wire machinery as Polygons but open lines (no closing
+    point drop, lengths = raw counts, enum 3).  Byte-identical to the
+    document Encoder (tests)."""
+    return _encode_segmented(coords_rows, line_rows, geom_code=3,
+                             closed=False, max_precision=max_precision)
+
+
+def _encode_segmented(coords_rows, ring_rows, geom_code: int,
+                      closed: bool,
+                      max_precision: int = 10 ** DEFAULT_PRECISION
+                      ) -> pa.Array:
     rows_c = [np.asarray(r, dtype=np.float64) for r in coords_rows]
     rows_r = [np.asarray(r, dtype=np.int64) for r in ring_rows]
     n = len(rows_c)
@@ -287,9 +307,9 @@ def encode_polygons(coords_rows, ring_rows,
     q = round_half_away_np(vals * e_full)
 
     # ring segmentation in point space
-    ring_pts = np.concatenate(rows_r)                  # closed counts
+    ring_pts = np.concatenate(rows_r)                  # raw counts
     rings_per_row = np.asarray([len(r) for r in rows_r], dtype=np.int64)
-    keep_pts = ring_pts - 1                            # dropped closing
+    keep_pts = ring_pts - (1 if closed else 0)         # drop closing pt
     # keep-mask over global points: first (count-1) points of each ring
     pt_total = int(ring_pts.sum())
     ring_starts_pt = np.concatenate(([0], np.cumsum(ring_pts[:-1])))
@@ -374,7 +394,7 @@ def encode_polygons(coords_rows, ring_rows,
     put_varints(pos + 1, geom_len, len2)
     body = pos + 1 + len2
     out[body] = 0x08
-    out[body + 1] = 4                        # Polygon
+    out[body + 1] = geom_code                # Polygon / MultiLineString
     at = body + 2
     # tag2 lengths
     hl = np.flatnonzero(has_len)

@@ -329,3 +329,99 @@ def test_encode_polygons_byte_identical_to_encoder():
     back = codec.decode(enc[0].as_py())
     assert back["type"] == "Polygon"
     assert len(back["coordinates"]) == len(docs[0]["coordinates"])
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzz: decode∘encode fixpoint over random documents
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_coord = st.floats(min_value=-179.0, max_value=179.0,
+                   allow_nan=False, allow_infinity=False).map(
+    lambda x: round(x, 5))
+_pt = st.tuples(_coord, _coord).map(list)
+_ring = st.lists(_pt, min_size=3, max_size=6).map(
+    lambda r: r + [r[0]])
+
+_geometry = st.one_of(
+    st.builds(lambda c: {"type": "Point", "coordinates": c}, _pt),
+    st.builds(lambda c: {"type": "MultiPoint", "coordinates": c},
+              st.lists(_pt, min_size=1, max_size=5)),
+    st.builds(lambda c: {"type": "LineString", "coordinates": c},
+              st.lists(_pt, min_size=2, max_size=6)),
+    st.builds(lambda c: {"type": "MultiLineString", "coordinates": c},
+              st.lists(st.lists(_pt, min_size=2, max_size=4),
+                       min_size=1, max_size=3)),
+    st.builds(lambda c: {"type": "Polygon", "coordinates": c},
+              st.lists(_ring, min_size=1, max_size=3)),
+    st.builds(lambda c: {"type": "MultiPolygon", "coordinates": c},
+              st.lists(st.lists(_ring, min_size=1, max_size=2),
+                       min_size=1, max_size=2)),
+)
+
+_value = st.one_of(
+    st.none(), st.booleans(),
+    st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+    st.floats(allow_nan=False, allow_infinity=False,
+              min_value=-1e12, max_value=1e12),
+    st.text(max_size=12),
+    st.lists(st.integers(0, 99), max_size=3),
+)
+
+_feature = st.builds(
+    lambda g, props, fid: {
+        "type": "Feature", "geometry": g, "properties": props,
+        **({"id": fid} if fid is not None else {})},
+    _geometry,
+    st.dictionaries(st.text(min_size=1, max_size=8), _value, max_size=4),
+    st.one_of(st.none(), st.integers(-(2 ** 62), 2 ** 62),
+              st.text(min_size=1, max_size=8)))
+
+_document = st.one_of(
+    _geometry, _feature,
+    st.builds(lambda fs: {"type": "FeatureCollection", "features": fs},
+              st.lists(_feature, max_size=3)))
+
+
+@settings(max_examples=150, deadline=None)
+@given(_document)
+def test_codec_fixpoint_fuzz(doc):
+    """decode(encode(x)) is a fixpoint (the reference's own oracle,
+    tests/test_geobuf.py:358-364): once quantized, encode∘decode is
+    the identity."""
+    once = codec.decode(codec.encode(doc))
+    again = codec.decode(codec.encode(once))
+    assert again == once
+
+
+def test_encode_multipoint_multiline_byte_identical():
+    from geoflow import codec_batch
+    rng = np.random.default_rng(17)
+    rows = [np.round(rng.uniform(-180, 180,
+                                 (int(rng.integers(1, 8)), 2)),
+                     int(rng.integers(0, 7))).ravel() for _ in range(80)]
+    enc = codec_batch.encode_lines([r.tolist() for r in rows],
+                                   geom_code=1)
+    for i, r in enumerate(rows):
+        doc = {"type": "MultiPoint",
+               "coordinates": np.asarray(r).reshape(-1, 2).tolist()}
+        assert enc[i].as_py() == codec.encode(doc), f"mp row {i}"
+
+    coords_rows, line_rows, docs = [], [], []
+    for i in range(80):
+        nlines = 1 if i % 3 else int(rng.integers(2, 4))
+        flat, lens, lines = [], [], []
+        for _ in range(nlines):
+            npts = int(rng.integers(2, 10))
+            pts = np.round(rng.uniform(-180, 180, (npts, 2)),
+                           int(rng.integers(0, 7)))
+            flat.append(pts.ravel())
+            lens.append(npts)
+            lines.append(pts.tolist())
+        coords_rows.append(np.concatenate(flat))
+        line_rows.append(lens)
+        docs.append({"type": "MultiLineString", "coordinates": lines})
+    enc2 = codec_batch.encode_multilines(coords_rows, line_rows)
+    for i, d in enumerate(docs):
+        assert enc2[i].as_py() == codec.encode(d), f"mls row {i}"
