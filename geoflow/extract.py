@@ -24,11 +24,15 @@ import pyarrow.compute as pc
 GEOTAG = (r"located at (-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)"
           r"|lat=(-?\d+(?:\.\d+)?) lng=(-?\d+(?:\.\d+)?)")
 
+# text is dictionary-encoded: a page with k extracted features stores its
+# (large) text bytes ONCE per block instead of k copies — the bytes are
+# still byte-identical per url end-to-end (the per-row invariant), only
+# the in-memory/object-store representation is deduplicated.
 FEATURES_SCHEMA = pa.schema([
     ("url", pa.string()),
     ("warc_ts", pa.timestamp("us")),
     ("lang", pa.string()),
-    ("text", pa.string()),
+    ("text", pa.dictionary(pa.int32(), pa.string())),
     ("feature_idx", pa.int32()),
     ("lng", pa.float64()),
     ("lat", pa.float64()),
@@ -87,11 +91,14 @@ class Extractor:
             pl.int_range(pl.len(), dtype=pl.Int32).over("row")
             .alias("feature_idx"))
         take = pa.array(m["row"].to_numpy().astype(np.int64))
+        # dict-encode AFTER take: dictionary holds only the texts of
+        # pages that produced features, each exactly once
+        text = pc.dictionary_encode(pc.take(batch["text"], take))
         return pa.table({
             "url": pc.take(batch["url"], take),
             "warc_ts": pc.take(batch["warc_ts"], take),
             "lang": pc.take(batch["lang"], take),
-            "text": pc.take(batch["text"], take),
+            "text": text,
             "feature_idx": pa.array(m["feature_idx"].to_numpy()),
             "lng": pa.array(m["lng"].to_numpy()),
             "lat": pa.array(m["lat"].to_numpy()),

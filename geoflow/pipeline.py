@@ -24,7 +24,11 @@ PAGE_COLUMNS = ["url", "warc_ts", "text", "lang"]
 
 from .extract import FEATURES_SCHEMA  # noqa: E402
 
-SINK_SCHEMA = pa.schema(list(FEATURES_SCHEMA) + [
+_SINK_FEATURE_FIELDS = [
+    pa.field("text", pa.string()) if f.name == "text" else f
+    for f in FEATURES_SCHEMA]  # text decoded before the part shuffle
+
+SINK_SCHEMA = pa.schema(_SINK_FEATURE_FIELDS + [
     ("geobuf", pa.binary()), ("cell", pa.int64()),
     ("tile_z", pa.int32()), ("tile_x", pa.int32()),
     ("tile_y", pa.int32()), ("poly_id", pa.int64()),
@@ -68,6 +72,13 @@ def dedup_features(features_ds, n_buckets: int = 512):
         h_geo = pl.from_arrow(batch["geobuf"]).hash(seed=0).to_numpy()
         key = (h_url * np.uint64(1099511628211)) ^ h_geo
         bucket = (key % np.uint64(n_buckets)).astype(np.int32)
+        # decode dictionary text before the groupby exchange (dict
+        # columns degrade Ray's sort shuffle; see flagship add_part)
+        ti = batch.schema.get_field_index("text")
+        if ti != -1 and pa.types.is_dictionary(
+                batch.schema.field(ti).type):
+            batch = batch.set_column(ti, "text",
+                                     batch["text"].cast(pa.string()))
         return batch.append_column("dedup_bucket", pa.array(bucket))
 
     def dedup_bucket(group):
@@ -199,7 +210,16 @@ def flagship(pages_dir: str, out_dir: str | None = None,
             cell = batch["cell"].to_numpy(zero_copy_only=False)
             part = (cell.view(np.uint64) % np.uint64(n_parts)).astype(
                 np.int64)
-            return batch.append_column("part", pa.array(part))
+            batch = batch.append_column("part", pa.array(part))
+            # decode the dictionary-encoded text before the part shuffle:
+            # Ray's sort-based exchange degrades catastrophically on
+            # dictionary columns (dictionary re-unification per block
+            # concat); plain strings shuffle linearly
+            i = batch.schema.get_field_index("text")
+            if pa.types.is_dictionary(batch.schema.field(i).type):
+                batch = batch.set_column(
+                    i, "text", batch["text"].cast(pa.string()))
+            return batch
 
         from .checkpoint import checkpointed_write, read_checkpoint
         sink = joined.map_batches(add_part, batch_format="pyarrow")
