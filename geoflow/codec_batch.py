@@ -119,6 +119,15 @@ def encode_points(lng: np.ndarray, lat: np.ndarray,
                          pa.py_buffer(out.tobytes())])
 
 
+def _seg_sums(a: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Sum of ``a`` over segments [offsets[i], offsets[i+1]) — robust to
+    empty segments anywhere (unlike reduceat with clipped indices, which
+    corrupts the segment preceding a trailing empty one)."""
+    c = np.zeros(len(a) + 1, dtype=np.int64)
+    np.cumsum(a, out=c[1:])
+    return c[offsets[1:]] - c[offsets[:-1]]
+
+
 def _row_precision(vals: np.ndarray, offsets: np.ndarray,
                    max_precision: int) -> np.ndarray:
     """Per-row smallest k (e=10^k) preserving EVERY coordinate of the row
@@ -129,14 +138,10 @@ def _row_precision(vals: np.ndarray, offsets: np.ndarray,
     for cand in range(kmax + 1):
         e = 10.0 ** cand
         ok = round_half_away_np(vals * e) / e == vals
-        # row is ok iff all its values are ok: min over segments
-        if len(vals):
-            idx = np.minimum(offsets[:-1], len(vals) - 1)
-            ok_k[cand] = np.minimum.reduceat(
-                ok.astype(np.int8), idx).astype(bool)
-            ok_k[cand, offsets[:-1] == offsets[1:]] = True
-        else:
-            ok_k[cand] = True
+        # row is ok iff all its values are ok: per-segment count of ok
+        # values == segment length (cumsum form: empty-segment safe)
+        seg_len = offsets[1:] - offsets[:-1]
+        ok_k[cand] = _seg_sums(ok.astype(np.int64), offsets) == seg_len
     k = np.full(n, kmax, dtype=np.int64)
     for cand in range(kmax, -1, -1):
         k[ok_k[cand]] = cand
@@ -199,14 +204,8 @@ def encode_lines(coords_col, max_precision: int = 10 ** DEFAULT_PRECISION,
     deltas[1::2] = dy
 
     z, nbytes = pbf.varint_encode_array(pbf.zigzag_np(deltas))
-    # per-row packed payload byte length
-    if len(nbytes):
-        row_nb = np.add.reduceat(
-            nbytes, np.minimum(offsets_d[:-1], len(nbytes) - 1))
-    else:
-        row_nb = np.zeros(n, dtype=np.int64)
-    row_nb[offsets_d[:-1] == offsets_d[1:]] = 0
-    row_nb = row_nb.astype(np.int64)
+    # per-row packed payload byte length (empty-row safe)
+    row_nb = _seg_sums(nbytes, offsets_d)
 
     len1 = pbf.varint_nbytes(row_nb.astype(np.uint64))   # payload-len var
     has_coords = (row_nb > 0).astype(np.int64)
@@ -287,10 +286,51 @@ def encode_multilines(coords_rows, line_rows,
                              closed=False, max_precision=max_precision)
 
 
+def encode_multipolygons(coords_rows, ring_rows, poly_rows,
+                         max_precision: int = 10 ** DEFAULT_PRECISION
+                         ) -> pa.Array:
+    """Encode N MultiPolygons — flat closed-ring coords + per-row ring
+    sizes (``ring_rows``) + per-row rings-per-polygon (``poly_rows``).
+
+    tag2 lengths = [n_polys, n_rings_1, ring_sizes-1..., n_rings_2, ...],
+    omitted entirely for 1 polygon with 1 ring
+    (`src/geobuf/geobuf.cpp:509-520`).  Coord deltas identical to the
+    Polygon path.  Byte-identical to the document Encoder (tests)."""
+    import numpy as _np
+    lv_parts, vals_per_row, has_len = [], [], []
+    for rr, pp in zip(ring_rows, poly_rows):
+        rr = list(rr)
+        pp = list(pp)
+        if len(pp) == 1 and pp[0] == 1:
+            has_len.append(0)
+            vals_per_row.append(0)
+            continue
+        vals = [len(pp)]
+        k = 0
+        for nrings in pp:
+            vals.append(nrings)
+            for _ in range(nrings):
+                vals.append(rr[k] - 1)
+                k += 1
+        lv_parts.append(_np.asarray(vals, dtype=_np.int64))
+        vals_per_row.append(len(vals))
+        has_len.append(1)
+    len_vals = (_np.concatenate(lv_parts) if lv_parts
+                else _np.empty(0, dtype=_np.int64))
+    return _encode_segmented(
+        coords_rows, ring_rows, geom_code=5, closed=True,
+        max_precision=max_precision,
+        len_spec=(len_vals, vals_per_row, has_len))
+
+
 def _encode_segmented(coords_rows, ring_rows, geom_code: int,
                       closed: bool,
-                      max_precision: int = 10 ** DEFAULT_PRECISION
-                      ) -> pa.Array:
+                      max_precision: int = 10 ** DEFAULT_PRECISION,
+                      len_spec: tuple | None = None) -> pa.Array:
+    """Shared ragged-geometry encoder.  ``len_spec`` overrides the tag2
+    lengths section: (len_vals_global, vals_per_row, has_len) — used by
+    MultiPolygon whose lengths header is the nested
+    [n_polys, n_rings_i, ring_sizes...] sequence."""
     rows_c = [np.asarray(r, dtype=np.float64) for r in coords_rows]
     rows_r = [np.asarray(r, dtype=np.int64) for r in ring_rows]
     n = len(rows_c)
@@ -336,29 +376,24 @@ def _encode_segmented(coords_rows, ring_rows, geom_code: int,
 
     z, nbytes = pbf.varint_encode_array(pbf.zigzag_np(deltas))
     # per-row kept-value offsets (2 values per kept point)
-    kept_per_row = np.add.reduceat(
-        keep_pts, np.concatenate(([0], np.cumsum(rings_per_row[:-1])))) \
-        if len(keep_pts) else np.zeros(n, dtype=np.int64)
+    kept_per_row = _seg_sums(
+        keep_pts, np.concatenate(([0], np.cumsum(rings_per_row))))
     val_off = np.concatenate(([0], np.cumsum(2 * kept_per_row)))
-    if len(nbytes):
-        row_nb = np.add.reduceat(
-            nbytes, np.minimum(val_off[:-1], len(nbytes) - 1))
-        row_nb[val_off[:-1] == val_off[1:]] = 0
-    else:
-        row_nb = np.zeros(n, dtype=np.int64)
-    row_nb = row_nb.astype(np.int64)
+    row_nb = _seg_sums(nbytes, val_off)
 
     # tag2 lengths payload (only rows with > 1 ring)
-    has_len = (rings_per_row != 1).astype(np.int64)
-    len_vals = keep_pts  # packed uint32 values when written
-    lv_bytes = pbf.varint_nbytes(len_vals.astype(np.uint64))
-    ring_row_off = np.concatenate(([0], np.cumsum(rings_per_row)))
-    if len(lv_bytes):
-        len_nb = np.add.reduceat(
-            lv_bytes, np.minimum(ring_row_off[:-1], len(lv_bytes) - 1))
-        len_nb[ring_row_off[:-1] == ring_row_off[1:]] = 0
+    if len_spec is None:
+        has_len = (rings_per_row != 1).astype(np.int64)
+        len_vals = keep_pts  # packed uint32 values when written
+        vals_per_row = rings_per_row
     else:
-        len_nb = np.zeros(n, dtype=np.int64)
+        len_vals, vals_per_row, has_len = len_spec
+        len_vals = np.asarray(len_vals, dtype=np.int64)
+        vals_per_row = np.asarray(vals_per_row, dtype=np.int64)
+        has_len = np.asarray(has_len, dtype=np.int64)
+    lv_bytes = pbf.varint_nbytes(len_vals.astype(np.uint64))
+    ring_row_off = np.concatenate(([0], np.cumsum(vals_per_row)))
+    len_nb = _seg_sums(lv_bytes, ring_row_off)
     len_nb = len_nb * has_len  # only counted when tag2 present
     len1 = pbf.varint_nbytes(len_nb.astype(np.uint64))
 
@@ -402,10 +437,10 @@ def _encode_segmented(coords_rows, ring_rows, geom_code: int,
     put_varints(at[hl] + 1, len_nb[hl], len1[hl])
     # scatter packed ring-length varints per row with tag2
     if len(hl):
-        ring_sel = np.repeat(has_len.astype(bool), rings_per_row)
+        ring_sel = np.repeat(has_len.astype(bool), vals_per_row)
         lv_sel = len_vals[ring_sel]
         lb_sel_widths = lv_bytes[ring_sel]
-        row_of_ring = np.repeat(np.arange(n), rings_per_row)[ring_sel]
+        row_of_ring = np.repeat(np.arange(n), vals_per_row)[ring_sel]
         # byte position of each selected ring varint
         dest_base = np.zeros(n, dtype=np.int64)
         dest_base[hl] = at[hl] + 1 + len1[hl]

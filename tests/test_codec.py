@@ -425,3 +425,37 @@ def test_encode_multipoint_multiline_byte_identical():
     enc2 = codec_batch.encode_multilines(coords_rows, line_rows)
     for i, d in enumerate(docs):
         assert enc2[i].as_py() == codec.encode(d), f"mls row {i}"
+
+
+def test_encode_multipolygons_byte_identical():
+    """MultiPolygon batch codec: nested lengths header
+    [n_polys, n_rings_i, ring_sizes-1...], omitted for 1-poly-1-ring;
+    includes trailing single-ring rows (the reduceat-clipping regression)."""
+    from geoflow import codec_batch
+    rng = np.random.default_rng(23)
+    coords_rows, ring_rows, poly_rows, docs = [], [], [], []
+    for i in range(120):
+        npolys = 1 if i % 3 else int(rng.integers(2, 4))
+        flat, rsizes, rings_pp, polys_json = [], [], [], []
+        for p in range(npolys):
+            nrings = 1 if (i % 2 or npolys > 1 and p == 0 and i % 5) \
+                else int(rng.integers(1, 3))
+            rings_json = []
+            for _ in range(nrings):
+                npts = int(rng.integers(3, 9))
+                pts = np.round(rng.uniform(-180, 180, (npts, 2)),
+                               int(rng.integers(0, 7)))
+                ring = np.vstack([pts, pts[:1]])
+                flat.append(ring.ravel())
+                rsizes.append(len(ring))
+                rings_json.append(ring.tolist())
+            rings_pp.append(nrings)
+            polys_json.append(rings_json)
+        coords_rows.append(np.concatenate(flat))
+        ring_rows.append(rsizes)
+        poly_rows.append(rings_pp)
+        docs.append({"type": "MultiPolygon", "coordinates": polys_json})
+    enc = codec_batch.encode_multipolygons(coords_rows, ring_rows,
+                                           poly_rows)
+    for i, d in enumerate(docs):
+        assert enc[i].as_py() == codec.encode(d), f"row {i}"
