@@ -301,14 +301,25 @@ ORDER BY l_returnflag, l_linestatus
 def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     """Join customer⋈orders⋈lineitem, revenue per order, top-k.
 
-    customer and orders are broadcast dimension sides (small at any sf vs
-    lineitem); lineitem streams."""
+    Scale shape: customer (the only genuinely small side after the
+    segment filter) is broadcast as a semijoin filter onto orders; the
+    orders⋈lineitem join is the co-partitioned large-large path — neither
+    fact table touches the driver."""
+    import ray
+
     cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
         .to_pandas()
-    cust = cust[cust["c_mktsegment"] == segment][["c_custkey"]]
-    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-    orders = orders.merge(cust, left_on="o_custkey",
-                          right_on="c_custkey")[["o_orderkey"]]
+    keep = set(cust[cust["c_mktsegment"] == segment]["c_custkey"]
+               .astype(np.int64))
+    keep_ref = ray.put(keep)
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def semi(batch: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(keep_ref)
+        return batch[batch["o_custkey"].isin(wanted)][["o_orderkey"]]
+
+    orders_f = orders.map_batches(semi, batch_format="pandas")
 
     li = read(sf_dir, "lineitem",
               ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -321,8 +332,9 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         return pa.table({"o_orderkey": batch["l_orderkey"],
                          "revenue_c": rev})
 
-    joined = broadcast_join(li.map_batches(prep, batch_format="pyarrow"),
-                            orders, on="o_orderkey")
+    joined = bucketed_hash_join(
+        li.map_batches(prep, batch_format="pyarrow"), orders_f,
+        on="o_orderkey")
     agg = partial_grouped_agg(joined, ["o_orderkey"],
                               {"revenue_c": "revenue_c"})
     top = topk(agg, ["revenue_c", "o_orderkey"], k,
@@ -348,7 +360,12 @@ ORDER BY revenue_c DESC, o_orderkey LIMIT {k}
 
 def q5_nation_volume(sf_dir: str):
     """Revenue + order count per nation (region⋈nation⋈customer⋈orders⋈
-    lineitem): dims broadcast, fact streams."""
+    lineitem).  Scale shape: region/nation/customer (the dimension chain)
+    is broadcast as one custkey -> nation map; orders⋈lineitem is the
+    co-partitioned large-large join; each joined row resolves its nation
+    from the broadcast map — no fact table reaches the driver."""
+    import ray
+
     nation = read(sf_dir, "nation", ["n_nationkey", "n_name",
                                      "n_regionkey"]).to_pandas()
     region = read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
@@ -356,11 +373,13 @@ def q5_nation_volume(sf_dir: str):
                           right_on="r_regionkey")
     cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
         .to_pandas()
-    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-    dim = (orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
-                 .merge(nation, left_on="c_nationkey",
-                        right_on="n_nationkey"))[["o_orderkey", "n_name"]]
+    cust = cust.merge(nation, left_on="c_nationkey",
+                      right_on="n_nationkey")
+    cust_map = dict(zip(cust["c_custkey"].astype(np.int64),
+                        cust["n_name"]))
+    map_ref = ray.put(cust_map)
 
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = read(sf_dir, "lineitem",
               ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -372,9 +391,17 @@ def q5_nation_volume(sf_dir: str):
         return pa.table({"o_orderkey": batch["l_orderkey"],
                          "revenue_c": rev})
 
-    joined = broadcast_join(li.map_batches(prep, batch_format="pyarrow"),
-                            dim, on="o_orderkey")
-    out = partial_grouped_agg(joined, ["n_name"],
+    joined = bucketed_hash_join(
+        li.map_batches(prep, batch_format="pyarrow"), orders,
+        on="o_orderkey")
+
+    def add_nation(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(map_ref)
+        batch["n_name"] = batch["o_custkey"].map(m)
+        return batch[batch["n_name"].notna()][["n_name", "revenue_c"]]
+
+    resolved = joined.map_batches(add_nation, batch_format="pandas")
+    out = partial_grouped_agg(resolved, ["n_name"],
                               {"revenue_c": "revenue_c"},
                               count_alias="n_items")
     return out.sort("n_name")
