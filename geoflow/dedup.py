@@ -201,6 +201,15 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, num_perm: int = 64,
     verified = [(int(r.a), int(r.b)) for r in pairs.itertuples()
                 if jaccard(texts[int(r.a)], texts[int(r.b)]) >= threshold]
 
+    return _assign_reps(docs_ds, verified)
+
+
+def _assign_reps(docs_ds, verified_pairs):
+    """Union-find over the (small) verified pair set on the driver, then
+    a broadcast rep map applied per batch — the (doc_id, rep_id)
+    assignment stays a distributed Dataset (never collected)."""
+    import ray
+
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -209,24 +218,23 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, num_perm: int = 64,
             x = parent[x]
         return x
 
-    for x, y in verified:
+    for x, y in verified_pairs:
         rx, ry = find(x), find(y)
         if rx != ry:
-            lo, hi = min(rx, ry), max(rx, ry)
-            parent[hi] = lo
+            parent[max(rx, ry)] = min(rx, ry)
+    rep_map = {x: find(x) for x in parent}
+    map_ref = ray.put(rep_map)
 
-    all_ids = sorted(int(i) for i in docs_ds.select_columns(["doc_id"])
-                     .to_pandas()["doc_id"])
-    return pa.table({
-        "doc_id": pa.array(all_ids, type=pa.int64()),
-        "rep_id": pa.array([find(i) for i in all_ids], type=pa.int64()),
-    })
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(map_ref)
+        ids = batch["doc_id"].astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "rep_id": ids.map(lambda i: m.get(int(i), int(i)))
+            .astype(np.int64)})
 
-
-def _texts_table(docs_ds) -> pa.Table:
-    t = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
-    return pa.table({"doc_id": pa.array(t["doc_id"], type=pa.int64()),
-                     "text": pa.array(t["text"], type=pa.string())})
+    return docs_ds.select_columns(["doc_id"]).map_batches(
+        assign, batch_format="pandas")
 
 
 class SimHasher:
@@ -309,26 +317,9 @@ def simhash_dedup(docs_ds, max_hamming: int = 3, n_coarse: int = 32):
              .groupby("__b").map_groups(verified_pairs,
                                         batch_format="pandas")
              .to_pandas().drop_duplicates())
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for x, y in sorted(zip(pairs["a"].astype(int),
-                           pairs["b"].astype(int))):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            parent[max(rx, ry)] = min(rx, ry)
-    all_ids = sorted(int(i) for i in docs_ds.select_columns(["doc_id"])
-                     .to_pandas()["doc_id"])
-    return pa.table({
-        "doc_id": pa.array(all_ids, type=pa.int64()),
-        "rep_id": pa.array([find(i) for i in all_ids], type=pa.int64()),
-    })
+    return _assign_reps(docs_ds,
+                        sorted(zip(pairs["a"].astype(int),
+                                   pairs["b"].astype(int))))
 
 
 _POPCNT = np.array([bin(i).count("1") for i in range(256)],

@@ -39,7 +39,7 @@ def test_jaccard_oracle():
 def test_minhash_dedup_clusters(ray_session):
     import ray.data
     ds = ray.data.from_arrow(_docs_corpus())
-    out = dedup.minhash_dedup(ds, threshold=0.6).to_pydict()
+    out = dedup.minhash_dedup(ds, threshold=0.6).to_pandas()
     rep = dict(zip(out["doc_id"], out["rep_id"]))
     assert rep[0] == rep[1] == rep[2] == 0   # base cluster
     assert rep[3] == rep[4] == 3             # other cluster
@@ -58,7 +58,7 @@ def test_minhash_estimates_jaccard():
 def test_simhash_dedup(ray_session):
     import ray.data
     ds = ray.data.from_arrow(_docs_corpus())
-    out = dedup.simhash_dedup(ds, max_hamming=10).to_pydict()
+    out = dedup.simhash_dedup(ds, max_hamming=10).to_pandas()
     rep = dict(zip(out["doc_id"], out["rep_id"]))
     assert rep[0] == rep[1]            # near-dups collapse
     assert rep[5] == 5                 # disjoint vocab stays alone
