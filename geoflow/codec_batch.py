@@ -475,26 +475,77 @@ def _encode_segmented(coords_rows, ring_rows, geom_code: int,
 
 
 def decode_lines(geobuf_col) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized decode of N LineString Geobuf documents produced by
-    ``encode_lines`` -> (flat_xy_values, row_offsets) in doubles."""
+    """Vectorized decode of N LineString/MultiPoint Geobuf documents
+    produced by ``encode_lines`` -> (flat_xy_values, row_offsets).
+
+    Headers (a few bytes per row, variable-width varints) are walked with
+    the scalar reader; the coordinate payload — the bulk — is decoded as
+    ONE concatenated varint stream, un-zigzagged, and cumulative-summed
+    per dimension with per-row resets, all in numpy."""
     if isinstance(geobuf_col, pa.ChunkedArray):
         geobuf_col = geobuf_col.combine_chunks()
-    from . import codec
-    # variable-width headers make full vectorization of header parsing
-    # marginal; decode headers per row (cheap) and the coord streams
-    # (the bulk) vectorized
-    vals_out: list[np.ndarray] = []
-    offsets = [0]
-    total = 0
-    for b in geobuf_col:
-        doc = codec.decode(bytes(b.as_py()))
-        c = np.asarray(doc["coordinates"], dtype=np.float64).ravel() \
-            if doc and doc.get("coordinates") else np.empty(0)
-        vals_out.append(c)
-        total += len(c)
-        offsets.append(total)
-    return (np.concatenate(vals_out) if vals_out else np.empty(0),
-            np.asarray(offsets, dtype=np.int64))
+    arr = geobuf_col
+    n = len(arr)
+    if n == 0:
+        return np.empty(0), np.empty(1, dtype=np.int64)
+    from .pbf import PbfReader
+    buf_off = np.frombuffer(arr.buffers()[1],
+                            dtype=(np.int64 if pa.types.is_large_binary(
+                                arr.type) else np.int32))[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    raw = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    data = raw.tobytes()
+
+    pay_start = np.zeros(n, dtype=np.int64)
+    pay_len = np.zeros(n, dtype=np.int64)
+    e_row = np.full(n, 10.0 ** DEFAULT_PRECISION)
+    for i in range(n):
+        r = PbfReader(data, int(buf_off[i]), int(buf_off[i + 1]))
+        while r.next():
+            if r.tag == 3 and r.wire == 0:          # precision
+                e_row[i] = 10.0 ** r.read_varint()
+            elif r.tag == 6 and r.wire == 2:        # geometry
+                sub = r.enter_message()
+                while sub.next():
+                    if sub.tag == 3 and sub.wire == 2:  # packed coords
+                        ln = sub.read_varint()
+                        pay_start[i] = sub.pos
+                        pay_len[i] = ln
+                        sub.pos += ln
+                    else:
+                        sub.skip()
+            else:
+                r.skip()
+
+    take = np.repeat(pay_start, pay_len) + _ranges(pay_len)
+    stream = raw[take]
+    values, _starts = pbf.varint_decode_stream(stream)
+    deltas = pbf.unzigzag_np(values)
+    # count varints per row to build value offsets
+    is_start = (stream & 0x80) == 0  # varint ENDS where msb clear
+    # per-row varint counts: ends within each row's byte range
+    byte_off = np.concatenate(([0], np.cumsum(pay_len)))
+    c = np.zeros(len(stream) + 1, dtype=np.int64)
+    np.cumsum(is_start, out=c[1:])
+    vals_per_row = c[byte_off[1:]] - c[byte_off[:-1]]
+    off_v = np.concatenate(([0], np.cumsum(vals_per_row)))
+
+    # per-dimension cumulative sums with reset at row starts
+    x = deltas[0::2].astype(np.float64)
+    y = deltas[1::2].astype(np.float64)
+    pts_per_row = vals_per_row // 2
+    pt_off = np.concatenate(([0], np.cumsum(pts_per_row)))
+    cx = np.cumsum(deltas[0::2])
+    cy = np.cumsum(deltas[1::2])
+    basex = np.concatenate(([0], cx))[pt_off[:-1]]
+    basey = np.concatenate(([0], cy))[pt_off[:-1]]
+    ax = cx - np.repeat(basex, pts_per_row)
+    ay = cy - np.repeat(basey, pts_per_row)
+    e_pt = np.repeat(e_row, pts_per_row)
+    out = np.empty(2 * len(ax), dtype=np.float64)
+    out[0::2] = ax / e_pt
+    out[1::2] = ay / e_pt
+    return out, off_v
 
 
 def decode_points(geobuf_col) -> tuple[np.ndarray, np.ndarray]:
