@@ -223,3 +223,27 @@ def test_assemble_tiles_blobs(ray_session):
     f0 = doc["features"][0]
     assert f0["properties"]["url"] == g.iloc[0]["url"]
     assert abs(f0["geometry"]["coordinates"][0] - g.iloc[0]["lng"]) < 1e-6
+
+
+def test_flagship_zero_geotag_pages(ray_session, tmp_path):
+    """Pages with no geotags: pipeline yields 0 features, empty tile
+    stats, and a valid (empty) checkpoint — no crash anywhere."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    d = tmp_path / "empty_pages"
+    d.mkdir()
+    t = pa.table({
+        "url": pa.array([f"https://x.example/{i}" for i in range(50)]),
+        "warc_ts": pa.array([synth.EPOCH_US + i * 1000000
+                             for i in range(50)],
+                            type=pa.timestamp("us")),
+        "html": pa.array([b"<html></html>"] * 50, type=pa.binary()),
+        "text": pa.array(["no coordinates here at all"] * 50),
+        "lang": pa.array(["en"] * 50),
+    })
+    pq.write_table(t, d / "pages-0.parquet")
+    out = str(tmp_path / "sink")
+    tile_stats, summary = pipeline.flagship(str(d), out_dir=out)
+    assert summary["rows"] == 0
+    assert len(tile_stats.to_pandas()) == 0
