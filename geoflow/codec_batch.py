@@ -128,6 +128,84 @@ def _seg_sums(a: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return c[offsets[1:]] - c[offsets[:-1]]
 
 
+def encode_points_3d(lng: np.ndarray, lat: np.ndarray, alt: np.ndarray,
+                     max_precision: int = 10 ** DEFAULT_PRECISION
+                     ) -> pa.Array:
+    """Encode N 3D points as N geometry-typed Geobuf documents.
+
+    Per-document dim inference (reference `analyzePoint`,
+    src/geobuf/geobuf.cpp:348): dim=3 iff z != 0, with the tag2 dim
+    header written only when != 2; precision covers all written dims.
+    Byte-identical to ``codec.Encoder`` per row (tests)."""
+    lng = np.asarray(lng, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    alt = np.asarray(alt, dtype=np.float64)
+    n = len(lng)
+    if n == 0:
+        return pa.array([], type=pa.binary())
+
+    is3 = alt != 0.0
+    k2 = infer_precision_np(lng, lat, max_precision)
+    kz = infer_precision_np(alt, np.zeros(n), max_precision)
+    k = np.where(is3, np.maximum(k2, kz), k2)
+    e = np.power(10.0, k)
+    ix = round_half_away_np(lng * e)
+    iy = round_half_away_np(lat * e)
+    iz = round_half_away_np(alt * e)
+
+    zx, nx = pbf.varint_encode_array(pbf.zigzag_np(ix))
+    zy, ny = pbf.varint_encode_array(pbf.zigzag_np(iy))
+    zz, nz = pbf.varint_encode_array(pbf.zigzag_np(iz))
+    nz_eff = np.where(is3, nz, 0)
+    coords_len = nx + ny + nz_eff
+
+    geom_len = 2 + 2 + coords_len
+    has_dim = is3.astype(np.int64)
+    has_prec = (k != DEFAULT_PRECISION).astype(np.int64)
+    doc_len = has_dim * 2 + has_prec * 2 + 2 + geom_len
+
+    total = int(doc_len.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(doc_len[:-1])))
+
+    pos = starts.copy()
+    hd = np.flatnonzero(has_dim)
+    out[pos[hd]] = 0x10          # tag2 dim
+    out[pos[hd] + 1] = 3
+    pos = pos + has_dim * 2
+    hp = np.flatnonzero(has_prec)
+    out[pos[hp]] = 0x18
+    out[pos[hp] + 1] = k[hp].astype(np.uint8)
+    pos = pos + has_prec * 2
+    out[pos] = 0x32
+    out[pos + 1] = geom_len.astype(np.uint8)
+    out[pos + 2] = 0x08
+    out[pos + 3] = 0x00
+    out[pos + 4] = 0x1A
+    out[pos + 5] = coords_len.astype(np.uint8)
+    body = pos + 6
+
+    def scatter(dest: np.ndarray, stream: np.ndarray,
+                widths: np.ndarray) -> None:
+        ws = np.concatenate(([0], np.cumsum(widths[:-1])))
+        idx = np.repeat(dest, widths) + (np.arange(len(stream))
+                                         - np.repeat(ws, widths))
+        out[idx] = stream
+
+    scatter(body, zx, nx)
+    scatter(body + nx, zy, ny)
+    # z bytes only for dim-3 rows: filter the z streams
+    if hd.size:
+        zs = np.concatenate(([0], np.cumsum(nz)))
+        sel = np.repeat(zs[hd], nz[hd]) + _ranges(nz[hd])
+        scatter(body[hd] + nx[hd] + ny[hd], zz[sel], nz[hd])
+
+    offsets = np.concatenate(([0], np.cumsum(doc_len))).astype(np.int32)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()),
+                         pa.py_buffer(out.tobytes())])
+
+
 def _row_precision(vals: np.ndarray, offsets: np.ndarray,
                    max_precision: int) -> np.ndarray:
     """Per-row smallest k (e=10^k) preserving EVERY coordinate of the row

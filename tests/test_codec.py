@@ -459,3 +459,23 @@ def test_encode_multipolygons_byte_identical():
                                            poly_rows)
     for i, d in enumerate(docs):
         assert enc[i].as_py() == codec.encode(d), f"row {i}"
+
+
+def test_encode_points_3d_byte_identical():
+    """3D point batch codec: per-doc dim inference (z==0 -> dim 2, no
+    tag2), shared precision over written dims."""
+    from geoflow import codec_batch
+    rng = np.random.default_rng(31)
+    n = 500
+    lng = np.round(rng.uniform(-180, 180, n), 5)
+    lat = np.round(rng.uniform(-85, 85, n), 5)
+    alt = np.round(rng.uniform(-100, 4000, n), 2)
+    alt[::3] = 0.0
+    enc = codec_batch.encode_points_3d(lng, lat, alt)
+    for i in range(n):
+        doc = {"type": "Point",
+               "coordinates": [lng[i], lat[i], alt[i]]}
+        assert enc[i].as_py() == codec.encode(doc), f"row {i}"
+    # decoder recovers z for dim-3 rows
+    back = codec.decode(enc[1].as_py())
+    assert len(back["coordinates"]) == (3 if alt[1] != 0 else 2)
