@@ -375,3 +375,39 @@ def test_winnow_fingerprints_properties(ray_session):
     j_far = len(base_fp & far_fp) / max(1, len(base_fp | far_fp))
     assert j_near > 0.5 > j_far
     assert textops.winnow_fingerprints("abc", k=8).size == 0
+
+
+def test_geojsonl_source_roundtrip(ray_session, tmp_path):
+    """S1/S2 mapping: NDJSON source -> geobuf encode -> decode -> text,
+    fixpoint per document."""
+    import json
+    from geoflow import io as gio
+
+    docs = [
+        {"type": "Point", "coordinates": [1.5, 2.5]},
+        {"type": "Feature", "properties": {"a": 1},
+         "geometry": {"type": "LineString",
+                      "coordinates": [[0.0, 0.0], [3.25, 4.5]]}},
+        {"type": "FeatureCollection", "features": []},
+    ]
+    p = tmp_path / "docs.ndjson"
+    p.write_text("\n".join(json.dumps(d, sort_keys=True,
+                                      separators=(",", ":"))
+                           for d in docs))
+    ds = gio.read_geojsonl(str(p))
+    enc = gio.geojsonl_to_geobuf(ds)
+    out = gio.geobuf_to_geojsonl(enc).to_pandas()
+    assert len(out) == 3
+    decoded = [json.loads(s) for s in out["geojson"]]
+    assert sorted(d["type"] for d in decoded) == \
+        ["Feature", "FeatureCollection", "Point"]
+    # per-document fixpoint
+    for s in out["geojson"]:
+        from geoflow import codec
+        assert codec.decode(codec.encode(s)) == json.loads(s)
+    # parquet sink roundtrip
+    outdir = str(tmp_path / "pq")
+    gio.write_geobuf_parquet(enc, outdir)
+    import ray.data
+    back = ray.data.read_parquet(outdir).to_pandas()
+    assert len(back) == 3 and "geobuf" in back.columns
