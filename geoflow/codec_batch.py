@@ -671,3 +671,51 @@ def _ranges(lengths: np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     starts = np.concatenate(([0], np.cumsum(lengths[:-1])))
     return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+
+
+def geom_type_codes(geobuf_col) -> np.ndarray:
+    """Vectorized geometry-type extraction from geometry-typed Geobuf
+    documents (M13 without a decode): walks the fixed header shape
+    [0x10 dim]? [0x18 k]? 0x32 <len varint> 0x08 <code> with bounded
+    numpy steps.  Returns int8 codes (-1 for non-conforming rows)."""
+    if isinstance(geobuf_col, pa.ChunkedArray):
+        geobuf_col = geobuf_col.combine_chunks()
+    arr = geobuf_col
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int8)
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) \
+        else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+
+    def at(p):  # bounds-safe byte read
+        return np.where(p < off[1:], buf[np.minimum(p, len(buf) - 1)], 0)
+
+    p = off[:-1].copy()
+    p = p + (at(p) == 0x10) * 2          # optional dim header
+    p = p + (at(p) == 0x18) * 2          # optional precision header
+    ok = at(p) == 0x32
+    p = p + 1
+    # skip the geometry-length varint (<= 5 bytes): each iteration
+    # consumes one byte only for rows still inside the varint
+    done = np.zeros(n, dtype=bool)
+    for _ in range(5):
+        b = at(p)
+        newly_done = (~done) & ((b & 0x80) == 0)
+        p = p + (~done).astype(np.int64)
+        done |= newly_done
+        if done.all():
+            break
+    ok &= at(p) == 0x08
+    code = at(p + 1).astype(np.int8)
+    return np.where(ok, code, -1).astype(np.int8)
+
+
+def filter_geom_type(batch: pa.Table, code: int,
+                     column: str = "geobuf") -> pa.Table:
+    """ds.map_batches predicate: keep rows whose geobuf document is of
+    geometry type ``code`` (enum of src/geobuf/geobuf.cpp:410-442)."""
+    codes = geom_type_codes(batch[column])
+    return batch.filter(pa.array(codes == code))

@@ -479,3 +479,26 @@ def test_encode_points_3d_byte_identical():
     # decoder recovers z for dim-3 rows
     back = codec.decode(enc[1].as_py())
     assert len(back["coordinates"]) == (3 if alt[1] != 0 else 2)
+
+
+def test_geom_type_codes_and_filter():
+    from geoflow import codec_batch
+    import pyarrow as pa
+    rng = np.random.default_rng(5)
+    p = codec_batch.encode_points(
+        np.round(rng.uniform(-10, 10, 40), 3),
+        np.round(rng.uniform(-10, 10, 40), 3))
+    ln = codec_batch.encode_lines(
+        [np.round(rng.uniform(-10, 10, 8), 5).tolist()
+         for _ in range(25)])
+    docs = [bytes(x.as_py()) for x in p] + [bytes(x.as_py()) for x in ln]
+    col = pa.array(docs, type=pa.binary())
+    codes = codec_batch.geom_type_codes(col)
+    want = np.array([codec.GEOM_TYPE_CODE[codec.decode(d)["type"]]
+                     for d in docs], dtype=np.int8)
+    assert (codes == want).all()
+    t = pa.table({"geobuf": col})
+    only_lines = codec_batch.filter_geom_type(t, 2)
+    assert only_lines.num_rows == 25
+    assert codec_batch.geom_type_codes(
+        pa.array([b"\xff\x00"], type=pa.binary()))[0] == -1
