@@ -113,6 +113,33 @@ def _q_pip_salted(sf_dir: str):
     return out.sort("poly_id")
 
 
+def _q_pip_copartition(sf_dir: str):
+    """Dual-shuffle PIP join (polygon side as a Dataset, no broadcast) —
+    per-polygon counts identical to _q_pip_pages (oracle in tests)."""
+    import ray.data
+    import numpy as np
+    import pyarrow as pa
+    from geoflow import cells, pip, pipeline, synth
+    from geoflow.relational import partial_grouped_agg
+
+    pages = ray.data.read_parquet(_pages_dir(sf_dir),
+                                  columns=pipeline.PAGE_COLUMNS)
+    feats = pipeline.extract_features(pages)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        c = cells.cell_encode(batch["lng"].to_numpy(zero_copy_only=False),
+                              batch["lat"].to_numpy(zero_copy_only=False),
+                              pip.DEFAULT_RES).view(np.int64)
+        return batch.append_column("cell", pa.array(c))
+
+    feats = feats.map_batches(add_cell, batch_format="pyarrow")
+    polys_ds = ray.data.from_arrow(synth.make_polygons())
+    joined = pip.copartition_pip_join(feats, polys_ds)
+    out = partial_grouped_agg(joined, ["poly_id"], {},
+                              count_alias="n_matches")
+    return out.sort("poly_id")
+
+
 def _q_knn_pages(sf_dir: str):
     import ray
     import ray.data
@@ -250,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_flagship_tiles": _q_flagship_tiles,
         "q_pip_pages": _q_pip_pages,
         "q_pip_salted": _q_pip_salted,
+        "q_pip_copartition": _q_pip_copartition,
         "q_knn_pages": _q_knn_pages,
         "q_dedup_pages": _q_dedup_pages,
         "q_tile_blobs": _q_tile_blobs,

@@ -315,3 +315,147 @@ def grouped_pip_join(features_ds, polygons: dict, res: int = DEFAULT_RES,
 def _empty_join_result(group: pa.Table) -> pa.Table:
     empty = group.slice(0, 0)
     return empty.append_column("poly_id", pa.array([], type=pa.int64()))
+
+
+def copartition_pip_join(features_ds, polygons_ds,
+                         res: int = DEFAULT_RES,
+                         salt_map: dict[int, int] | None = None,
+                         n_coarse: int = 64):
+    """Dual-shuffle J1: BOTH sides are Datasets — neither is broadcast.
+
+    The polygon side is exploded to one fragment row per covering cell
+    per salt replica (standard spatial-join duplication of the bounded-
+    extent side); both sides are null-padded to one union schema and
+    moved through a single ``groupby(hash(cell, salt) % n_coarse)``
+    shuffle; each bucket runs the exact vectorized PIP test per
+    (cell, salt) group.  Every point is assigned exactly one cell, so
+    matches are emitted exactly once — results identical to the
+    broadcast path (oracle-tested).
+
+    ``features_ds`` must carry ``cell`` (int64 at ``res``) plus
+    lng/lat/url; ``polygons_ds`` has (poly_id, coords, lengths)."""
+    salt_map = salt_map or {}
+
+    point_cols = [f.name for f in
+                  features_ds.schema().base_schema] \
+        if hasattr(features_ds.schema(), "base_schema") \
+        else features_ds.schema().names
+    point_types = dict(zip(features_ds.schema().names,
+                           features_ds.schema().types))
+    poly_schema = pa.schema([
+        ("poly_id", pa.int64()),
+        ("coords", pa.large_list(pa.float64())),
+        ("lengths", pa.list_(pa.int64())),
+    ])
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        from .shuffle import add_salt_column
+        batch = add_salt_column(batch, "cell", salt_map, src="url")
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        s = batch["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ((cell.view(np.uint64) * np.uint64(0x9E3779B1)
+              + s.view(np.uint64)) % np.uint64(n_coarse)).astype(np.int64)
+        n = batch.num_rows
+        cols = {c: batch[c] for c in point_cols}
+        cols["salt"] = batch["salt"]
+        for f in poly_schema:
+            cols[f.name] = pa.nulls(n, type=f.type)
+        cols["__b"] = pa.array(b)
+        cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_polys(batch: pa.Table) -> pa.Table:
+        # explode each polygon to its covering cells x salt replicas
+        pid = batch["poly_id"].to_numpy(zero_copy_only=False)
+        coords = batch["coords"].to_pylist()
+        lengths = batch["lengths"].to_pylist()
+        out_cell, out_salt, out_idx = [], [], []
+        for i in range(batch.num_rows):
+            c = np.asarray(coords[i], dtype=np.float64)
+            bb = geom.polygon_bbox(c)
+            for cid in cells.cells_for_bbox(bb[0], bb[1], bb[2], bb[3],
+                                            res):
+                for s in range(salt_map.get(int(cid), 1)):
+                    out_cell.append(int(np.int64(np.uint64(cid)
+                                                 .astype(np.int64))))
+                    out_salt.append(s)
+                    out_idx.append(i)
+        cell = np.asarray(out_cell, dtype=np.int64)
+        salt = np.asarray(out_salt, dtype=np.int64)
+        idx = np.asarray(out_idx, dtype=np.int64)
+        b = ((cell.view(np.uint64) * np.uint64(0x9E3779B1)
+              + salt.view(np.uint64)) % np.uint64(n_coarse)) \
+            .astype(np.int64)
+        n = len(cell)
+        cols: dict = {}
+        for c in point_cols:
+            if c == "cell":
+                cols[c] = pa.array(cell)
+            else:
+                cols[c] = pa.nulls(n, type=point_types[c])
+        cols["salt"] = pa.array(salt.astype(np.int32))
+        take = pa.array(idx)
+        cols["poly_id"] = pa.compute.take(batch["poly_id"], take)
+        cols["coords"] = pa.compute.take(
+            batch["coords"].cast(pa.large_list(pa.float64())), take)
+        cols["lengths"] = pa.compute.take(
+            batch["lengths"].cast(pa.list_(pa.int64())), take)
+        cols["__b"] = pa.array(b)
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    unioned = (features_ds.map_batches(tag_points,
+                                       batch_format="pyarrow")
+               .union(polygons_ds.map_batches(tag_polys,
+                                              batch_format="pyarrow")))
+
+    def bucket_join(block: pd.DataFrame) -> pd.DataFrame:
+        pts = block[block["__side"] == 0]
+        frs = block[block["__side"] == 1]
+        drop = ["__b", "__side", "poly_id", "coords", "lengths"]
+        if len(pts) == 0 or len(frs) == 0:
+            out = pts.drop(columns=drop)
+            out["poly_id"] = pd.Series(dtype=np.int64)
+            return out
+        # fragment lookup: (cell, salt) -> list of (poly_id, coords, lens)
+        frag: dict = {}
+        for r in frs.itertuples():
+            frag.setdefault((int(r.cell), int(r.salt)), []).append(
+                (int(r.poly_id),
+                 np.asarray(r.coords, dtype=np.float64),
+                 np.asarray(r.lengths, dtype=np.int64)))
+        cell = pts["cell"].to_numpy()
+        salt = pts["salt"].to_numpy()
+        lng = pts["lng"].to_numpy()
+        lat = pts["lat"].to_numpy()
+        order = np.lexsort((salt, cell))
+        cs, ss = cell[order], salt[order]
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], (cs[1:] != cs[:-1]) | (ss[1:] != ss[:-1]))))
+        bounds = np.append(bounds, len(cs))
+        rows_out, polys_out = [], []
+        for g in range(len(bounds) - 1):
+            rows = order[bounds[g]:bounds[g + 1]]
+            for pid, coords, lens in frag.get(
+                    (int(cs[bounds[g]]), int(ss[bounds[g]])), ()):
+                hit = geom.points_in_polygon_batch(lng[rows], lat[rows],
+                                                   coords, lens)
+                idx = rows[hit]
+                if len(idx):
+                    rows_out.append(idx)
+                    polys_out.append(np.full(len(idx), pid,
+                                             dtype=np.int64))
+        if not rows_out:
+            out = pts.drop(columns=drop)
+            out = out.head(0)
+            out["poly_id"] = pd.Series(dtype=np.int64)
+            return out
+        rows_cat = np.concatenate(rows_out)
+        polys_cat = np.concatenate(polys_out)
+        order2 = np.lexsort((polys_cat, rows_cat))
+        out = pts.drop(columns=drop).iloc[rows_cat[order2]].copy()
+        out["poly_id"] = polys_cat[order2]
+        return out
+
+    return unioned.groupby("__b").map_groups(bucket_join,
+                                             batch_format="pandas")

@@ -46,7 +46,8 @@ def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "inner"):
     return big_ds.map_batches(join, batch_format="pandas")
 
 
-def bucketed_hash_join(left_ds, right_ds, on: str, n_buckets: int = 32):
+def bucketed_hash_join(left_ds, right_ds, on: str, n_buckets: int = 32,
+                       schemas: tuple | None = None):
     """Explicit co-partitioned hash join for two LARGE sides — neither is
     collected or broadcast.  Both sides are tagged, null-padded to one
     combined schema, unioned, and moved through a single
@@ -55,8 +56,13 @@ def bucketed_hash_join(left_ds, right_ds, on: str, n_buckets: int = 32):
     join is exact; ``n_buckets`` scales with the cluster while per-bucket
     merges stay vectorized (the 100-TB shape — same skeleton as
     `ray_guide` co-partitioning, no driver-side materialization)."""
-    lschema = left_ds.schema()
-    rschema = right_ds.schema()
+    if schemas is not None:
+        lschema, rschema = schemas
+    else:
+        # schema probes execute a limit-1 fragment each; callers that
+        # know their schemas pass them to skip the probe
+        lschema = left_ds.schema()
+        rschema = right_ds.schema()
     lcols = [c for c in lschema.names]
     rcols = [c for c in rschema.names if c != on]
     ltypes = dict(zip(lschema.names, lschema.types))
@@ -334,7 +340,10 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
 
     joined = bucketed_hash_join(
         li.map_batches(prep, batch_format="pyarrow"), orders_f,
-        on="o_orderkey")
+        on="o_orderkey",
+        schemas=(pa.schema([("o_orderkey", pa.int64()),
+                            ("revenue_c", pa.int64())]),
+                 pa.schema([("o_orderkey", pa.int64())])))
     agg = partial_grouped_agg(joined, ["o_orderkey"],
                               {"revenue_c": "revenue_c"})
     top = topk(agg, ["revenue_c", "o_orderkey"], k,
@@ -393,7 +402,11 @@ def q5_nation_volume(sf_dir: str):
 
     joined = bucketed_hash_join(
         li.map_batches(prep, batch_format="pyarrow"), orders,
-        on="o_orderkey")
+        on="o_orderkey",
+        schemas=(pa.schema([("o_orderkey", pa.int64()),
+                            ("revenue_c", pa.int64())]),
+                 pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64())])))
 
     def add_nation(batch: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(map_ref)
@@ -505,7 +518,11 @@ def q_bucket_join(sf_dir: str):
 
     joined = bucketed_hash_join(
         li.map_batches(keyed, batch_format="pyarrow"), orders,
-        on="o_orderkey")
+        on="o_orderkey",
+        schemas=(pa.schema([("o_orderkey", pa.int64()),
+                            ("l_returnflag", pa.string())]),
+                 pa.schema([("o_orderkey", pa.int64()),
+                            ("o_orderstatus", pa.string())])))
     out = partial_grouped_agg(joined, ["l_returnflag", "o_orderstatus"],
                               {}, count_alias="n_rows")
     return out.sort(["l_returnflag", "o_orderstatus"])

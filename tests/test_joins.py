@@ -247,3 +247,37 @@ def test_flagship_zero_geotag_pages(ray_session, tmp_path):
     tile_stats, summary = pipeline.flagship(str(d), out_dir=out)
     assert summary["rows"] == 0
     assert len(tile_stats.to_pandas()) == 0
+
+
+def test_copartition_pip_matches_broadcast(ray_session, feats, polygons):
+    """Dual-shuffle PIP (polygon side as a Dataset) == broadcast path."""
+    import ray.data
+    ds = _feats_ds(feats)
+    idx = pip.PolygonIndex(polygons)
+    lng = feats["lng"].to_numpy()
+    lat = feats["lat"].to_numpy()
+    rows, polys = idx.match(lng, lat)
+    upairs = feats.to_pydict()
+    expected = {(upairs["url"][r], upairs["feature_idx"][r], int(p))
+                for r, p in zip(rows, polys)}
+
+    polys_ds = ray.data.from_arrow(synth.make_polygons(60))
+    out = pip.copartition_pip_join(ds, polys_ds).to_pandas()
+    assert _key_set(out) == expected
+    assert len(out) == len(rows)
+
+
+def test_copartition_pip_salted_identical(ray_session, feats, polygons):
+    import ray.data
+    ds = _feats_ds(feats)
+    lng = feats["lng"].to_numpy()
+    lat = feats["lat"].to_numpy()
+    c = cells.cell_encode(lng, lat, pip.DEFAULT_RES).view(np.int64)
+    vals, counts = np.unique(c, return_counts=True)
+    hot = {int(vals[np.argmax(counts)]): 4}
+    polys_ds = ray.data.from_arrow(synth.make_polygons(60))
+    plain = pip.copartition_pip_join(ds, polys_ds).to_pandas()
+    salted = pip.copartition_pip_join(ds, polys_ds,
+                                      salt_map=hot).to_pandas()
+    assert _key_set(salted) == _key_set(plain)
+    assert len(salted) == len(plain)
