@@ -163,6 +163,30 @@ def _q_knn_pages(sf_dir: str):
     return out[["query_id", "url", "feature_idx"]]
 
 
+def _q_knn_copartition(sf_dir: str):
+    """Co-partitioned kNN (queries as a Dataset; exact with disk-ring
+    fallback) — same result set as _q_knn_pages (oracle in tests)."""
+    import ray.data
+    import numpy as np
+    import pyarrow as pa
+    from geoflow import cells, knn, pipeline, synth
+
+    pages = ray.data.read_parquet(_pages_dir(sf_dir),
+                                  columns=pipeline.PAGE_COLUMNS)
+    feats = pipeline.extract_features(pages)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        c = cells.cell_encode(batch["lng"].to_numpy(zero_copy_only=False),
+                              batch["lat"].to_numpy(zero_copy_only=False),
+                              8).view(np.int64)
+        return batch.append_column("cell", pa.array(c))
+
+    feats = feats.map_batches(add_cell, batch_format="pyarrow")
+    queries = ray.data.from_arrow(synth.make_knn_queries(20))
+    out = knn.copartition_knn_join(feats, queries, res=8, ring=2)
+    return out[["query_id", "url", "feature_idx"]]
+
+
 def _q_dedup_pages(sf_dir: str):
     import ray.data
     from geoflow import pipeline
@@ -279,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pip_salted": _q_pip_salted,
         "q_pip_copartition": _q_pip_copartition,
         "q_knn_pages": _q_knn_pages,
+        "q_knn_copartition": _q_knn_copartition,
         "q_dedup_pages": _q_dedup_pages,
         "q_tile_blobs": _q_tile_blobs,
         "q_geobuf_sizes": _q_geobuf_sizes,

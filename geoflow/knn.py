@@ -175,6 +175,173 @@ def knn_join_pruned(features_ds, queries: dict, res: int = 8,
                             kind="mergesort").reset_index(drop=True)
 
 
+def copartition_knn_join(features_ds, queries_ds, res: int = 8,
+                         ring: int = 2, n_coarse: int = 64
+                         ) -> pd.DataFrame:
+    """Co-partitioned kNN for LARGE query sets: queries are a Dataset,
+    not a broadcast dict.
+
+    Shape: each query is exploded to its candidate cell disk (ring
+    cells); features ride under their own cell; one coarse-bucket
+    exchange co-locates both sides; per cell a dense Q x F distance
+    matrix yields per-query local top-k; a tiny ``groupby(query_id)``
+    merge keeps the global top-k.  Exactness: queries whose kth distance
+    exceeds the guaranteed-covered radius of their disk (or that found
+    < k rows) are re-run via the exact broadcast scan — identical to
+    ``knn_join_pruned``'s fallback, oracle-tested."""
+    import ray.data
+
+    lngw, latw = cells.cell_size_deg(res)
+
+    def tag_feats(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "cell": batch["cell"],
+            "url": batch["url"],
+            "feature_idx": batch["feature_idx"],
+            "lng": batch["lng"],
+            "lat": batch["lat"],
+            "query_id": pa.nulls(n, type=pa.int64()),
+            "k": pa.nulls(n, type=pa.int64()),
+            "__side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def tag_queries(batch: pa.Table) -> pa.Table:
+        qid = batch["query_id"].to_numpy(zero_copy_only=False)
+        qlng = batch["lng"].to_numpy(zero_copy_only=False)
+        qlat = batch["lat"].to_numpy(zero_copy_only=False)
+        kk = batch["k"].to_numpy(zero_copy_only=False)
+        out_c, out_i = [], []
+        for i in range(len(qid)):
+            c = int(cells.cell_encode(qlng[i:i + 1], qlat[i:i + 1],
+                                      res)[0])
+            disk = cells.cell_disk(c, ring).view(np.int64)
+            out_c.append(disk)
+            out_i.append(np.full(len(disk), i, dtype=np.int64))
+        cell = (np.concatenate(out_c) if out_c
+                else np.empty(0, dtype=np.int64))
+        idx = (np.concatenate(out_i) if out_i
+               else np.empty(0, dtype=np.int64))
+        n = len(cell)
+        return pa.table({
+            "cell": pa.array(cell),
+            "url": pa.nulls(n, type=pa.string()),
+            "feature_idx": pa.nulls(n, type=pa.int32()),
+            "lng": pa.array(qlng[idx]),
+            "lat": pa.array(qlat[idx]),
+            "query_id": pa.array(qid[idx].astype(np.int64)),
+            "k": pa.array(kk[idx].astype(np.int64)),
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        b = (cell.view(np.uint64) % np.uint64(n_coarse)).astype(np.int64)
+        return batch.append_column("__b", pa.array(b))
+
+    unioned = (features_ds.map_batches(tag_feats, batch_format="pyarrow")
+               .union(queries_ds.map_batches(tag_queries,
+                                             batch_format="pyarrow"))
+               .map_batches(add_bucket, batch_format="pyarrow"))
+
+    def bucket_topk(block: pd.DataFrame) -> pd.DataFrame:
+        f = block[block["__side"] == 0]
+        q = block[block["__side"] == 1]
+        if len(f) == 0 or len(q) == 0:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype=np.int64),
+                "k": pd.Series(dtype=np.int64),
+                "dist_m": pd.Series(dtype=np.float64),
+                "url": pd.Series(dtype=object),
+                "feature_idx": pd.Series(dtype=np.int32),
+                "qlat": pd.Series(dtype=np.float64)})
+        outs = []
+        for cell_id, qg in q.groupby("cell", sort=False):
+            fg = f[f["cell"] == cell_id]
+            if len(fg) == 0:
+                # sentinel: keeps the query visible downstream so a
+                # query with no features in its whole disk is detected
+                # and re-run (dist inf sorts last, url "" marks it)
+                outs.append(pd.DataFrame({
+                    "query_id": qg["query_id"].to_numpy(),
+                    "k": qg["k"].to_numpy(),
+                    "dist_m": np.full(len(qg), np.inf),
+                    "url": [""] * len(qg),
+                    "feature_idx": np.full(len(qg), -1, dtype=np.int32),
+                    "qlat": qg["lat"].to_numpy(),
+                }))
+                continue
+            d = geom.haversine_m(
+                qg["lng"].to_numpy()[:, None],
+                qg["lat"].to_numpy()[:, None],
+                fg["lng"].to_numpy()[None, :],
+                fg["lat"].to_numpy()[None, :])
+            kmax = min(int(qg["k"].max()), d.shape[1])
+            if kmax < d.shape[1]:
+                idx = np.argpartition(d, kmax - 1, axis=1)[:, :kmax]
+            else:
+                idx = np.broadcast_to(np.arange(d.shape[1]),
+                                      (len(qg), d.shape[1])).copy()
+            rows = idx.ravel()
+            outs.append(pd.DataFrame({
+                "query_id": np.repeat(qg["query_id"].to_numpy(),
+                                      idx.shape[1]),
+                "k": np.repeat(qg["k"].to_numpy(), idx.shape[1]),
+                "dist_m": np.take_along_axis(d, idx, axis=1).ravel(),
+                "url": fg["url"].to_numpy()[rows],
+                "feature_idx": fg["feature_idx"].to_numpy()[rows],
+                "qlat": np.repeat(qg["lat"].to_numpy(), idx.shape[1]),
+            }))
+        if not outs:
+            return bucket_topk(block.head(0))
+        return pd.concat(outs, ignore_index=True)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return group.assign(redo=pd.Series(dtype=bool))
+        k = int(group["k"].iloc[0])
+        g = group.sort_values(["dist_m", "url", "feature_idx"],
+                              kind="mergesort")
+        # a feature can appear via several disk cells of the same query;
+        # sentinel rows (url "") dedupe to one and sort last
+        g = g.drop_duplicates(["url", "feature_idx"])
+        top = g.head(k)
+        qlat = float(group["qlat"].iloc[0])
+        lat_span = abs(qlat) + (ring + 1) * latw
+        cos_min = np.cos(np.radians(min(lat_span, 89.9)))
+        guaranteed = ring * min(latw, lngw * cos_min) * _M_PER_DEG * 0.99
+        needs_redo = (len(top) < k or (top["url"] == "").any()
+                      or top["dist_m"].max() > guaranteed)
+        return top.assign(redo=needs_redo)
+
+    out1 = (unioned.groupby("__b")
+            .map_groups(bucket_topk, batch_format="pandas")
+            .groupby("query_id").map_groups(merge, batch_format="pandas")
+            ).to_pandas()
+
+    # exactness fallback: re-run ONLY flagged queries via the exact scan
+    redo = sorted(set(out1[out1["redo"]]["query_id"].astype(int)))
+    out1 = out1[~out1["redo"]]
+    if redo:
+        redo_set = set(redo)
+
+        def pick(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["query_id"].isin(redo_set)]
+
+        sub = queries_ds.map_batches(pick,
+                                     batch_format="pandas").to_pandas()
+        subq = {"query_id": sub["query_id"].to_numpy(),
+                "lng": sub["lng"].to_numpy(),
+                "lat": sub["lat"].to_numpy(),
+                "k": sub["k"].to_numpy()}
+        out2 = knn_join(features_ds, subq).to_pandas()
+        out1 = pd.concat([out1, out2], ignore_index=True)
+    out1 = out1[["query_id", "dist_m", "url", "feature_idx"]].astype(
+        {"query_id": np.int64, "feature_idx": np.int32})
+    return out1.sort_values(["query_id", "dist_m", "url", "feature_idx"],
+                            kind="mergesort").reset_index(drop=True)
+
+
 def knn_bruteforce(features: dict, queries: dict) -> pd.DataFrame:
     """O(n·q) oracle with the same metric and tie-break."""
     lng = np.asarray(features["lng"], dtype=np.float64)

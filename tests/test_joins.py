@@ -281,3 +281,21 @@ def test_copartition_pip_salted_identical(ray_session, feats, polygons):
                                       salt_map=hot).to_pandas()
     assert _key_set(salted) == _key_set(plain)
     assert len(salted) == len(plain)
+
+
+def test_copartition_knn_matches_bruteforce(ray_session, feats):
+    """Co-partitioned kNN (queries as a Dataset) == brute force,
+    including empty-region queries that trigger the exact fallback."""
+    import ray.data
+    queries = synth.make_knn_queries(20)
+    ds = _feats_ds(feats, res=8)
+    got = knn.copartition_knn_join(ds, ray.data.from_arrow(queries),
+                                  res=8, ring=2)
+    fd = feats.to_pydict()
+    want = knn.knn_bruteforce(fd, queries.to_pydict()).sort_values(
+        ["query_id", "dist_m", "url", "feature_idx"],
+        kind="mergesort").reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "url", "feature_idx"]].reset_index(drop=True),
+        want[["query_id", "url", "feature_idx"]])
