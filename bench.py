@@ -114,7 +114,8 @@ def run_bench() -> dict:
                      "q_cell_grid", "q_tile_assign", "q_pip_events",
                      "q_knn_events", "q_geobuf_roundtrip",
                      "q_dedup_exact", "q_dedup_minhash", "q_ann_topk",
-                     "q_embedding_dups", "q_media_features"]:
+                     "q_embedding_dups", "q_media_features",
+                     "q_sessionize", "q_asof_join"]:
             def run(fn=qs[name]):
                 res = fn(SF_DIR)
                 # consume

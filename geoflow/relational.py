@@ -108,8 +108,20 @@ def bucketed_hash_join(left_ds, right_ds, on: str, n_buckets: int = 32,
 _COMBINE = {"sum": "sum", "size": "sum", "min": "min", "max": "max"}
 
 
+def _default_buckets() -> int:
+    """Shuffle-bucket count sized to the cluster (>= 32): per-bucket
+    combine stays vectorized while buckets ~ cores at any scale."""
+    try:
+        import ray
+        if ray.is_initialized():
+            return max(32, int(ray.cluster_resources().get("CPU", 32)))
+    except Exception:
+        pass
+    return 32
+
+
 def grouped_agg(ds, keys: list[str], specs: dict[str, tuple[str, str]],
-                n_buckets: int = 32):
+                n_buckets: int | None = None):
     """Scalable grouped aggregate: per-batch pandas partials (combiner) ->
     hash-bucket shuffle on ``hash(keys) % n_buckets`` -> one vectorized
     pandas combine per bucket.
@@ -125,6 +137,8 @@ def grouped_agg(ds, keys: list[str], specs: dict[str, tuple[str, str]],
     results are exact.  ``n_buckets`` scales with cluster cores, group
     count per bucket is unbounded-but-vectorized — the 100-TB shape.
     """
+    if n_buckets is None:
+        n_buckets = _default_buckets()
     aggs = {alias: (src, fn) for alias, (src, fn) in specs.items()}
     finals = {alias: (alias, _COMBINE[fn])
               for alias, (_src, fn) in specs.items()}
