@@ -202,6 +202,37 @@ def _q_dedup_pages(sf_dir: str):
     return out.sort("lang")
 
 
+def _q_polygon_tiles(sf_dir: str):
+    """Raster-side M17: exact z8 tile cover per synth polygon (exploded
+    (poly_id, tile_x, tile_y) rows; rows-only — the per-geometry oracle
+    is tests/test_spatial.py's sampling check)."""
+    import ray.data
+    import numpy as np
+    import pyarrow as pa
+    from geoflow import synth, tiles
+
+    polys = ray.data.from_arrow(synth.make_polygons())
+
+    def cover(batch: pa.Table) -> pa.Table:
+        pids, xs, ys = [], [], []
+        for i in range(batch.num_rows):
+            coords = np.asarray(batch["coords"][i].as_py())
+            lengths = np.asarray(batch["lengths"][i].as_py(),
+                                 dtype=np.int64)
+            t = tiles.tiles_for_polygon(coords, lengths, 8)
+            pids.append(np.full(len(t), batch["poly_id"][i].as_py(),
+                                dtype=np.int64))
+            xs.append(t[:, 0])
+            ys.append(t[:, 1])
+        return pa.table({
+            "poly_id": pa.array(np.concatenate(pids)),
+            "tile_x": pa.array(np.concatenate(xs)),
+            "tile_y": pa.array(np.concatenate(ys))})
+
+    return polys.map_batches(cover, batch_format="pyarrow") \
+        .sort(["poly_id", "tile_x", "tile_y"])
+
+
 def _q_tile_blobs(sf_dir: str):
     """Vector-tile assembly (G2): per-tile geobuf FeatureCollection blob
     sizes (rows-only; blob decode oracled in tests/test_joins.py)."""
@@ -262,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": relational.q3_top_orders,
         "q5_nation_volume": relational.q5_nation_volume,
         "q_events_window": relational.q_events_window,
+        "q_events_hopwindow": relational.q_events_hopwindow,
         "q_orders_topk": relational.q_orders_topk,
         "q_part_brand_stats": relational.q_part_brand_stats,
         "q_distinct_segments": relational.q_distinct_segments,
@@ -306,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_copartition": _q_knn_copartition,
         "q_dedup_pages": _q_dedup_pages,
         "q_tile_blobs": _q_tile_blobs,
+        "q_polygon_tiles": _q_polygon_tiles,
         "q_geobuf_sizes": _q_geobuf_sizes,
     }
 
@@ -316,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_orders": relational.q3_sql(),
         "q5_nation_volume": relational.Q5_SQL,
         "q_events_window": relational.q_events_window_sql(),
+        "q_events_hopwindow": relational.Q_EVENTS_HOPWINDOW_SQL,
         "q_orders_topk": relational.Q_ORDERS_TOPK_SQL,
         "q_part_brand_stats": relational.Q_PART_SQL,
         "q_distinct_segments": relational.Q_DISTINCT_SQL,

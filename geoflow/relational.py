@@ -478,6 +478,50 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, win
 """
 
 
+HOP_US = 900 * 1_000_000           # 15-min hop
+HOP_WINDOWS = 4                    # window size = 4 hops = 1 h
+
+
+def q_events_hopwindow(sf_dir: str):
+    """Hopping (sliding) window aggregate: 1-hour windows every 15 min —
+    each event belongs to 4 overlapping windows (explode inside
+    map_batches, then the bucketed grouped combine).  ``win`` is the
+    window's start expressed in hop units."""
+    ds = read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vc = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        base = ts // HOP_US
+        n = len(ts)
+        offs = np.tile(np.arange(HOP_WINDOWS, dtype=np.int64), n)
+        win = np.repeat(base, HOP_WINDOWS) - offs
+        return pa.table({
+            "event_type": pa.array(np.repeat(et, HOP_WINDOWS)),
+            "win": pa.array(win),
+            "value_c": pa.array(np.repeat(vc, HOP_WINDOWS)),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    out = partial_grouped_agg(exploded, ["event_type", "win"],
+                              {"sum_value_c": "value_c"},
+                              count_alias="n_events")
+    return out.sort(["event_type", "win"])
+
+
+Q_EVENTS_HOPWINDOW_SQL = f"""
+WITH e AS (SELECT event_type, epoch_us(ts) AS tus,
+                  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS vc
+           FROM events),
+x AS (SELECT event_type, tus // {HOP_US} - o.o AS win, vc
+      FROM e CROSS JOIN (VALUES {", ".join(f"({i})" for i in
+                                           range(HOP_WINDOWS))}) o(o))
+SELECT event_type, win, SUM(vc) AS sum_value_c, COUNT(*) AS n_events
+FROM x GROUP BY 1, 2 ORDER BY event_type, win
+"""
+
+
 def q_orders_topk(sf_dir: str, k: int = 20):
     """Global sort + limit (no FP aggregation — raw column order)."""
     ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
