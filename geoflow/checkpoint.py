@@ -98,6 +98,61 @@ def _metrics_row(part: int, rows: int, nbytes: int,
                      "skipped": pa.array([skipped])})
 
 
+def streamed_write(ds, out_dir: str, key_cols=("url",)) -> dict:
+    """No-shuffle streaming sink: every map task writes its own block as
+    one parquet file named by a deterministic content key, plus a
+    per-file manifest — nothing is exchanged between workers.
+
+    Use when pure write throughput matters and downstream reads don't
+    need key-range layout; ``checkpointed_write`` remains the
+    key-partitioned, resume-by-skip sink (the shuffle pays for layout).
+    Task retries are idempotent: a retried block rewrites the same
+    content-keyed file.  Returns {files, rows, bytes}."""
+    import hashlib
+
+    root = pathlib.Path(out_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    keys = list(key_cols)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"file": pa.array([], type=pa.string()),
+                             "rows": pa.array([], type=pa.int64()),
+                             "bytes": pa.array([], type=pa.int64())})
+        h = hashlib.sha1()
+        for c in keys:
+            col = batch[c]
+            h.update(str(col[0].as_py()).encode())
+            h.update(str(col[batch.num_rows - 1].as_py()).encode())
+        h.update(str(batch.num_rows).encode())
+        name = f"block-{h.hexdigest()[:16]}"
+        tmp = root / f".{name}.parquet.tmp"
+        final = root / f"{name}.parquet"
+        pq.write_table(batch, tmp)
+        os.replace(tmp, final)
+        m = root / f"._{name}.manifest.json.tmp"
+        m.write_text(json.dumps({"file": f"{name}.parquet",
+                                 "rows": batch.num_rows,
+                                 "bytes": batch.nbytes,
+                                 "complete": True}))
+        # "_"-prefixed: ignored by parquet dataset discovery
+        os.replace(m, root / f"_{name}.manifest.json")
+        return pa.table({
+            "file": pa.array([name], type=pa.string()),
+            "rows": pa.array([batch.num_rows], type=pa.int64()),
+            "bytes": pa.array([batch.nbytes], type=pa.int64())})
+
+    metrics = ds.map_batches(write_block,
+                             batch_format="pyarrow").to_pandas()
+    summary = {"files": int(len(metrics)),
+               "rows": int(metrics["rows"].sum()) if len(metrics) else 0,
+               "bytes": int(metrics["bytes"].sum()) if len(metrics)
+               else 0}
+    (root / "_SUMMARY.json").write_text(json.dumps(summary,
+                                                   sort_keys=True))
+    return summary
+
+
 def summarize(out_dir: str, metrics=None) -> dict:
     """Fold per-partition manifests into one summary (writes _SUMMARY.json)."""
     parts, rows, nbytes = [], 0, 0

@@ -25,8 +25,8 @@ PAGE_COLUMNS = ["url", "warc_ts", "text", "lang"]
 from .extract import FEATURES_SCHEMA  # noqa: E402
 
 _SINK_FEATURE_FIELDS = [
-    pa.field("text", pa.string()) if f.name == "text" else f
-    for f in FEATURES_SCHEMA]  # text decoded before the part shuffle
+    pa.field("text", pa.large_string()) if f.name == "text" else f
+    for f in FEATURES_SCHEMA]  # text decoded (large offsets) pre-shuffle
 
 SINK_SCHEMA = pa.schema(_SINK_FEATURE_FIELDS + [
     ("geobuf", pa.binary()), ("cell", pa.int64()),
@@ -73,12 +73,14 @@ def dedup_features(features_ds, n_buckets: int = 512):
         key = (h_url * np.uint64(1099511628211)) ^ h_geo
         bucket = (key % np.uint64(n_buckets)).astype(np.int32)
         # decode dictionary text before the groupby exchange (dict
-        # columns degrade Ray's sort shuffle; see flagship add_part)
+        # columns degrade Ray's sort shuffle; large offsets avoid the
+        # 2 GB int32 concat overflow; see flagship add_part)
         ti = batch.schema.get_field_index("text")
-        if ti != -1 and pa.types.is_dictionary(
+        if ti != -1 and not pa.types.is_large_string(
                 batch.schema.field(ti).type):
             batch = batch.set_column(ti, "text",
-                                     batch["text"].cast(pa.string()))
+                                     batch["text"].cast(
+                                         pa.large_string()))
         return batch.append_column("dedup_bucket", pa.array(bucket))
 
     def dedup_bucket(group):
@@ -214,11 +216,13 @@ def flagship(pages_dir: str, out_dir: str | None = None,
             # decode the dictionary-encoded text before the part shuffle:
             # Ray's sort-based exchange degrades catastrophically on
             # dictionary columns (dictionary re-unification per block
-            # concat); plain strings shuffle linearly
+            # concat).  Decode to LARGE_string: the shuffle concatenates
+            # whole partitions, and int32 string offsets overflow past
+            # 2 GB of text per reduce block (observed at 3.2M pages).
             i = batch.schema.get_field_index("text")
-            if pa.types.is_dictionary(batch.schema.field(i).type):
+            if not pa.types.is_large_string(batch.schema.field(i).type):
                 batch = batch.set_column(
-                    i, "text", batch["text"].cast(pa.string()))
+                    i, "text", batch["text"].cast(pa.large_string()))
             return batch
 
         from .checkpoint import checkpointed_write, read_checkpoint

@@ -299,3 +299,20 @@ def test_copartition_knn_matches_bruteforce(ray_session, feats):
     pd.testing.assert_frame_equal(
         got[["query_id", "url", "feature_idx"]].reset_index(drop=True),
         want[["query_id", "url", "feature_idx"]])
+
+
+def test_streamed_write_sink(ray_session, tmp_path):
+    import ray.data
+    from geoflow import checkpoint
+
+    t = pa.table({"url": pa.array([f"u{i}" for i in range(500)]),
+                  "v": pa.array(range(500))})
+    ds = ray.data.from_arrow(t)
+    out = str(tmp_path / "stream_sink")
+    s = checkpoint.streamed_write(ds, out)
+    assert s["rows"] == 500 and s["files"] >= 1
+    back = ray.data.read_parquet(out).to_pandas()
+    assert sorted(back["v"]) == list(range(500))
+    # idempotent rerun: same content keys, same file set, same rows
+    s2 = checkpoint.streamed_write(ds, out)
+    assert s2["rows"] == 500 and s2["files"] == s["files"]
