@@ -216,6 +216,72 @@ def asof_join_bucketed(left_ds, right_pd: pd.DataFrame, key: str,
                                        batch_format="pandas"))
 
 
+def asof_join_copartition(left_ds, right_ds, key: str,
+                          left_time: str, right_time: str,
+                          right_tiebreak: list[str] | None = None,
+                          n_buckets: int = 32,
+                          schemas: tuple | None = None):
+    """As-of join with BOTH sides as Datasets (neither collected):
+    null-padded union co-partitioned on ``key % n_buckets``; one
+    ``merge_asof`` per bucket.  Tie-break on equal right_time: the last
+    right row in (right_time, *right_tiebreak) ascending sort order."""
+    if schemas is not None:
+        lschema, rschema = schemas
+    else:
+        lschema = left_ds.schema()
+        rschema = right_ds.schema()
+    lcols = list(lschema.names)
+    rcols = [c for c in rschema.names if c != key]
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    tiebreak = right_tiebreak or [c for c in rcols if c != right_time]
+
+    def tag(side: int):
+        pad_cols = rcols if side == 0 else [c for c in lcols
+                                            if c != key]
+        pad_types = rtypes if side == 0 else ltypes
+
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            k = batch[key].to_numpy(zero_copy_only=False)
+            cols: dict = {key: batch[key]}
+            own = lcols if side == 0 else rschema.names
+            for c in own:
+                if c != key:
+                    cols[c] = batch[c]
+            for c in pad_cols:
+                cols[c] = pa.nulls(n, type=pad_types[c])
+            cols["__b"] = pa.array((k % n_buckets).astype(np.int64))
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            order = [key] + [c for c in lcols if c != key] + rcols \
+                + ["__b", "__side"]
+            return pa.table({c: cols[c] for c in order})
+        return fn
+
+    unioned = (left_ds.map_batches(tag(0), batch_format="pyarrow")
+               .union(right_ds.map_batches(tag(1),
+                                           batch_format="pyarrow")))
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["__side"] == 0][[key] +
+                                           [c for c in lcols
+                                            if c != key]]
+        right = group[group["__side"] == 1][[key] + rcols]
+        out_cols = list(left.columns) + rcols
+        if len(left) == 0 or len(right) == 0:
+            return left.head(0).reindex(columns=out_cols)
+        left = left.sort_values(left_time, kind="mergesort")
+        right = right.sort_values([right_time] + tiebreak,
+                                  kind="mergesort")
+        out = pd.merge_asof(left, right, left_on=left_time,
+                            right_on=right_time, by=key,
+                            direction="backward")
+        return out[out[right_time].notna()]
+
+    return unioned.groupby("__b").map_groups(join_bucket,
+                                             batch_format="pandas")
+
+
 def sessionize(ds, user_col: str, time_col: str, order_col: str,
                gap_us: int, n_buckets: int = 32):
     """Gap-based sessionization (streaming window op): a new session
@@ -683,23 +749,35 @@ FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx
 
 def q_asof_join(sf_dir: str):
     """As-of join: each event matched to the user's latest order placed
-    at or before the event time (inner; unmatched events dropped)."""
+    at or before the event time (inner; unmatched events dropped).
+    Both fact sides stream — neither is driver-collected."""
     ev = read(sf_dir, "events", ["event_id", "ts", "user_id"])
 
     def prep(batch: pa.Table) -> pa.Table:
-        return pa.table({"event_id": batch["event_id"],
-                         "tus": batch["ts"].cast(pa.int64()),
-                         "user_id": batch["user_id"]})
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id": batch["event_id"],
+                         "tus": batch["ts"].cast(pa.int64())})
 
     orders = read(sf_dir, "orders",
-                  ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    right = pd.DataFrame({
-        "user_id": orders["o_custkey"].astype(np.int64),
-        "odate_us": orders["o_orderdate"].astype("int64"),
-        "o_orderkey": orders["o_orderkey"].astype(np.int64)})
-    joined = asof_join_bucketed(
-        ev.map_batches(prep, batch_format="pyarrow"), right,
-        key="user_id", left_time="tus", right_time="odate_us")
+                  ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def rprep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["o_custkey"],
+            "odate_us": batch["o_orderdate"].cast(pa.int64()),
+            "o_orderkey": batch["o_orderkey"]})
+
+    lschema = pa.schema([("user_id", pa.int64()),
+                         ("event_id", pa.int64()),
+                         ("tus", pa.int64())])
+    rschema = pa.schema([("user_id", pa.int64()),
+                         ("odate_us", pa.int64()),
+                         ("o_orderkey", pa.int64())])
+    joined = asof_join_copartition(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        orders.map_batches(rprep, batch_format="pyarrow"),
+        key="user_id", left_time="tus", right_time="odate_us",
+        right_tiebreak=["o_orderkey"], schemas=(lschema, rschema))
 
     def out(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
