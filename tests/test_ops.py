@@ -411,3 +411,30 @@ def test_geojsonl_source_roundtrip(ray_session, tmp_path):
     import ray.data
     back = ray.data.read_parquet(outdir).to_pandas()
     assert len(back) == 3 and "geobuf" in back.columns
+
+
+def test_grouped_agg_matches_pandas_random(ray_session):
+    """Property check: bucketed grouped_agg == plain pandas groupby on
+    random frames (mixed key types, all agg fns)."""
+    import ray.data
+    from geoflow.relational import grouped_agg
+    rng = np.random.default_rng(21)
+    for trial in range(3):
+        n = int(rng.integers(100, 3000))
+        df = pd.DataFrame({
+            "k1": rng.integers(0, 50, n),
+            "k2": rng.choice(list("abcde"), n),
+            "v": rng.integers(-1000, 1000, n),
+        })
+        out = grouped_agg(ray.data.from_pandas(df), ["k1", "k2"],
+                          {"s": ("v", "sum"), "mn": ("v", "min"),
+                           "mx": ("v", "max"), "n": ("v", "size")},
+                          n_buckets=7).to_pandas() \
+            .sort_values(["k1", "k2"]).reset_index(drop=True)
+        want = df.groupby(["k1", "k2"], as_index=False).agg(
+            s=("v", "sum"), mn=("v", "min"), mx=("v", "max"),
+            n=("v", "size")).sort_values(["k1", "k2"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out[want.columns].astype({"n": np.int64}),
+            want.astype({"n": np.int64}))
