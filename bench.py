@@ -12,7 +12,7 @@ steady-state streaming throughput, not Ray worker/actor cold-start
 (BASELINE.md protocol).
 
 ``--scaling``: runs the flagship-only bench twice in fresh processes at
-num_cpus=8 and 32 on identical input and reports both throughputs plus
+num_cpus=4 and 16 on identical input and reports both throughputs plus
 scaling efficiency (the sandbox stand-in for the N vs 4N-node criterion,
 BASELINE.md protocol).
 """

@@ -20,6 +20,7 @@ import os
 import pathlib
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
@@ -119,11 +120,15 @@ def streamed_write(ds, out_dir: str, key_cols=("url",)) -> dict:
             return pa.table({"file": pa.array([], type=pa.string()),
                              "rows": pa.array([], type=pa.int64()),
                              "bytes": pa.array([], type=pa.int64())})
+        # content key = digest of EVERY key value (not just endpoints):
+        # two blocks sharing first/last key + row count must not collide,
+        # or one silently overwrites the other (ADVICE r1)
         h = hashlib.sha1()
         for c in keys:
-            col = batch[c]
-            h.update(str(col[0].as_py()).encode())
-            h.update(str(col[batch.num_rows - 1].as_py()).encode())
+            vals = pc.cast(batch[c], pa.large_string()).to_pylist()
+            h.update("\x1f".join("" if v is None else v
+                                 for v in vals).encode())
+            h.update(b"\x00")
         h.update(str(batch.num_rows).encode())
         name = f"block-{h.hexdigest()[:16]}"
         tmp = root / f".{name}.parquet.tmp"

@@ -19,6 +19,7 @@ exactly per BASELINE.json:6.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -251,7 +252,8 @@ def grouped_pip_join(features_ds, polygons: dict, res: int = DEFAULT_RES,
     n_coarse = 64
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        from .shuffle import add_salt_column
+        from .shuffle import add_salt_column, decode_for_shuffle
+        batch = decode_for_shuffle(batch)  # dict/fat strings pre-AllToAll
         batch = add_salt_column(batch, "cell", ray.get(salt_ref),
                                 src="url")
         # coarse co-location bucket: the shuffle moves n_coarse groups,
@@ -336,12 +338,17 @@ def copartition_pip_join(features_ds, polygons_ds,
     lng/lat/url; ``polygons_ds`` has (poly_id, coords, lengths)."""
     salt_map = salt_map or {}
 
+    from .shuffle import shuffle_safe_type
+
     point_cols = [f.name for f in
                   features_ds.schema().base_schema] \
         if hasattr(features_ds.schema(), "base_schema") \
         else features_ds.schema().names
-    point_types = dict(zip(features_ds.schema().names,
-                           features_ds.schema().types))
+    # shuffle-safe types: dictionaries decoded, fat strings large_string
+    # (both sides of the union must agree; CLAUDE.md shuffle invariants)
+    point_types = {n: shuffle_safe_type(t, n)
+                   for n, t in zip(features_ds.schema().names,
+                                   features_ds.schema().types)}
     poly_schema = pa.schema([
         ("poly_id", pa.int64()),
         ("coords", pa.large_list(pa.float64())),
@@ -349,7 +356,8 @@ def copartition_pip_join(features_ds, polygons_ds,
     ])
 
     def tag_points(batch: pa.Table) -> pa.Table:
-        from .shuffle import add_salt_column
+        from .shuffle import add_salt_column, decode_for_shuffle
+        batch = decode_for_shuffle(batch)  # dict/fat strings pre-AllToAll
         batch = add_salt_column(batch, "cell", salt_map, src="url")
         cell = batch["cell"].to_numpy(zero_copy_only=False)
         s = batch["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -414,7 +422,7 @@ def copartition_pip_join(features_ds, polygons_ds,
         frs = block[block["__side"] == 1]
         drop = ["__b", "__side", "poly_id", "coords", "lengths"]
         if len(pts) == 0 or len(frs) == 0:
-            out = pts.drop(columns=drop)
+            out = pts.drop(columns=drop).head(0)
             out["poly_id"] = pd.Series(dtype=np.int64)
             return out
         # fragment lookup: (cell, salt) -> list of (poly_id, coords, lens)

@@ -262,24 +262,45 @@ def asof_join_copartition(left_ds, right_ds, key: str,
                .union(right_ds.map_batches(tag(1),
                                            batch_format="pyarrow")))
 
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        left = group[group["__side"] == 0][[key] +
-                                           [c for c in lcols
-                                            if c != key]]
-        right = group[group["__side"] == 1][[key] + rcols]
-        out_cols = list(left.columns) + rcols
+    left_out = [key] + [c for c in lcols if c != key]
+
+    def join_bucket(block: pa.Table) -> pa.Table:
+        # Split sides at the ARROW level: each side's own columns are
+        # fully non-null on its own rows, so to_pandas keeps exact int64
+        # — the null-padded union never becomes float64 (ADVICE r1:
+        # merge_asof on float64 is only exact below 2^53).
+        side = block["__side"]
+        left = block.filter(pc.equal(side, 0)).select(left_out) \
+            .to_pandas()
+        right = block.filter(pc.equal(side, 1)).select([key] + rcols) \
+            .to_pandas()
         if len(left) == 0 or len(right) == 0:
-            return left.head(0).reindex(columns=out_cols)
+            empty = {c: left[c].head(0) for c in left_out}
+            for c in rcols:
+                empty[c] = right[c].head(0)
+            return pa.Table.from_pandas(pd.DataFrame(empty),
+                                        preserve_index=False)
         left = left.sort_values(left_time, kind="mergesort")
         right = right.sort_values([right_time] + tiebreak,
-                                  kind="mergesort")
-        out = pd.merge_asof(left, right, left_on=left_time,
-                            right_on=right_time, by=key,
-                            direction="backward")
-        return out[out[right_time].notna()]
+                                  kind="mergesort").reset_index(drop=True)
+        # match on a right ROW INDEX, then reattach exact right values by
+        # take — matched payloads never round-trip through NaN/float64
+        rkey = right[[key, right_time]].assign(
+            __r=np.arange(len(right), dtype=np.int64))
+        m = pd.merge_asof(left, rkey, left_on=left_time,
+                          right_on=right_time, by=key,
+                          direction="backward",
+                          suffixes=("", "__rk"))
+        hit = m["__r"].notna().to_numpy()
+        ridx = m["__r"].to_numpy()[hit].astype(np.int64)
+        out = m.loc[hit, left_out].reset_index(drop=True)
+        taken = right.iloc[ridx].reset_index(drop=True)
+        for c in rcols:
+            out[c] = taken[c]
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return unioned.groupby("__b").map_groups(join_bucket,
-                                             batch_format="pandas")
+                                             batch_format="pyarrow")
 
 
 def sessionize(ds, user_col: str, time_col: str, order_col: str,

@@ -51,6 +51,36 @@ def stable_hash_strings(values) -> np.ndarray:
     return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
+#: string columns that can exceed 2 GB per reduce block (carried page
+#: text / raw html) — these must be ``large_string`` through any shuffle.
+FAT_STRING_COLS = ("text", "html")
+
+
+def shuffle_safe_type(t: pa.DataType, name: str = "") -> pa.DataType:
+    """The type a column must have before entering an AllToAll exchange.
+
+    Dictionary encoding degrades Ray shuffles ~60x (per-block dictionary
+    re-unification on concat) and plain ``string`` overflows int32
+    offsets past 2 GB per reduce block (CLAUDE.md invariants) — decode
+    dictionaries and promote fat / dictionary strings to large_string."""
+    if pa.types.is_dictionary(t):
+        t = t.value_type
+    if pa.types.is_string(t) and (name in FAT_STRING_COLS or name == ""):
+        t = pa.large_string()
+    return t
+
+
+def decode_for_shuffle(batch: pa.Table) -> pa.Table:
+    """Cast every dictionary column to its plain value type and every fat
+    string column (FAT_STRING_COLS) to large_string.  Call right before
+    any groupby/sort AllToAll; no-op when already safe."""
+    for i, f in enumerate(batch.schema):
+        t = shuffle_safe_type(f.type, f.name)
+        if t != f.type:
+            batch = batch.set_column(i, f.name, batch[f.name].cast(t))
+    return batch
+
+
 def add_salt_column(batch: pa.Table, key: str, salt_map: dict[int, int],
                     src: str = "url") -> pa.Table:
     """Append ``salt`` int32: hash(src) % n_salts for hot keys, else 0."""

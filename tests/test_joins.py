@@ -283,6 +283,27 @@ def test_copartition_pip_salted_identical(ray_session, feats, polygons):
     assert len(salted) == len(plain)
 
 
+def test_copartition_pip_sparse_polygons(ray_session, feats):
+    """Regression (VERDICT r1 #1): a sparse polygon side leaves most
+    coarse buckets points-only; bucket_join used to crash with
+    ``NameError: pd`` on those.  Single polygon -> 63/64 buckets have no
+    fragments; result must still equal the broadcast oracle."""
+    import ray.data
+    polys = synth.make_polygons(1).to_pydict()  # hot-cover box only
+    ds = _feats_ds(feats)
+    idx = pip.PolygonIndex(polys)
+    lng = feats["lng"].to_numpy()
+    lat = feats["lat"].to_numpy()
+    rows, pids = idx.match(lng, lat)
+    upairs = feats.to_pydict()
+    expected = {(upairs["url"][r], upairs["feature_idx"][r], int(p))
+                for r, p in zip(rows, pids)}
+    polys_ds = ray.data.from_arrow(synth.make_polygons(1))
+    out = pip.copartition_pip_join(ds, polys_ds).to_pandas()
+    assert _key_set(out) == expected
+    assert len(out) == len(rows)
+
+
 def test_copartition_knn_matches_bruteforce(ray_session, feats):
     """Co-partitioned kNN (queries as a Dataset) == brute force,
     including empty-region queries that trigger the exact fallback."""
@@ -316,3 +337,22 @@ def test_streamed_write_sink(ray_session, tmp_path):
     # idempotent rerun: same content keys, same file set, same rows
     s2 = checkpoint.streamed_write(ds, out)
     assert s2["rows"] == 500 and s2["files"] == s["files"]
+
+
+def test_streamed_write_no_endpoint_collision(ray_session, tmp_path):
+    """Regression (ADVICE r1): two blocks with identical first/last key
+    and row count but different middle keys must write DISTINCT files —
+    the content key hashes every key value, not just the endpoints."""
+    import ray.data
+    from geoflow import checkpoint
+
+    t1 = pa.table({"url": pa.array(["a", "m1", "z"]),
+                   "v": pa.array([1, 2, 3])})
+    t2 = pa.table({"url": pa.array(["a", "m2", "z"]),
+                   "v": pa.array([4, 5, 6])})
+    ds = ray.data.from_arrow([t1, t2])
+    out = str(tmp_path / "collide_sink")
+    s = checkpoint.streamed_write(ds, out)
+    assert s["files"] == 2 and s["rows"] == 6
+    back = ray.data.read_parquet(out).to_pandas()
+    assert sorted(back["v"]) == [1, 2, 3, 4, 5, 6]

@@ -263,6 +263,35 @@ def test_asof_join_matches_merge_asof(ray_session):
         sorted(map(tuple, want[key].astype(np.int64).to_numpy()))
 
 
+def test_asof_copartition_exact_beyond_2_53(ray_session):
+    """Regression (ADVICE r1): ns-magnitude int64 times (> 2^53, not
+    float64-representable) must match exactly — the null-padded union
+    must never convert time/payload columns through float64."""
+    import ray.data
+    from geoflow.relational import asof_join_copartition
+    base = np.int64(2**60)  # adjacent values differ by 1 — floats merge them
+    left = pd.DataFrame({
+        "user_id": np.array([1, 1, 2], dtype=np.int64),
+        "event_id": np.array([0, 1, 2], dtype=np.int64),
+        "t": base + np.array([5, 6, 5], dtype=np.int64)})
+    right = pd.DataFrame({
+        "user_id": np.array([1, 1, 2], dtype=np.int64),
+        "rt": base + np.array([5, 6, 6], dtype=np.int64),
+        "payload": base + np.array([100, 101, 102], dtype=np.int64)})
+    out = asof_join_copartition(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        key="user_id", left_time="t", right_time="rt",
+        right_tiebreak=["payload"], n_buckets=4).to_pandas()
+    got = {(int(r.event_id), int(r.payload), int(r.rt))
+           for r in out.itertuples()}
+    # event 0 (t=base+5) -> rt=base+5; event 1 (t=base+6) -> rt=base+6
+    # (float64 would collapse base+5 == base+6 and tie-break wrongly);
+    # event 2 (t=base+5, user 2) has no rt<=t -> dropped
+    assert got == {(0, int(base) + 100, int(base) + 5),
+                   (1, int(base) + 101, int(base) + 6)}
+    assert out["payload"].dtype == np.int64
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN recall + n-gram jaccard pairs vs brute force
 # ---------------------------------------------------------------------------
