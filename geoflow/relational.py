@@ -393,11 +393,15 @@ def q1_pricing_summary(sf_dir: str):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c,
-       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_c,
-       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
-           * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
-           AS sum_disc_c,
+       -- outer CASTs: DuckDB SUM(BIGINT) is HUGEINT -> float64 in pandas,
+       -- which breaks the driver's dtype-sensitive value hash vs our int64
+       CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_base_c,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS sum_disc_c,
        COUNT(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -559,7 +563,8 @@ def q_events_window_sql(window_s: int = 3600) -> str:
     wus = window_s * 1_000_000
     return f"""
 SELECT event_type, epoch_us(ts) // {wus} AS win,
-       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS sum_value_c,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_c,
        COUNT(*) AS n_events
 FROM events GROUP BY 1, 2 ORDER BY event_type, win
 """
@@ -604,7 +609,8 @@ WITH e AS (SELECT event_type, epoch_us(ts) AS tus,
 x AS (SELECT event_type, tus // {HOP_US} - o.o AS win, vc
       FROM e CROSS JOIN (VALUES {", ".join(f"({i})" for i in
                                            range(HOP_WINDOWS))}) o(o))
-SELECT event_type, win, SUM(vc) AS sum_value_c, COUNT(*) AS n_events
+SELECT event_type, win, CAST(SUM(vc) AS BIGINT) AS sum_value_c,
+       COUNT(*) AS n_events
 FROM x GROUP BY 1, 2 ORDER BY event_type, win
 """
 
@@ -759,8 +765,10 @@ d AS (SELECT user_id, tus, event_id,
                   THEN 1 ELSE 0 END AS new_s
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
 s AS (SELECT user_id, tus,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                              ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+             CAST(SUM(new_s) OVER (
+                      PARTITION BY user_id ORDER BY tus, event_id
+                      ROWS UNBOUNDED PRECEDING) - 1
+                  AS BIGINT) AS session_idx
       FROM d)
 SELECT user_id, session_idx, COUNT(*) AS n_events,
        MIN(tus) AS start_us, MAX(tus) AS end_us

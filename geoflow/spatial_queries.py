@@ -166,7 +166,7 @@ def q_pip_events_sql() -> str:
 WITH pts AS (SELECT event_id, {lng} AS px, {lat} AS py FROM events),
 edges(poly_id, x1, y1, x2, y2) AS (VALUES
     {edges})
-SELECT event_id, poly_id FROM (
+SELECT event_id, CAST(poly_id AS BIGINT) AS poly_id FROM (
   SELECT p.event_id, e.poly_id,
          SUM(CASE WHEN ((e.y1 > p.py) != (e.y2 > p.py))
                    AND p.px < (e.x2 - e.x1) * (p.py - e.y1)
@@ -227,7 +227,7 @@ def q_knn_events_sql() -> str:
 WITH pts AS (SELECT event_id, {lng} AS px, {lat} AS py FROM events),
 q(query_id, qx, qy) AS (VALUES
     {qrows})
-SELECT query_id, event_id FROM (
+SELECT CAST(query_id AS BIGINT) AS query_id, event_id FROM (
   SELECT q.query_id, p.event_id,
          ROW_NUMBER() OVER (PARTITION BY q.query_id
              ORDER BY (p.px - q.qx) * (p.px - q.qx)

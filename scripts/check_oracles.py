@@ -77,6 +77,19 @@ def main():
             continue
         ok_rows = len(got) == len(want)
         ok_cols = list(got.columns) == list(want.columns)
+        if ok_cols:
+            # the driver's value hash is dtype-sensitive (int64 1593 !=
+            # float64 1593.0): numeric KIND must agree per column — DuckDB
+            # HUGEINT sums come back float64, the SQL must CAST AS BIGINT
+            kind_bad = [c for c in got.columns
+                        if {got[c].dtype.kind, want[c].dtype.kind}
+                        == {"i", "f"}]
+            if kind_bad:
+                ok_cols = False
+                failures.append((name, f"DTYPE int-vs-float: {kind_bad} "
+                                 f"(ray {[str(got[c].dtype) for c in kind_bad]}"
+                                 f" vs sql "
+                                 f"{[str(want[c].dtype) for c in kind_bad]})"))
         ok_vals = False
         if ok_rows and ok_cols:
             try:
