@@ -333,6 +333,25 @@ def test_jaccard_pairs_bruteforce(ray_session):
     assert got == want and len(want) >= 2
 
 
+def test_jaccard_pairs_max_df_recall_bound(ray_session):
+    """Characterizes the documented max_df recall bound (ADVICE r1):
+    when every shared shingle's document frequency exceeds max_df, the
+    pair is NEVER a candidate — even identical docs are missed.  Raising
+    max_df past the df restores them."""
+    import ray.data
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    t = pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                  "text": pa.array([text] * 4)})
+    ds = ray.data.from_arrow(t)
+    # df of every shingle is 4 > max_df=2: zero pairs despite jaccard 1.0
+    low = dedup.jaccard_pairs(ds, threshold=0.9, max_df=2).to_pandas()
+    assert len(low) == 0
+    # max_df >= df: all 6 identical pairs found
+    high = dedup.jaccard_pairs(ds, threshold=0.9, max_df=4).to_pandas()
+    assert set(zip(high["a"], high["b"])) == \
+        {(i, j) for i in range(4) for j in range(i + 1, 4)}
+
+
 # ---------------------------------------------------------------------------
 # jsonops: M3/M5/M6/M7 byte-level oracles, M11 pbf dump, M12 numpy views
 # ---------------------------------------------------------------------------
