@@ -184,7 +184,7 @@ def _q_knn_copartition(sf_dir: str):
     feats = feats.map_batches(add_cell, batch_format="pyarrow")
     queries = ray.data.from_arrow(synth.make_knn_queries(20))
     out = knn.copartition_knn_join(feats, queries, res=8, ring=2)
-    return out[["query_id", "url", "feature_idx"]]
+    return out.select_columns(["query_id", "url", "feature_idx"])
 
 
 def _q_dedup_pages(sf_dir: str):

@@ -176,18 +176,20 @@ def knn_join_pruned(features_ds, queries: dict, res: int = 8,
 
 
 def copartition_knn_join(features_ds, queries_ds, res: int = 8,
-                         ring: int = 2, n_coarse: int = 64
-                         ) -> pd.DataFrame:
+                         ring: int = 2, n_coarse: int = 64):
     """Co-partitioned kNN for LARGE query sets: queries are a Dataset,
-    not a broadcast dict.
+    not a broadcast dict.  Returns a sorted Dataset (never collected).
 
     Shape: each query is exploded to its candidate cell disk (ring
     cells); features ride under their own cell; one coarse-bucket
     exchange co-locates both sides; per cell a dense Q x F distance
-    matrix yields per-query local top-k; a tiny ``groupby(query_id)``
-    merge keeps the global top-k.  Exactness: queries whose kth distance
-    exceeds the guaranteed-covered radius of their disk (or that found
-    < k rows) are re-run via the exact broadcast scan — identical to
+    matrix yields per-query local top-k; the global merge runs per
+    COARSE query bucket (query_id % 32) with one vectorized pandas pass
+    over many queries — never ``groupby(query_id)`` per-group Python.
+    Exactness: queries whose kth distance exceeds the guaranteed-covered
+    radius of their disk (or that found < k rows) are flagged in the
+    merge; only the flagged id set reaches the driver, and those
+    queries are re-run via the exact broadcast scan — identical to
     ``knn_join_pruned``'s fallback, oracle-tested."""
     import ray.data
 
@@ -296,50 +298,98 @@ def copartition_knn_join(features_ds, queries_ds, res: int = 8,
             return bucket_topk(block.head(0))
         return pd.concat(outs, ignore_index=True)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
+    # coarse-bucket the per-query merge (NOT groupby(query_id) — per-
+    # group Python overhead at high query cardinality, VERDICT r1 #5):
+    # each bucket merges MANY queries in one vectorized pandas pass
+    n_merge = 32
+
+    def add_qbucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__qb"] = (batch["query_id"].to_numpy().astype(np.int64)
+                         % n_merge)
+        return batch
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "query_id": pd.Series(dtype=np.int64),
+            "dist_m": pd.Series(dtype=np.float64),
+            "url": pd.Series(dtype=object),
+            "feature_idx": pd.Series(dtype=np.int32),
+            "redo": pd.Series(dtype=bool)})
         if len(group) == 0:
-            return group.assign(redo=pd.Series(dtype=bool))
-        k = int(group["k"].iloc[0])
-        g = group.sort_values(["dist_m", "url", "feature_idx"],
-                              kind="mergesort")
-        # a feature can appear via several disk cells of the same query;
-        # sentinel rows (url "") dedupe to one and sort last
-        g = g.drop_duplicates(["url", "feature_idx"])
-        top = g.head(k)
-        qlat = float(group["qlat"].iloc[0])
-        lat_span = abs(qlat) + (ring + 1) * latw
-        cos_min = np.cos(np.radians(min(lat_span, 89.9)))
-        guaranteed = ring * min(latw, lngw * cos_min) * _M_PER_DEG * 0.99
-        needs_redo = (len(top) < k or (top["url"] == "").any()
-                      or top["dist_m"].max() > guaranteed)
-        return top.assign(redo=needs_redo)
+            return empty
+        g = group.sort_values(["query_id", "dist_m", "url",
+                               "feature_idx"], kind="mergesort")
+        # a feature can reach a query via several disk cells; sentinel
+        # rows (url "") dedupe to one and sort last (dist inf)
+        g = g.drop_duplicates(["query_id", "url", "feature_idx"])
+        rank = g.groupby("query_id", sort=False).cumcount()
+        top = g[rank < g["k"].to_numpy()].copy()
+        if len(top) == 0:
+            return empty
+        # vectorized per-query exactness stats
+        top["__sent"] = (top["url"] == "").astype(np.int64)
+        st = top.groupby("query_id", sort=False).agg(
+            n=("dist_m", "size"), mx=("dist_m", "max"),
+            sent=("__sent", "max"), kk=("k", "first"),
+            qlat=("qlat", "first"))
+        lat_span = np.abs(st["qlat"].to_numpy()) + (ring + 1) * latw
+        cos_min = np.cos(np.radians(np.minimum(lat_span, 89.9)))
+        guaranteed = ring * np.minimum(latw, lngw * cos_min) \
+            * _M_PER_DEG * 0.99
+        redo_q = st.index.to_numpy()[
+            (st["n"].to_numpy() < st["kk"].to_numpy())
+            | (st["sent"].to_numpy() > 0)
+            | (st["mx"].to_numpy() > guaranteed)]
+        top["redo"] = top["query_id"].isin(redo_q)
+        top["query_id"] = top["query_id"].astype(np.int64)
+        top["feature_idx"] = top["feature_idx"].astype(np.int32)
+        return top[["query_id", "dist_m", "url", "feature_idx", "redo"]]
 
-    out1 = (unioned.groupby("__b")
-            .map_groups(bucket_topk, batch_format="pandas")
-            .groupby("query_id").map_groups(merge, batch_format="pandas")
-            ).to_pandas()
+    merged = (unioned.groupby("__b")
+              .map_groups(bucket_topk, batch_format="pandas")
+              .map_batches(add_qbucket, batch_format="pandas")
+              .groupby("__qb").map_groups(merge_bucket,
+                                          batch_format="pandas"))
 
-    # exactness fallback: re-run ONLY flagged queries via the exact scan
-    redo = sorted(set(out1[out1["redo"]]["query_id"].astype(int)))
-    out1 = out1[~out1["redo"]]
+    # redo detection WITHOUT collecting the merged result: only the
+    # (small) distinct flagged query_id set reaches the driver
+    def redo_ids(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["redo"]][["query_id"]].drop_duplicates()
+
+    redo = sorted(set(
+        merged.map_batches(redo_ids, batch_format="pandas")
+        .to_pandas()["query_id"].astype(int)))
+
+    def good_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[~batch["redo"]][["query_id", "dist_m", "url",
+                                      "feature_idx"]]
+
+    out = merged.map_batches(good_rows, batch_format="pandas")
     if redo:
         redo_set = set(redo)
 
         def pick(batch: pd.DataFrame) -> pd.DataFrame:
             return batch[batch["query_id"].isin(redo_set)]
 
+        # the redo QUERY subset is tiny (flagged queries only) — the
+        # exact rescan itself stays a distributed streaming pass
         sub = queries_ds.map_batches(pick,
                                      batch_format="pandas").to_pandas()
         subq = {"query_id": sub["query_id"].to_numpy(),
                 "lng": sub["lng"].to_numpy(),
                 "lat": sub["lat"].to_numpy(),
                 "k": sub["k"].to_numpy()}
-        out2 = knn_join(features_ds, subq).to_pandas()
-        out1 = pd.concat([out1, out2], ignore_index=True)
-    out1 = out1[["query_id", "dist_m", "url", "feature_idx"]].astype(
-        {"query_id": np.int64, "feature_idx": np.int32})
-    return out1.sort_values(["query_id", "dist_m", "url", "feature_idx"],
-                            kind="mergesort").reset_index(drop=True)
+
+        def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["query_id", "dist_m", "url", "feature_idx"]]
+            return out.astype({"query_id": np.int64,
+                               "feature_idx": np.int32})
+
+        out2 = knn_join(features_ds, subq).map_batches(
+            fmt, batch_format="pandas")
+        out = out.union(out2)
+    return out.sort(["query_id", "dist_m", "url", "feature_idx"])
 
 
 def knn_bruteforce(features: dict, queries: dict) -> pd.DataFrame:

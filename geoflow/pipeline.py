@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from . import cells, codec_batch, synth, tiles
@@ -171,11 +172,16 @@ def extract_features(pages_ds, concurrency=None, batch_size: int = 2048):
 def flagship(pages_dir: str, out_dir: str | None = None,
              polygons: dict | None = None, res: int = DEFAULT_RES,
              tile_z: int = TILE_Z, concurrency=None,
-             n_parts: int = 64):
+             n_parts: int = 64, verify_text: bool = False):
     """Full chain; returns (tile_stats_dataset, sink_summary | None).
 
     tile_stats: one row per (tile_z, tile_x, tile_y) with feature and
     match counts — the raster-side tile assembly aggregate (★G2/★G1).
+
+    ``verify_text=True`` (needs out_dir): after the sink, run the
+    DISTRIBUTED text invariant (verify_text_invariant) against the data
+    as written — every sink row's carried text byte-identical to its
+    source page — and raise AssertionError on violation.
     """
     import ray
     import ray.data
@@ -229,6 +235,12 @@ def flagship(pages_dir: str, out_dir: str | None = None,
         sink = joined.map_batches(add_part, batch_format="pyarrow")
         summary = checkpointed_write(sink, out_dir, input_id=pages_dir)
         joined = read_checkpoint(out_dir, empty_schema=SINK_SCHEMA)
+        if verify_text and summary["rows"] > 0:
+            # invariant asserted AT THE SINK on the written data
+            if not verify_text_invariant(pages_dir, joined):
+                raise AssertionError(
+                    "text invariant violated at sink: carried text is "
+                    "not byte-identical to the source page text")
 
     from .relational import grouped_agg
     tile_stats = grouped_agg(joined.select_columns(
@@ -238,18 +250,54 @@ def flagship(pages_dir: str, out_dir: str | None = None,
     return tile_stats, summary
 
 
-def verify_text_invariant(pages_dir: str, features_ds, sample: int = 2000
-                          ) -> bool:
-    """Per-row invariant (BASELINE.json:15): the ``text`` carried on every
-    extracted feature row is byte-identical to the source page text for
-    that url.  Full check on a sample of rows (hash compare)."""
+def verify_text_invariant(pages_dir: str, features_ds,
+                          n_buckets: int = 32) -> bool:
+    """Per-row invariant (BASELINE.json:15): the ``text`` carried on
+    EVERY extracted feature row is byte-identical to the source page
+    text for that url.
+
+    Distributed (VERDICT r1 #6 replaced the driver-side take_all dict):
+    both sides reduce per batch to compact (url, two 64-bit text
+    digests) rows — the fat text never leaves its reading task — then
+    one ``groupby(hash(url) % n_buckets)`` shuffle co-locates each url's
+    source and feature digests and every bucket counts mismatches
+    (feature url missing from source, or digest differing).  Only the
+    per-bucket mismatch counts reach the driver, so the check runs at
+    any corpus size and covers all rows, not a sample."""
     import ray.data
 
-    src = ray.data.read_parquet(pages_dir, columns=["url", "text"])
-    truth = {r["url"]: hashlib.sha256(r["text"].encode()).hexdigest()
-             for r in src.take_all()}
-    got = features_ds.select_columns(["url", "text"]).take(sample)
-    for r in got:
-        if hashlib.sha256(r["text"].encode()).hexdigest() != truth[r["url"]]:
-            return False
-    return True
+    from .shuffle import stable_hash_strings
+
+    def digest(side: int):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "url": batch["url"].astype(str),
+                "h1": stable_hash_strings(list(batch["text"]), seed=0),
+                "h2": stable_hash_strings(list(batch["text"]), seed=1),
+            }).drop_duplicates()
+            out["__b"] = (stable_hash_strings(list(out["url"]))
+                          % n_buckets).astype(np.int64)
+            out["__side"] = np.int8(side)
+            return out
+        return fn
+
+    src = ray.data.read_parquet(pages_dir, columns=["url", "text"]) \
+        .map_batches(digest(0), batch_format="pandas")
+    feats = features_ds.select_columns(["url", "text"]) \
+        .map_batches(digest(1), batch_format="pandas")
+
+    def check(group: pd.DataFrame) -> pd.DataFrame:
+        s = group[group["__side"] == 0]
+        f = group[group["__side"] == 1].drop_duplicates(
+            ["url", "h1", "h2"])
+        if len(f) == 0:
+            return pd.DataFrame({"bad": [0]})
+        truth = {u: (a, b) for u, a, b in
+                 zip(s["url"], s["h1"], s["h2"])}
+        bad = sum(1 for u, a, b in zip(f["url"], f["h1"], f["h2"])
+                  if truth.get(u) != (a, b))
+        return pd.DataFrame({"bad": [int(bad)]})
+
+    counts = src.union(feats).groupby("__b") \
+        .map_groups(check, batch_format="pandas").to_pandas()
+    return int(counts["bad"].sum()) == 0

@@ -94,14 +94,20 @@ def bucketed_hash_join(left_ds, right_ds, on: str, n_buckets: int = 32,
                .union(right_ds.map_batches(tag(1),
                                            batch_format="pyarrow")))
 
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        left = group[group["__side"] == 0][[on] +
-                                           [c for c in lcols if c != on]]
-        right = group[group["__side"] == 1][[on] + rcols]
-        return left.merge(right, on=on, how="inner")
+    def join_bucket(block: pa.Table) -> pa.Table:
+        # split sides at the ARROW level: each side's own columns are
+        # non-null on its own rows, so int64 keys/payloads never pass
+        # through float64 (null-padded pandas conversion would)
+        side = block["__side"]
+        left = block.filter(pc.equal(side, 0)) \
+            .select([on] + [c for c in lcols if c != on]).to_pandas()
+        right = block.filter(pc.equal(side, 1)) \
+            .select([on] + rcols).to_pandas()
+        out = left.merge(right, on=on, how="inner")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return unioned.groupby("__b").map_groups(join_bucket,
-                                             batch_format="pandas")
+                                             batch_format="pyarrow")
 
 
 # combine fn applied to partials in the final stage, per partial fn
@@ -412,25 +418,28 @@ ORDER BY l_returnflag, l_linestatus
 def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     """Join customer⋈orders⋈lineitem, revenue per order, top-k.
 
-    Scale shape: customer (the only genuinely small side after the
-    segment filter) is broadcast as a semijoin filter onto orders; the
-    orders⋈lineitem join is the co-partitioned large-large path — neither
-    fact table touches the driver."""
-    import ray
+    Scale shape: customer stays a DATASET — the segment filter runs per
+    batch and the orders semijoin is the co-partitioned hash join on
+    custkey (a segment still keeps O(customers/5) keys: 3M at sf100, too
+    big to broadcast — VERDICT r1 #9).  orders⋈lineitem is the second
+    co-partitioned large-large join; nothing fact- or dimension-sized
+    touches the driver."""
+    cust_keys = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
-    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
-        .to_pandas()
-    keep = set(cust[cust["c_mktsegment"] == segment]["c_custkey"]
-               .astype(np.int64))
-    keep_ref = ray.put(keep)
+    def seg_filter(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["c_mktsegment"], pa.scalar(segment))
+        return pa.table(
+            {"o_custkey": batch.filter(m)["c_custkey"].cast(pa.int64())})
+
+    cust_f = cust_keys.map_batches(seg_filter, batch_format="pyarrow")
 
     orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-
-    def semi(batch: pd.DataFrame) -> pd.DataFrame:
-        wanted = ray.get(keep_ref)
-        return batch[batch["o_custkey"].isin(wanted)][["o_orderkey"]]
-
-    orders_f = orders.map_batches(semi, batch_format="pandas")
+    orders_f = bucketed_hash_join(
+        orders, cust_f, on="o_custkey",
+        schemas=(pa.schema([("o_custkey", pa.int64()),
+                            ("o_orderkey", pa.int64())]),
+                 pa.schema([("o_custkey", pa.int64())]))) \
+        .map_batches(lambda b: b[["o_orderkey"]], batch_format="pandas")
 
     li = read(sf_dir, "lineitem",
               ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -460,9 +469,9 @@ def q3_sql(segment: str = "BUILDING", k: int = 10) -> str:
     return f"""
 SELECT o_orderkey, revenue_c FROM (
   SELECT l.l_orderkey AS o_orderkey,
-         SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT)
-             * (100 - CAST(FLOOR(l.l_discount*100 + 0.5) AS BIGINT)))
-             AS revenue_c
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT)
+                  * (100 - CAST(FLOOR(l.l_discount*100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS revenue_c
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -474,26 +483,40 @@ ORDER BY revenue_c DESC, o_orderkey LIMIT {k}
 
 def q5_nation_volume(sf_dir: str):
     """Revenue + order count per nation (region⋈nation⋈customer⋈orders⋈
-    lineitem).  Scale shape: region/nation/customer (the dimension chain)
-    is broadcast as one custkey -> nation map; orders⋈lineitem is the
-    co-partitioned large-large join; each joined row resolves its nation
-    from the broadcast map — no fact table reaches the driver."""
-    import ray
-
+    lineitem).  Scale shape: only the nation⋈region map (25 rows) is
+    broadcast; CUSTOMER stays a Dataset — each batch resolves nation
+    from the tiny map, then customer⋈orders and orders⋈lineitem are both
+    co-partitioned large-large hash joins (VERDICT r1 #9 replaced the
+    O(customers) driver dict).  No fact or dimension table reaches the
+    driver."""
     nation = read(sf_dir, "nation", ["n_nationkey", "n_name",
                                      "n_regionkey"]).to_pandas()
     region = read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     nation = nation.merge(region, left_on="n_regionkey",
                           right_on="r_regionkey")
-    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
-        .to_pandas()
-    cust = cust.merge(nation, left_on="c_nationkey",
-                      right_on="n_nationkey")
-    cust_map = dict(zip(cust["c_custkey"].astype(np.int64),
-                        cust["n_name"]))
-    map_ref = ray.put(cust_map)
+    nation_map = dict(zip(nation["n_nationkey"].astype(np.int64),
+                          nation["n_name"]))  # 25 entries — broadcastable
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def resolve_nation(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "o_custkey": batch["c_custkey"].astype(np.int64),
+            "n_name": batch["c_nationkey"].map(nation_map)})
+        return out[out["n_name"].notna()]
+
+    cust_n = cust.map_batches(resolve_nation, batch_format="pandas")
 
     orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders_n = bucketed_hash_join(
+        orders, cust_n, on="o_custkey",
+        schemas=(pa.schema([("o_custkey", pa.int64()),
+                            ("o_orderkey", pa.int64())]),
+                 pa.schema([("o_custkey", pa.int64()),
+                            ("n_name", pa.string())]))) \
+        .map_batches(lambda b: b[["o_orderkey", "n_name"]],
+                     batch_format="pandas")
+
     li = read(sf_dir, "lineitem",
               ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -506,30 +529,25 @@ def q5_nation_volume(sf_dir: str):
                          "revenue_c": rev})
 
     joined = bucketed_hash_join(
-        li.map_batches(prep, batch_format="pyarrow"), orders,
+        li.map_batches(prep, batch_format="pyarrow"), orders_n,
         on="o_orderkey",
         schemas=(pa.schema([("o_orderkey", pa.int64()),
                             ("revenue_c", pa.int64())]),
                  pa.schema([("o_orderkey", pa.int64()),
-                            ("o_custkey", pa.int64())])))
+                            ("n_name", pa.string())])))
 
-    def add_nation(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(map_ref)
-        batch["n_name"] = batch["o_custkey"].map(m)
-        return batch[batch["n_name"].notna()][["n_name", "revenue_c"]]
-
-    resolved = joined.map_batches(add_nation, batch_format="pandas")
-    out = partial_grouped_agg(resolved, ["n_name"],
-                              {"revenue_c": "revenue_c"},
-                              count_alias="n_items")
+    out = partial_grouped_agg(
+        joined.map_batches(lambda b: b[["n_name", "revenue_c"]],
+                           batch_format="pandas"),
+        ["n_name"], {"revenue_c": "revenue_c"}, count_alias="n_items")
     return out.sort("n_name")
 
 
 Q5_SQL = """
 SELECT n_name,
-       SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT)
-           * (100 - CAST(FLOOR(l.l_discount*100 + 0.5) AS BIGINT)))
-           AS revenue_c,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT)
+                * (100 - CAST(FLOOR(l.l_discount*100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_c,
        COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey

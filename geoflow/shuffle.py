@@ -38,7 +38,7 @@ def detect_hot_keys(ds, key: str, target_rows_per_group: int,
     }
 
 
-def stable_hash_strings(values) -> np.ndarray:
+def stable_hash_strings(values, seed: int = 0) -> np.ndarray:
     """Deterministic (process-independent) 63-bit hash per string —
     Python's ``hash`` is salted per process, unusable across workers.
     Vectorized via polars (fixed seed; stable across worker processes)."""
@@ -47,7 +47,9 @@ def stable_hash_strings(values) -> np.ndarray:
         s = pl.from_arrow(values)
     else:
         s = pl.Series(list(values), dtype=pl.String)
-    h = s.hash(seed=0).to_numpy()
+    if s.dtype != pl.String:
+        s = s.cast(pl.String)
+    h = s.hash(seed=seed).to_numpy()
     return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 

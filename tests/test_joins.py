@@ -177,8 +177,10 @@ def test_flagship_end_to_end(ray_session, tmp_path):
     assert summary["rows"] > 0
     assert stats["n_features"].sum() == summary["rows"]
     assert (stats["tile_z"] == pipeline.TILE_Z).all()
-    # resumable: rerun writes nothing new
-    _, summary2 = pipeline.flagship(pages_dir, out_dir=out)
+    # resumable: rerun writes nothing new; with the sink-side
+    # distributed text-invariant assertion enabled
+    _, summary2 = pipeline.flagship(pages_dir, out_dir=out,
+                                    verify_text=True)
     assert summary2["written_this_run"] == 0
     assert summary2["rows"] == summary["rows"]
 
@@ -190,6 +192,17 @@ def test_flagship_text_invariant(ray_session):
                                   columns=pipeline.PAGE_COLUMNS)
     feats_ds = pipeline.extract_features(pages)
     assert pipeline.verify_text_invariant(pages_dir, feats_ds)
+
+    # the distributed check must also DETECT corruption: flip one byte
+    # of one feature's carried text
+    def corrupt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["text"] = batch["text"].astype(str)
+        batch.iloc[0, batch.columns.get_loc("text")] += "X"
+        return batch
+
+    bad_ds = feats_ds.map_batches(corrupt, batch_format="pandas")
+    assert not pipeline.verify_text_invariant(pages_dir, bad_ds)
 
 
 def test_assemble_tiles_blobs(ray_session):
@@ -311,7 +324,7 @@ def test_copartition_knn_matches_bruteforce(ray_session, feats):
     queries = synth.make_knn_queries(20)
     ds = _feats_ds(feats, res=8)
     got = knn.copartition_knn_join(ds, ray.data.from_arrow(queries),
-                                  res=8, ring=2)
+                                   res=8, ring=2).to_pandas()
     fd = feats.to_pydict()
     want = knn.knn_bruteforce(fd, queries.to_pydict()).sort_values(
         ["query_id", "dist_m", "url", "feature_idx"],
