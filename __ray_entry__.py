@@ -22,8 +22,8 @@ from typing import Any
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-from geoflow import (dedup, jsonops, multimodal, relational,  # noqa: E402
-                     similarity, spatial_queries, textops)
+from geoflow import (dedup, jsonops, multimodal, properties,  # noqa: E402
+                     relational, similarity, spatial_queries, textops)
 
 # pages-table size per sf tier (synthesized deterministically, cached)
 _PAGES_N = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
@@ -322,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_features": multimodal.q_media_features,
         # JSON normalization / codec utility surface (M3/M5/M6/M7)
         "q_json_normalize": jsonops.q_json_normalize,
+        # property-column surface (M14): typed get + set + del
+        "q_properties_project": properties.q_properties_project,
         # spatial operators with exact SQL oracles (derived coordinates)
         "q_cell_grid": spatial_queries.q_cell_grid,
         "q_tile_assign": spatial_queries.q_tile_assign,
@@ -366,6 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_dups": dedup.Q_EMBEDDING_DUPS_SQL,
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,
         "q_media_features": multimodal.Q_MEDIA_SQL,
+        "q_properties_project": properties.Q_PROPERTIES_PROJECT_SQL,
         "q_cell_grid": spatial_queries.q_cell_grid_sql(),
         "q_tile_assign": spatial_queries.q_tile_assign_sql(),
         "q_pip_events": spatial_queries.q_pip_events_sql(),

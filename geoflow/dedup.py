@@ -141,17 +141,22 @@ def verify_pairs_distributed(docs_ds, pairs_ds, threshold: float,
     """Exact-Jaccard verification of candidate pairs with NO driver-side
     text collection (VERDICT r1 #3).
 
-    Shape: each pair hashes to exactly one verify bucket; the docs each
-    bucket needs are derived from the pairs (grouped-agg dedup of
-    (doc_id, bucket) int rows), joined to their texts via the
-    co-partitioned ``bucketed_hash_join``, then texts and pairs flow
-    through ONE ``groupby(bucket)`` shuffle and every bucket verifies its
-    pairs against locally co-located shingle sets — vectorized shingling
-    per bucket, numpy set-intersection per pair, all inside workers.
-    Only the verified pair set (small) ever reaches the driver (for
-    union-find).  Returns a Dataset of verified (a, b) rows, globally
+    Shape: each pair hashes to exactly one verify bucket.  The compact
+    (doc_id -> needed buckets) INT map is derived from the pairs with a
+    distributed grouped-agg dedup and broadcast once via ``ray.put``
+    (ids only — never texts; at CC scale this is the same order as the
+    candidate pair set, which also bounds the driver's union-find
+    input).  Each docs batch then emits its candidate texts directly to
+    their verify buckets, so candidate TEXT moves through exactly ONE
+    ``groupby(bucket)`` shuffle where every bucket verifies its pairs
+    against locally co-located shingle sets — vectorized shingling per
+    bucket, numpy set-intersection per pair, all inside workers.  Only
+    the verified pair set (small) plus the int id map ever reach the
+    driver.  Returns a Dataset of verified (a, b) rows, globally
     deduplicated (a pair lands in exactly one bucket)."""
-    from .relational import bucketed_hash_join, grouped_agg
+    import ray
+
+    from .relational import grouped_agg
 
     def tag_pairs(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch["a"].to_numpy().astype(np.int64)
@@ -173,44 +178,49 @@ def verify_pairs_distributed(docs_ds, pairs_ds, threshold: float,
     needs = grouped_agg(
         tagged.map_batches(need_rows, batch_format="pandas"),
         ["doc_id", "__vb"], {"n": ("doc_id", "size")},
-        n_buckets=n_buckets).drop_columns(["n"])
+        n_buckets=n_buckets).to_pandas()  # int rows only
+    if len(needs) == 0 or "doc_id" not in needs.columns:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64())}))
+    need_map: dict[int, list[int]] = {}
+    for d, vb in zip(needs["doc_id"].astype(np.int64),
+                     needs["__vb"].astype(np.int64)):
+        need_map.setdefault(int(d), []).append(int(vb))
+    need_ref = ray.put(need_map)
 
-    def prep_docs(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": batch["doc_id"].cast(pa.int64()),
-            "text": batch["text"].cast(pa.large_string())})
+    def emit_texts(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(need_ref)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        texts = batch["text"]
+        out_id, out_vb, out_tx = [], [], []
+        for i, d in enumerate(ids):
+            for vb in m.get(int(d), ()):
+                out_id.append(int(d))
+                out_vb.append(vb)
+                out_tx.append(texts.iloc[i])
+        return pd.DataFrame({
+            "__vb": np.asarray(out_vb, dtype=np.int64),
+            "doc_id": np.asarray(out_id, dtype=np.int64),
+            "text": out_tx,
+            "a": np.full(len(out_id), -1, dtype=np.int64),
+            "b": np.full(len(out_id), -1, dtype=np.int64),
+            "__side": np.zeros(len(out_id), dtype=np.int8)})
 
-    texts = bucketed_hash_join(
-        needs, docs_ds.map_batches(prep_docs, batch_format="pyarrow"),
-        on="doc_id", n_buckets=n_buckets,
-        schemas=(pa.schema([("doc_id", pa.int64()),
-                            ("__vb", pa.int64())]),
-                 pa.schema([("doc_id", pa.int64()),
-                            ("text", pa.large_string())])))
+    def tag_pairrows(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        return pd.DataFrame({
+            "__vb": batch["__vb"].to_numpy().astype(np.int64),
+            "doc_id": np.full(n, -1, dtype=np.int64),
+            "text": [""] * n,
+            "a": batch["a"].to_numpy().astype(np.int64),
+            "b": batch["b"].to_numpy().astype(np.int64),
+            "__side": np.ones(n, dtype=np.int8)})
 
-    def tag_texts(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table({
-            "__vb": batch["__vb"].cast(pa.int64()),
-            "doc_id": batch["doc_id"].cast(pa.int64()),
-            "text": batch["text"].cast(pa.large_string()),
-            "a": pa.nulls(n, pa.int64()),
-            "b": pa.nulls(n, pa.int64()),
-            "__side": pa.array(np.zeros(n, dtype=np.int8))})
-
-    def tag_pairrows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table({
-            "__vb": batch["__vb"].cast(pa.int64()),
-            "doc_id": pa.nulls(n, pa.int64()),
-            "text": pa.nulls(n, pa.large_string()),
-            "a": batch["a"].cast(pa.int64()),
-            "b": batch["b"].cast(pa.int64()),
-            "__side": pa.array(np.ones(n, dtype=np.int8))})
-
-    unioned = (texts.map_batches(tag_texts, batch_format="pyarrow")
+    unioned = (docs_ds.map_batches(emit_texts, batch_format="pandas")
                .union(tagged.map_batches(tag_pairrows,
-                                         batch_format="pyarrow")))
+                                         batch_format="pandas")))
 
     def verify(block: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -452,15 +452,18 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         return pa.table({"o_orderkey": batch["l_orderkey"],
                          "revenue_c": rev})
 
+    # aggregate BEFORE the join: the join shuffle then moves one row per
+    # order, not one per lineitem (the membership filter commutes with
+    # the per-orderkey sum)
+    li_agg = partial_grouped_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderkey"], {"revenue_c": "revenue_c"})
     joined = bucketed_hash_join(
-        li.map_batches(prep, batch_format="pyarrow"), orders_f,
-        on="o_orderkey",
+        li_agg, orders_f, on="o_orderkey",
         schemas=(pa.schema([("o_orderkey", pa.int64()),
                             ("revenue_c", pa.int64())]),
                  pa.schema([("o_orderkey", pa.int64())])))
-    agg = partial_grouped_agg(joined, ["o_orderkey"],
-                              {"revenue_c": "revenue_c"})
-    top = topk(agg, ["revenue_c", "o_orderkey"], k,
+    top = topk(joined, ["revenue_c", "o_orderkey"], k,
                descending=[True, False])
     return top.select_columns(["o_orderkey", "revenue_c"])
 

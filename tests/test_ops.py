@@ -486,3 +486,161 @@ def test_grouped_agg_matches_pandas_random(ray_session):
         pd.testing.assert_frame_equal(
             out[want.columns].astype({"n": np.int64}),
             want.astype({"n": np.int64}))
+
+
+# ---------------------------------------------------------------------------
+# M14 property-column surface: get / project / set / del / keys / has
+# (column analogue of the reference's dict-like property access,
+#  /root/reference/src/pybind11_geojson.cpp:940-1058; exercised by its
+#  tests/test_geobuf.py:150-191,340-349)
+# ---------------------------------------------------------------------------
+
+def _props_batch():
+    from geoflow.jsonops import dump_json
+    rows = [
+        {"name": "alpha", "rank": 3, "score": 1.5, "flag": True,
+         "nested": {"x": 1}, "arr": [1, 2], "nil": None},
+        {"name": "beta", "rank": 7},
+        {},
+    ]
+    return pa.table({
+        "fid": pa.array(range(3), type=pa.int64()),
+        "properties": pa.array(
+            [dump_json(r, sort_keys=True) for r in rows]),
+    })
+
+
+def test_property_get_typed():
+    from geoflow import properties as P
+    b = _props_batch()
+    out = P.get_property(b, "rank", dtype="int64")
+    assert out["rank"].to_pylist() == [3, 7, None]
+    out = P.get_property(b, "score", dtype="float64")
+    assert out["score"].to_pylist() == [1.5, None, None]
+    out = P.get_property(b, "flag", dtype="bool")
+    assert out["flag"].to_pylist() == [True, None, None]
+    out = P.get_property(b, "name", dtype="string")
+    assert out["name"].to_pylist() == ["alpha", "beta", None]
+    # nested values come back as compact JSON text, mirroring the
+    # reference's JSON-stringified nested values (geobuf.cpp:469)
+    out = P.get_property(b, "nested", dtype="json")
+    assert out["nested"].to_pylist()[0] == '{"x":1}'
+    out = P.get_property(b, "arr", dtype="json")
+    assert out["arr"].to_pylist()[0] == "[1,2]"
+
+
+def test_property_project_multi():
+    from geoflow import properties as P
+    out = P.project_properties(_props_batch(),
+                               {"name": "string", "rank": "int64"})
+    assert out.column_names[-2:] == ["name", "rank"]
+    assert out["rank"].to_pylist() == [3, 7, None]
+
+
+def test_property_set_del_keys_has():
+    import json
+
+    from geoflow import properties as P
+    b = _props_batch()
+    # scalar broadcast set + canonical (sorted-key) re-dump
+    out = P.set_property(b, "grade", "A")
+    objs = [json.loads(s) for s in out["properties"].to_pylist()]
+    assert all(o["grade"] == "A" for o in objs)
+    assert out["properties"].to_pylist()[2] == '{"grade":"A"}'
+    # per-row values incl. None (stores JSON null, like the binding)
+    out2 = P.set_property(b, "v", [1, None, "s"])
+    objs2 = [json.loads(s) for s in out2["properties"].to_pylist()]
+    assert [o["v"] for o in objs2] == [1, None, "s"]
+    # delete removes present keys, ignores missing
+    out3 = P.del_property(b, ["rank", "missing"])
+    objs3 = [json.loads(s) for s in out3["properties"].to_pylist()]
+    assert all("rank" not in o for o in objs3)
+    assert objs3[0]["name"] == "alpha"
+    # keys iteration surface (canonical order) + __contains__
+    k = P.property_keys(b)["keys"].to_pylist()
+    assert k[0] == sorted(["name", "rank", "score", "flag", "nested",
+                           "arr", "nil"])
+    assert k[2] == []
+    h = P.has_property(b, "nil")["has_nil"].to_pylist()
+    assert h == [True, False, False]   # null-valued key IS contained
+    g = P.get_property(b, "nil", dtype="json")["nil"].to_pylist()
+    assert g == [None, None, None]     # but get() yields null
+
+
+# ---------------------------------------------------------------------------
+# CLI parity: python -m geoflow {json2geobuf,geobuf2json,normalize_json,
+# normalize_geobuf,pbf_decode} (reference pybind11_geobuf/__main__.py:36-147)
+# ---------------------------------------------------------------------------
+
+def _run_cli(args, stdin_bytes=None):
+    import subprocess
+    import sys
+    return subprocess.run([sys.executable, "-m", "geoflow", *args],
+                          input=stdin_bytes, capture_output=True,
+                          cwd="/root/repo", timeout=120)
+
+
+GOLDEN = "tests/goldens/feature_ids"
+
+
+def test_cli_json2geobuf_matches_golden(tmp_path):
+    import pathlib
+    out = tmp_path / "x.pbf"
+    # goldens were frozen at max_precision 10^6 (codec default)
+    r = _run_cli(["json2geobuf", f"{GOLDEN}.json", str(out),
+                  "--precision", "6"])
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == \
+        pathlib.Path(f"/root/repo/{GOLDEN}.pbf").read_bytes()
+
+
+def test_cli_geobuf2json_roundtrip(tmp_path):
+    import json
+    import pathlib
+    out = tmp_path / "x.json"
+    r = _run_cli(["geobuf2json", f"{GOLDEN}.pbf", str(out),
+                  "--sort-keys"])
+    assert r.returncode == 0, r.stderr
+    got = json.loads(out.read_text())
+    want = json.loads(
+        pathlib.Path(f"/root/repo/{GOLDEN}.out.json").read_text())
+    assert got == want
+
+
+def test_cli_stdin_stdout_pipe():
+    """json2geobuf - - | geobuf2json - - (the C++ CLIs' stdin mode)."""
+    import json
+    doc = '{"type":"Point","coordinates":[1.5,2.5]}'
+    r1 = _run_cli(["json2geobuf", "-", "-"], stdin_bytes=doc.encode())
+    assert r1.returncode == 0, r1.stderr
+    r2 = _run_cli(["geobuf2json", "-", "-"], stdin_bytes=r1.stdout)
+    assert r2.returncode == 0, r2.stderr
+    got = json.loads(r2.stdout.decode())
+    assert got == {"type": "Point", "coordinates": [1.5, 2.5]}
+
+
+def test_cli_normalize_json_and_geobuf(tmp_path):
+    import json
+    src = tmp_path / "m.json"
+    src.write_text('{"b":1,"a":{"y":2,"x":[3,1]}}')
+    out = tmp_path / "n.json"
+    r = _run_cli(["normalize_json", str(src), str(out)])
+    assert r.returncode == 0, r.stderr
+    assert json.loads(out.read_text()) == \
+        {"a": {"x": [3, 1], "y": 2}, "b": 1}
+    assert out.read_text().startswith('{\n    "a"')  # pretty, sorted
+    # normalize_geobuf: idempotent canonicalization of pbf bytes
+    pbf = tmp_path / "p.pbf"
+    r = _run_cli(["json2geobuf", f"{GOLDEN}.json", str(pbf),
+                  "--precision", "6"])
+    assert r.returncode == 0
+    before = pbf.read_bytes()
+    r = _run_cli(["normalize_geobuf", str(pbf)])
+    assert r.returncode == 0, r.stderr
+    assert pbf.read_bytes() == before  # already canonical -> unchanged
+
+
+def test_cli_pbf_decode():
+    r = _run_cli(["pbf_decode", f"{GOLDEN}.pbf", "-"])
+    assert r.returncode == 0, r.stderr
+    assert b"varint" in r.stdout or b"bytes" in r.stdout
