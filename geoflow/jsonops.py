@@ -216,16 +216,140 @@ def geometry_to_numpy(geom: dict) -> np.ndarray:
                     dtype=np.float64)
 
 
-def geometry_from_numpy(geom_type: str, m: np.ndarray) -> dict:
-    """Build a flat geometry (Point/MultiPoint/LineString) from an
-    (N, dim) matrix — the writable-view inverse for the flat types."""
+def geometry_from_numpy(geom_type: str, m: np.ndarray,
+                        lengths=None) -> dict:
+    """Build a geometry of any type from an (N, dim) matrix — the
+    inverse of ``geometry_to_numpy`` (the reference's ``from_numpy``
+    covers every geometry type,
+    /root/reference/src/geobuf/geojson_helpers.hpp:172-247).
+
+    Flat types need no ``lengths``.  Segmented types take the structure:
+    MultiLineString — per-line point counts; Polygon — per-ring point
+    counts (closed rings, GeoJSON style); MultiPolygon — list of
+    per-polygon lists of ring point counts."""
     m = np.asarray(m, dtype=np.float64)
     rows = [list(r) for r in m]
     if geom_type == "Point":
         return {"type": "Point", "coordinates": rows[0] if rows else []}
     if geom_type in ("MultiPoint", "LineString"):
         return {"type": geom_type, "coordinates": rows}
-    raise ValueError(f"flat matrix cannot rebuild {geom_type}")
+    if geom_type in ("MultiLineString", "Polygon"):
+        if lengths is None:
+            raise ValueError(f"{geom_type} needs per-segment lengths")
+        segs, k = [], 0
+        for ln in lengths:
+            segs.append(rows[k:k + ln])
+            k += ln
+        if k != len(rows):
+            raise ValueError("lengths do not cover the matrix")
+        return {"type": geom_type, "coordinates": segs}
+    if geom_type == "MultiPolygon":
+        if lengths is None:
+            raise ValueError("MultiPolygon needs nested ring lengths")
+        polys, k = [], 0
+        for ring_lens in lengths:
+            rings = []
+            for ln in ring_lens:
+                rings.append(rows[k:k + ln])
+                k += ln
+            polys.append(rings)
+        if k != len(rows):
+            raise ValueError("lengths do not cover the matrix")
+        return {"type": "MultiPolygon", "coordinates": polys}
+    raise ValueError(f"cannot rebuild {geom_type} from a matrix")
+
+
+def geometry_update_coords(geom: dict, m: np.ndarray) -> dict:
+    """Rebuild ``geom`` with its coordinates replaced from an (N, dim)
+    matrix in traversal order — the functional analogue of mutating the
+    reference's zero-copy ``as_numpy`` view
+    (/root/reference/src/pybind11_geojson.cpp:203-207, exercised by its
+    tests/test_geobuf.py:150-191).  Structure (ring/line segmentation,
+    collection nesting) is preserved; N must equal the geometry's total
+    point count."""
+    m = np.asarray(m, dtype=np.float64)
+    pos = [0]
+
+    def take(npts: int):
+        s = pos[0]
+        pos[0] += npts
+        if pos[0] > len(m):
+            raise ValueError("matrix shorter than the geometry")
+        return [list(r) for r in m[s:s + npts]]
+
+    def rebuild(g: dict) -> dict:
+        t = g["type"]
+        if t == "GeometryCollection":
+            out = dict(g)
+            out["geometries"] = [rebuild(x) for x in g["geometries"]]
+            return out
+        c = g["coordinates"]
+        out = dict(g)
+        if t == "Point":
+            out["coordinates"] = take(1)[0] if c else []
+        elif t in ("MultiPoint", "LineString"):
+            out["coordinates"] = take(len(c))
+        elif t in ("MultiLineString", "Polygon"):
+            out["coordinates"] = [take(len(seg)) for seg in c]
+        elif t == "MultiPolygon":
+            out["coordinates"] = [[take(len(r)) for r in pg] for pg in c]
+        else:
+            raise ValueError(f"unknown geometry type {t}")
+        return out
+
+    out = rebuild(geom)
+    if pos[0] != len(m):
+        raise ValueError("matrix longer than the geometry")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# __geo_interface__ interop (SURVEY §2.10; reference
+# src/pybind11_geojson.cpp:232-236 exposes it on every model object)
+# ---------------------------------------------------------------------------
+
+def to_geo_interface(doc: dict) -> dict:
+    """Canonical ``__geo_interface__`` dict for a geometry / Feature /
+    FeatureCollection document: coordinates become nested tuples (the
+    protocol's convention, matching the reference binding's export)."""
+    def tup(c):
+        if isinstance(c, (list, tuple)):
+            if c and not isinstance(c[0], (list, tuple)):
+                return tuple(float(x) for x in c)
+            return tuple(tup(x) for x in c)
+        return c
+
+    def conv(g: dict) -> dict:
+        t = g.get("type")
+        out = dict(g)
+        if t == "GeometryCollection":
+            out["geometries"] = [conv(x) for x in g.get("geometries", [])]
+        elif t == "Feature":
+            geom = g.get("geometry")
+            out["geometry"] = conv(geom) if geom else None
+        elif t == "FeatureCollection":
+            out["features"] = [conv(f) for f in g.get("features", [])]
+        elif "coordinates" in g:
+            out["coordinates"] = tup(g["coordinates"])
+        return out
+
+    return conv(doc)
+
+
+def from_geo_interface(obj) -> dict:
+    """Accept any object exposing ``__geo_interface__`` (or a plain
+    mapping) and return the document as plain dict/list JSON types —
+    the import direction of the interop surface."""
+    d = getattr(obj, "__geo_interface__", obj)
+
+    def conv(v):
+        if isinstance(v, dict):
+            return {k: conv(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [conv(x) for x in v]
+        return v
+
+    return conv(d)
 
 
 # ---------------------------------------------------------------------------

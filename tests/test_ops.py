@@ -644,3 +644,68 @@ def test_cli_pbf_decode():
     r = _run_cli(["pbf_decode", f"{GOLDEN}.pbf", "-"])
     assert r.returncode == 0, r.stderr
     assert b"varint" in r.stdout or b"bytes" in r.stdout
+
+
+# ---------------------------------------------------------------------------
+# M12 inverse views for segmented types + __geo_interface__ interop
+# ---------------------------------------------------------------------------
+
+def _gc_doc():
+    return {"type": "GeometryCollection", "geometries": [
+        {"type": "Point", "coordinates": [1.5, 2.5]},
+        {"type": "Polygon", "coordinates": [
+            [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]},
+    ]}
+
+
+def test_geometry_from_numpy_segmented():
+    from geoflow import jsonops
+    m = np.array([[0, 0], [1, 0], [1, 1], [0, 0],
+                  [5, 5], [6, 5], [6, 6], [5, 5]], dtype=np.float64)
+    poly = jsonops.geometry_from_numpy("Polygon", m, lengths=[4, 4])
+    assert len(poly["coordinates"]) == 2
+    assert poly["coordinates"][1][0] == [5.0, 5.0]
+    mls = jsonops.geometry_from_numpy("MultiLineString", m[:5],
+                                      lengths=[2, 3])
+    assert [len(s) for s in mls["coordinates"]] == [2, 3]
+    mp = jsonops.geometry_from_numpy("MultiPolygon", m,
+                                     lengths=[[4], [4]])
+    assert len(mp["coordinates"]) == 2
+    # roundtrip through the view and back
+    back = jsonops.geometry_to_numpy(poly)
+    assert np.array_equal(back, m)
+    with pytest.raises(ValueError):
+        jsonops.geometry_from_numpy("Polygon", m, lengths=[4])
+
+
+def test_geometry_update_coords_preserves_structure():
+    from geoflow import codec, jsonops
+    doc = _gc_doc()
+    m = jsonops.geometry_to_numpy(doc)
+    m2 = m + 0.25
+    out = jsonops.geometry_update_coords(doc, m2)
+    assert out["type"] == "GeometryCollection"
+    assert out["geometries"][0]["coordinates"] == [1.75, 2.75]
+    assert len(out["geometries"][1]["coordinates"][0]) == 4
+    assert np.array_equal(jsonops.geometry_to_numpy(out), m2)
+    # still codec-valid
+    assert codec.decode(codec.encode(out))["type"] == \
+        "GeometryCollection"
+    with pytest.raises(ValueError):
+        jsonops.geometry_update_coords(doc, m2[:-1])
+
+
+def test_geo_interface_roundtrip():
+    from geoflow import jsonops
+    doc = {"type": "Feature", "properties": {"a": 1},
+           "geometry": {"type": "LineString",
+                        "coordinates": [[0.0, 1.0], [2.0, 3.0]]}}
+    gi = jsonops.to_geo_interface(doc)
+    assert gi["geometry"]["coordinates"] == ((0.0, 1.0), (2.0, 3.0))
+
+    class Shim:
+        __geo_interface__ = gi
+
+    back = jsonops.from_geo_interface(Shim())
+    assert back["geometry"]["coordinates"] == [[0.0, 1.0], [2.0, 3.0]]
+    assert back == jsonops.from_geo_interface(gi)
