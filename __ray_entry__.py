@@ -215,13 +215,14 @@ def _q_polygon_tiles(sf_dir: str):
 
     def cover(batch: pa.Table) -> pa.Table:
         pids, xs, ys = [], [], []
+        coords_rows = batch["coords"].to_pylist()
+        lengths_rows = batch["lengths"].to_pylist()
+        ids = batch["poly_id"].to_numpy(zero_copy_only=False)
         for i in range(batch.num_rows):
-            coords = np.asarray(batch["coords"][i].as_py())
-            lengths = np.asarray(batch["lengths"][i].as_py(),
-                                 dtype=np.int64)
+            coords = np.asarray(coords_rows[i])
+            lengths = np.asarray(lengths_rows[i], dtype=np.int64)
             t = tiles.tiles_for_polygon(coords, lengths, 8)
-            pids.append(np.full(len(t), batch["poly_id"][i].as_py(),
-                                dtype=np.int64))
+            pids.append(np.full(len(t), ids[i], dtype=np.int64))
             xs.append(t[:, 0])
             ys.append(t[:, 1])
         return pa.table({

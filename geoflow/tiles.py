@@ -47,8 +47,10 @@ def tile_bounds(x: int, y: int, z: int) -> tuple[float, float, float, float]:
     return lng0, lat0, lng1, lat1
 
 
-def _merc_lat(yfrac: float) -> float:
-    return float(np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * yfrac)))))
+def _merc_lat(yfrac) -> float | np.ndarray:
+    out = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * np.asarray(
+        yfrac, dtype=np.float64)))))
+    return float(out) if out.ndim == 0 else out
 
 
 def tiles_for_polygon(coords: np.ndarray, lengths: np.ndarray,
@@ -58,32 +60,58 @@ def tiles_for_polygon(coords: np.ndarray, lengths: np.ndarray,
     Returns an (N, 2) int64 array sorted by (x, y).  Used by both the
     distributed path and the brute-force oracle in tests — they must agree
     per-geometry (BASELINE.json:6 'per-geometry tile assignments exactly').
-    """
+
+    Vectorized over the whole candidate grid (VERDICT r1 minor #8): the
+    vertex-in-tile test is two broadcast compares + one boolean matmul,
+    the corner-in-polygon test is ONE ray-casting call over the shared
+    (nx+1)×(ny+1) corner lattice; only tiles still undecided (boundary
+    tiles grazed by an edge with no vertex or corner inside — typically
+    a handful) fall back to the per-tile segment/box clip.  The three
+    tests and their boundary conventions are unchanged."""
     minx, miny, maxx, maxy = geom.polygon_bbox(coords)
     miny = max(miny, -LAT_MAX)
     maxy = min(maxy, LAT_MAX)
     x0, y1 = tile_for_point(np.array([minx]), np.array([miny]), z)
     x1, y0 = tile_for_point(np.array([maxx]), np.array([maxy]), z)
+    x0, x1, y0, y1 = int(x0[0]), int(x1[0]), int(y0[0]), int(y1[0])
+    nx, ny = x1 - x0 + 1, y1 - y0 + 1
+    n = float(2 ** z)
     e1x, e1y, e2x, e2y = geom.polygon_edges(coords, lengths)
-    out = []
-    for tx in range(int(x0[0]), int(x1[0]) + 1):
-        for ty in range(int(y0[0]), int(y1[0]) + 1):
-            lng0, lat0, lng1, lat1 = tile_bounds(tx, ty, z)
-            # polygon vertex inside tile box
-            vin = ((e1x >= lng0) & (e1x < lng1)
-                   & (e1y >= lat0) & (e1y < lat1)).any()
-            if vin:
-                out.append((tx, ty))
-                continue
-            # tile corner inside polygon
-            cx = np.array([lng0, lng1, lng1, lng0])
-            cy = np.array([lat0, lat0, lat1, lat1])
-            if geom.points_in_polygon_batch(cx, cy, coords, lengths).any():
-                out.append((tx, ty))
-                continue
-            # polygon edge crosses tile box
-            if geom.segments_intersect_box(e1x, e1y, e2x, e2y,
-                                           lng0, lat0, lng1, lat1).any():
-                out.append((tx, ty))
-    arr = np.array(sorted(out), dtype=np.int64).reshape(-1, 2)
-    return arr
+
+    # shared tile-edge lattice — identical expressions to tile_bounds,
+    # so boundary FP behavior matches the per-tile formulation exactly
+    lng_edges = np.arange(x0, x1 + 2, dtype=np.float64) / n * 360.0 \
+        - 180.0
+    lat_edges = _merc_lat(np.arange(y0, y1 + 2, dtype=np.float64) / n)
+    # tile (i, j): lng0=lng_edges[i], lng1=lng_edges[i+1],
+    #              lat1=lat_edges[j], lat0=lat_edges[j+1]
+
+    # 1) polygon vertex inside tile box: (nx, V) & (ny, V) -> bool matmul
+    vx = (e1x[None, :] >= lng_edges[:-1, None]) \
+        & (e1x[None, :] < lng_edges[1:, None])
+    vy = (e1y[None, :] >= lat_edges[1:, None]) \
+        & (e1y[None, :] < lat_edges[:-1, None])
+    covered = (vx.astype(np.int32) @ vy.astype(np.int32).T) > 0
+
+    # 2) tile corner inside polygon: one PIP call on the corner lattice
+    und = ~covered
+    if und.any():
+        gx, gy = np.meshgrid(lng_edges, lat_edges, indexing="ij")
+        inside = geom.points_in_polygon_batch(
+            gx.ravel(), gy.ravel(), coords, lengths) \
+            .reshape(nx + 1, ny + 1)
+        corner = inside[:-1, :-1] | inside[1:, :-1] \
+            | inside[:-1, 1:] | inside[1:, 1:]
+        covered |= corner
+
+    # 3) remaining candidates: polygon edge crosses the tile box
+    for i, j in zip(*np.nonzero(~covered)):
+        if geom.segments_intersect_box(
+                e1x, e1y, e2x, e2y, lng_edges[i], lat_edges[j + 1],
+                lng_edges[i + 1], lat_edges[j]).any():
+            covered[i, j] = True
+
+    ii, jj = np.nonzero(covered)
+    arr = np.stack([ii + x0, jj + y0], axis=1).astype(np.int64)
+    order = np.lexsort((arr[:, 1], arr[:, 0]))
+    return arr[order]
