@@ -192,14 +192,17 @@ def verify_pairs_distributed(docs_ds, pairs_ds, threshold: float,
 
     def emit_texts(batch: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(need_ref)
-        ids = batch["doc_id"].to_numpy().astype(np.int64)
-        texts = batch["text"]
+        # vectorized candidate filter FIRST — the python loop below only
+        # touches the (small) candidate subset, never the whole corpus
+        cand = batch[batch["doc_id"].isin(m)]
+        ids = cand["doc_id"].to_numpy().astype(np.int64)
+        texts = cand["text"].to_numpy()
         out_id, out_vb, out_tx = [], [], []
         for i, d in enumerate(ids):
-            for vb in m.get(int(d), ()):
+            for vb in m[int(d)]:
                 out_id.append(int(d))
                 out_vb.append(vb)
-                out_tx.append(texts.iloc[i])
+                out_tx.append(texts[i])
         return pd.DataFrame({
             "__vb": np.asarray(out_vb, dtype=np.int64),
             "doc_id": np.asarray(out_id, dtype=np.int64),

@@ -110,6 +110,65 @@ def bucketed_hash_join(left_ds, right_ds, on: str, n_buckets: int = 32,
                                              batch_format="pyarrow")
 
 
+#: build sides at or below this many rows are broadcast (ray.put once,
+#: read per task) instead of co-partitioned — 2M int64 keys ≈ 16 MB, far
+#: under a worker heap; above it the join pays the honest shuffle.
+BROADCAST_LIMIT = 2_000_000
+
+
+def adaptive_semijoin(big_ds, keys_ds, on: str,
+                      broadcast_limit: int = BROADCAST_LIMIT,
+                      n_buckets: int = 32, schemas: tuple | None = None):
+    """Semijoin-filter ``big_ds`` to rows whose ``on`` appears in
+    ``keys_ds`` — with the physical plan chosen by the measured build
+    size (the explicit broadcast-vs-shuffle decision of SURVEY §4):
+    the build side is materialized ONCE into the object store (its
+    lineage would otherwise re-execute for the count probe and again
+    for the consume), then its now-free row count picks the plan: at or
+    below ``broadcast_limit`` the key set ships once via ``ray.put``
+    and the filter is map-only (zero shuffles); above it both sides
+    flow through the co-partitioned ``bucketed_hash_join``.  Results
+    identical either way."""
+    import ray
+
+    keys_mat = keys_ds.materialize()  # build side only — never big_ds
+    if keys_mat.count() <= broadcast_limit:
+        keys = set(keys_mat.to_pandas()[on].astype(np.int64))
+        ref = ray.put(keys)
+
+        def semi(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch[on].isin(ray.get(ref))]
+
+        return big_ds.map_batches(semi, batch_format="pandas")
+    return bucketed_hash_join(big_ds, keys_mat, on,
+                              n_buckets=n_buckets, schemas=schemas)
+
+
+def adaptive_lookup_join(big_ds, right_ds, on: str,
+                         broadcast_limit: int = BROADCAST_LIMIT,
+                         n_buckets: int = 32,
+                         schemas: tuple | None = None):
+    """Inner join attaching ``right_ds``'s payload columns to
+    ``big_ds`` — broadcast pandas merge per batch when the right side is
+    at or below ``broadcast_limit`` rows (zero shuffles), else the
+    co-partitioned ``bucketed_hash_join``.  The right side is
+    materialized once so the count probe costs no re-execution.  Same
+    rows either way."""
+    import ray
+
+    right_mat = right_ds.materialize()  # build side only
+    if right_mat.count() <= broadcast_limit:
+        right_pd = right_mat.to_pandas()
+        ref = ray.put(right_pd)
+
+        def join(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(ray.get(ref), on=on, how="inner")
+
+        return big_ds.map_batches(join, batch_format="pandas")
+    return bucketed_hash_join(big_ds, right_mat, on,
+                              n_buckets=n_buckets, schemas=schemas)
+
+
 # combine fn applied to partials in the final stage, per partial fn
 _COMBINE = {"sum": "sum", "size": "sum", "min": "min", "max": "max"}
 
@@ -419,11 +478,13 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     """Join customer⋈orders⋈lineitem, revenue per order, top-k.
 
     Scale shape: customer stays a DATASET — the segment filter runs per
-    batch and the orders semijoin is the co-partitioned hash join on
-    custkey (a segment still keeps O(customers/5) keys: 3M at sf100, too
-    big to broadcast — VERDICT r1 #9).  orders⋈lineitem is the second
-    co-partitioned large-large join; nothing fact- or dimension-sized
-    touches the driver."""
+    batch and both joins go through ``adaptive_semijoin``: the build
+    side's measured row count picks broadcast (<= BROADCAST_LIMIT,
+    zero shuffles) vs the co-partitioned hash join (a segment keeps
+    O(customers/5) keys — 3M at sf100 — which crosses the limit and
+    takes the honest shuffle; VERDICT r1 #9).  lineitem revenue is
+    pre-aggregated per orderkey so the second join moves one row per
+    order."""
     cust_keys = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
     def seg_filter(batch: pa.Table) -> pa.Table:
@@ -434,7 +495,7 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     cust_f = cust_keys.map_batches(seg_filter, batch_format="pyarrow")
 
     orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    orders_f = bucketed_hash_join(
+    orders_f = adaptive_semijoin(
         orders, cust_f, on="o_custkey",
         schemas=(pa.schema([("o_custkey", pa.int64()),
                             ("o_orderkey", pa.int64())]),
@@ -458,7 +519,7 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     li_agg = partial_grouped_agg(
         li.map_batches(prep, batch_format="pyarrow"),
         ["o_orderkey"], {"revenue_c": "revenue_c"})
-    joined = bucketed_hash_join(
+    joined = adaptive_semijoin(
         li_agg, orders_f, on="o_orderkey",
         schemas=(pa.schema([("o_orderkey", pa.int64()),
                             ("revenue_c", pa.int64())]),
@@ -487,11 +548,12 @@ ORDER BY revenue_c DESC, o_orderkey LIMIT {k}
 def q5_nation_volume(sf_dir: str):
     """Revenue + order count per nation (region⋈nation⋈customer⋈orders⋈
     lineitem).  Scale shape: only the nation⋈region map (25 rows) is
-    broadcast; CUSTOMER stays a Dataset — each batch resolves nation
-    from the tiny map, then customer⋈orders and orders⋈lineitem are both
-    co-partitioned large-large hash joins (VERDICT r1 #9 replaced the
-    O(customers) driver dict).  No fact or dimension table reaches the
-    driver."""
+    unconditionally broadcast; CUSTOMER stays a Dataset — each batch
+    resolves nation from the tiny map, then customer⋈orders and
+    orders⋈lineitem go through ``adaptive_lookup_join`` (broadcast
+    merge under BROADCAST_LIMIT rows, co-partitioned hash join above
+    it — at sf100 both sides cross the limit and shuffle; VERDICT r1
+    #9 replaced the unconditional O(customers) driver dict)."""
     nation = read(sf_dir, "nation", ["n_nationkey", "n_name",
                                      "n_regionkey"]).to_pandas()
     region = read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
@@ -511,7 +573,7 @@ def q5_nation_volume(sf_dir: str):
     cust_n = cust.map_batches(resolve_nation, batch_format="pandas")
 
     orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    orders_n = bucketed_hash_join(
+    orders_n = adaptive_lookup_join(
         orders, cust_n, on="o_custkey",
         schemas=(pa.schema([("o_custkey", pa.int64()),
                             ("o_orderkey", pa.int64())]),
@@ -531,7 +593,7 @@ def q5_nation_volume(sf_dir: str):
         return pa.table({"o_orderkey": batch["l_orderkey"],
                          "revenue_c": rev})
 
-    joined = bucketed_hash_join(
+    joined = adaptive_lookup_join(
         li.map_batches(prep, batch_format="pyarrow"), orders_n,
         on="o_orderkey",
         schemas=(pa.schema([("o_orderkey", pa.int64()),

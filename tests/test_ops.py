@@ -709,3 +709,38 @@ def test_geo_interface_roundtrip():
     back = jsonops.from_geo_interface(Shim())
     assert back["geometry"]["coordinates"] == [[0.0, 1.0], [2.0, 3.0]]
     assert back == jsonops.from_geo_interface(gi)
+
+
+def test_adaptive_joins_both_plans_identical(ray_session):
+    """adaptive_semijoin / adaptive_lookup_join must produce the same
+    rows whether the build side is broadcast (under the limit) or
+    co-partitioned (limit forced to 0)."""
+    import ray.data
+    from geoflow.relational import adaptive_lookup_join, adaptive_semijoin
+    rng = np.random.default_rng(41)
+    big = pd.DataFrame({
+        "k": rng.integers(0, 200, 5000).astype(np.int64),
+        "v": np.arange(5000, dtype=np.int64)})
+    keys = pd.DataFrame({"k": np.arange(0, 200, 3, dtype=np.int64)})
+    right = keys.assign(payload=keys["k"] * 10)
+
+    def norm(ds, cols):
+        return ds.to_pandas()[cols].sort_values(cols) \
+            .reset_index(drop=True).astype(np.int64)
+
+    for fn, side, cols in [
+            (adaptive_semijoin, ray.data.from_pandas(keys), ["k", "v"]),
+            (adaptive_lookup_join, ray.data.from_pandas(right),
+             ["k", "v", "payload"])]:
+        bcast = fn(ray.data.from_pandas(big), side, on="k")
+        shuf = fn(ray.data.from_pandas(big), side, on="k",
+                  broadcast_limit=0)
+        pd.testing.assert_frame_equal(norm(bcast, cols),
+                                      norm(shuf, cols))
+    # oracle: plain pandas merge
+    want = big[big["k"].isin(keys["k"])].sort_values(["k", "v"]) \
+        .reset_index(drop=True)
+    got = norm(adaptive_semijoin(ray.data.from_pandas(big),
+                                 ray.data.from_pandas(keys), on="k"),
+               ["k", "v"])
+    pd.testing.assert_frame_equal(got, want.astype(np.int64))
