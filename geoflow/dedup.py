@@ -166,7 +166,12 @@ def verify_pairs_distributed(docs_ds, pairs_ds, threshold: float,
         return pd.DataFrame({"a": a, "b": b,
                              "__vb": vb.astype(np.int64)})
 
-    tagged = pairs_ds.map_batches(tag_pairs, batch_format="pandas")
+    # materialize the (small, int-only) tagged pair set ONCE: it is
+    # consumed twice (needs probe + verify union) and its lineage
+    # includes the whole candidate-generation pipeline — re-executing
+    # that would re-shingle the corpus
+    tagged = pairs_ds.map_batches(tag_pairs,
+                                  batch_format="pandas").materialize()
 
     def need_rows(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
