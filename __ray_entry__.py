@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bucket_join": relational.q_bucket_join,
         "q_sessionize": relational.q_sessionize,
         "q_asof_join": relational.q_asof_join,
+        "q_interval_join": relational.q_interval_join,
+        "q_distinct_users": relational.q_distinct_users,
         "q_value_quantiles": relational.q_value_quantiles,
         # text analysis (full SQL oracles)
         "q_token_stats": textops.q_token_stats,
@@ -359,6 +361,8 @@ def oracle_sql() -> dict[str, str]:
         "q_bucket_join": relational.Q_BUCKET_JOIN_SQL,
         "q_sessionize": relational.Q_SESSIONIZE_SQL,
         "q_asof_join": relational.Q_ASOF_JOIN_SQL,
+        "q_interval_join": relational.Q_INTERVAL_JOIN_SQL,
+        "q_distinct_users": relational.Q_DISTINCT_USERS_SQL,
         "q_value_quantiles": relational.Q_VALUE_QUANTILES_SQL,
         "q_token_stats": textops.TOKEN_STATS_SQL,
         "q_quality": textops.QUALITY_SQL,

@@ -235,6 +235,105 @@ def partial_grouped_agg(ds, keys: list[str], int_sums: dict[str, str],
     return grouped_agg(ds, keys, specs, n_buckets=n_buckets)
 
 
+def grouped_count_distinct(ds, keys: list[str], col: str,
+                           out: str = "n_distinct",
+                           n_buckets: int | None = None):
+    """Exact COUNT(DISTINCT col) per key group, distributed in two
+    bucketed stages: (1) per-batch dedup of (keys, col) tuples then a
+    grouped-agg global dedup — the shuffle moves unique tuples, not
+    rows; (2) a second grouped-agg counting surviving tuples per key.
+    Both stages are the combiner-then-bucket shape of ``grouped_agg``
+    (no per-group Python); output size is bounded by the distinct tuple
+    count, never the input rows."""
+    if n_buckets is None:
+        n_buckets = _default_buckets()
+
+    def dedup_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[keys + [col]].drop_duplicates()
+
+    uniq = grouped_agg(
+        ds.map_batches(dedup_batch, batch_format="pandas"),
+        keys + [col], {"__n": (col, "size")}, n_buckets=n_buckets)
+    return grouped_agg(uniq, keys, {out: (col, "size")},
+                       n_buckets=n_buckets)
+
+
+def interval_join(left_ds, right_ds, key: str, left_time: str,
+                  right_time: str, window_us: int,
+                  n_buckets: int = 32, schemas: tuple | None = None):
+    """Band/interval join (★J5): every (left, right) pair sharing
+    ``key`` with ``|right_time - left_time| <= window_us`` — an operator
+    Ray Data lacks (SURVEY §2 custom-operator rule).
+
+    Shape: both sides hash-co-partition on ``key % n_buckets`` through
+    one null-padded union shuffle (sides re-split at the Arrow level so
+    int64 times stay exact); each bucket runs one vectorized pandas
+    merge-on-key + band filter.  Partitioning assumption: a key's rows
+    land wholly in one bucket, so results are exact; a key whose
+    events×rows cross product is huge makes its bucket the straggler —
+    that cartesian blow-up is inherent to the operator's output, not
+    the plan (pre-filter or coarser windows bound it)."""
+    if schemas is not None:
+        lschema, rschema = schemas
+    else:
+        lschema = left_ds.schema()
+        rschema = right_ds.schema()
+    lcols = list(lschema.names)
+    rcols = [c for c in rschema.names if c != key]
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+
+    def tag(side: int):
+        own_schema = lschema if side == 0 else rschema
+        pad_cols = rcols if side == 0 else [c for c in lcols
+                                            if c != key]
+        pad_types = rtypes if side == 0 else ltypes
+
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            k = batch[key].to_numpy(zero_copy_only=False)
+            cols: dict = {key: batch[key]}
+            for c in own_schema.names:
+                if c != key:
+                    cols[c] = batch[c]
+            for c in pad_cols:
+                cols[c] = pa.nulls(n, type=pad_types[c])
+            cols["__b"] = pa.array((k % n_buckets).astype(np.int64))
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            order = [key] + [c for c in lcols if c != key] + rcols \
+                + ["__b", "__side"]
+            return pa.table({c: cols[c] for c in order})
+        return fn
+
+    unioned = (left_ds.map_batches(tag(0), batch_format="pyarrow")
+               .union(right_ds.map_batches(tag(1),
+                                           batch_format="pyarrow")))
+
+    left_out = [key] + [c for c in lcols if c != key]
+
+    def join_bucket(block: pa.Table) -> pa.Table:
+        side = block["__side"]
+        left = block.filter(pc.equal(side, 0)).select(left_out) \
+            .to_pandas()
+        right = block.filter(pc.equal(side, 1)) \
+            .select([key] + rcols).to_pandas()
+        if len(left) == 0 or len(right) == 0:
+            empty = {c: left[c].head(0) for c in left_out}
+            for c in rcols:
+                empty[c] = right[c].head(0)
+            return pa.Table.from_pandas(pd.DataFrame(empty),
+                                        preserve_index=False)
+        m = left.merge(right, on=key, how="inner",
+                       suffixes=("", "__r"))
+        dt = m[left_time].to_numpy() - m[right_time].to_numpy()
+        out = m[np.abs(dt) <= window_us]
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False)
+
+    return unioned.groupby("__b").map_groups(join_bucket,
+                                             batch_format="pyarrow")
+
+
 def asof_join_bucketed(left_ds, right_pd: pd.DataFrame, key: str,
                        left_time: str, right_time: str,
                        n_buckets: int = 32):
@@ -908,4 +1007,70 @@ SELECT event_id, o_orderkey FROM (
   FROM events e
   JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
 WHERE rn = 1 ORDER BY event_id
+"""
+
+
+INTERVAL_WINDOW_US = 3600 * 1_000_000  # ±1 h band
+
+
+def q_interval_join(sf_dir: str):
+    """Interval SELF-join (★J5): every pair of events by the same user
+    within ±1 h of each other (a.event_id < b.event_id) — co-occurrence
+    mining over the events stream."""
+    ev = read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id": batch["event_id"],
+                         "tus": batch["ts"].cast(pa.int64())})
+
+    def rprep(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id_b": batch["event_id"],
+                         "tus_b": batch["ts"].cast(pa.int64())})
+
+    joined = interval_join(
+        ev.map_batches(lprep, batch_format="pyarrow"),
+        ev.map_batches(rprep, batch_format="pyarrow"),
+        key="user_id", left_time="tus", right_time="tus_b",
+        window_us=INTERVAL_WINDOW_US,
+        schemas=(pa.schema([("user_id", pa.int64()),
+                            ("event_id", pa.int64()),
+                            ("tus", pa.int64())]),
+                 pa.schema([("user_id", pa.int64()),
+                            ("event_id_b", pa.int64()),
+                            ("tus_b", pa.int64())])))
+
+    def out(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[batch["event_id"] < batch["event_id_b"]]
+        return pd.DataFrame({
+            "event_id_a": keep["event_id"].astype(np.int64),
+            "event_id_b": keep["event_id_b"].astype(np.int64)})
+
+    return joined.map_batches(out, batch_format="pandas") \
+        .sort(["event_id_a", "event_id_b"])
+
+
+Q_INTERVAL_JOIN_SQL = f"""
+SELECT a.event_id AS event_id_a, b.event_id AS event_id_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= {INTERVAL_WINDOW_US}
+ORDER BY event_id_a, event_id_b
+"""
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type (two-stage bucketed
+    distinct — the shuffle moves unique tuples only)."""
+    ev = read(sf_dir, "events", ["event_type", "user_id"])
+    out = grouped_count_distinct(ev, ["event_type"], "user_id",
+                                 out="n_users")
+    return out.sort("event_type")
+
+
+Q_DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
 """

@@ -744,3 +744,42 @@ def test_adaptive_joins_both_plans_identical(ray_session):
                                  ray.data.from_pandas(keys), on="k"),
                ["k", "v"])
     pd.testing.assert_frame_equal(got, want.astype(np.int64))
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    import ray.data
+    from geoflow.relational import interval_join
+    rng = np.random.default_rng(47)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 30, 800).astype(np.int64),
+        "lid": np.arange(800, dtype=np.int64),
+        "lt": rng.integers(0, 10**6, 800).astype(np.int64)})
+    right = pd.DataFrame({
+        "k": rng.integers(0, 30, 600).astype(np.int64),
+        "rid": np.arange(600, dtype=np.int64),
+        "rt": rng.integers(0, 10**6, 600).astype(np.int64)})
+    w = 20_000
+    got = interval_join(ray.data.from_pandas(left),
+                        ray.data.from_pandas(right),
+                        key="k", left_time="lt", right_time="rt",
+                        window_us=w).to_pandas()
+    want = left.merge(right, on="k")
+    want = want[(want["lt"] - want["rt"]).abs() <= w]
+    assert len(got) == len(want) > 0
+    assert set(zip(got["lid"], got["rid"])) == \
+        set(zip(want["lid"], want["rid"]))
+
+
+def test_grouped_count_distinct_matches_pandas(ray_session):
+    import ray.data
+    from geoflow.relational import grouped_count_distinct
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({
+        "g": rng.choice(list("abcd"), 5000),
+        "v": rng.integers(0, 120, 5000).astype(np.int64)})
+    got = grouped_count_distinct(ray.data.from_pandas(df), ["g"], "v",
+                                 out="nd", n_buckets=5).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    want = df.groupby("g")["v"].nunique().reset_index(name="nd")
+    pd.testing.assert_frame_equal(
+        got.astype({"nd": np.int64}), want.astype({"nd": np.int64}))
