@@ -136,8 +136,39 @@ def jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 _PAIR_GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _spanning_forest(a: np.ndarray, b: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Spanning forest of an edge list (local union-find).  Replacing
+    any edge set by its spanning forest preserves connected components
+    — and the union over buckets of per-bucket forests therefore yields
+    the SAME global components as the full edge set, with at most
+    (#nodes - #components) edges per bucket instead of cliques.  This
+    is what keeps the driver's final union-find input linear in the
+    number of documents on dup-heavy corpora (a 100-way dup clique is
+    4 950 pairs; its forest is 99)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    ka: list[int] = []
+    kb: list[int] = []
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+            ka.append(x)
+            kb.append(y)
+    return (np.asarray(ka, dtype=np.int64),
+            np.asarray(kb, dtype=np.int64))
+
+
 def verify_pairs_distributed(docs_ds, pairs_ds, threshold: float,
-                             shingle_n: int = 3, n_buckets: int = 32):
+                             shingle_n: int = 3, n_buckets: int = 32,
+                             collapse: str = "none"):
     """Exact-Jaccard verification of candidate pairs with NO driver-side
     text collection (VERDICT r1 #3).
 
@@ -260,21 +291,177 @@ def verify_pairs_distributed(docs_ds, pairs_ds, threshold: float,
             if (inter / union if union else 1.0) >= threshold:
                 keep_a.append(int(r.a))
                 keep_b.append(int(r.b))
-        return pa.table({"a": pa.array(keep_a, pa.int64()),
-                         "b": pa.array(keep_b, pa.int64())})
+        ka = np.asarray(keep_a, dtype=np.int64)
+        kb = np.asarray(keep_b, dtype=np.int64)
+        if collapse == "forest":
+            ka, kb = _spanning_forest(ka, kb)
+        return pa.table({"a": pa.array(ka), "b": pa.array(kb)})
 
     return unioned.groupby("__vb").map_groups(verify,
                                               batch_format="pyarrow")
 
 
+def verify_pairs_by_signature(docs_ds, pairs_ds, threshold: float,
+                              num_perm: int = 64, shingle_n: int = 3,
+                              n_buckets: int = 32,
+                              collapse: str = "none"):
+    """Candidate-pair verification by the MinHash SIGNATURE estimator —
+    the 100-TB path for dup-heavy corpora where exact per-pair shingle
+    intersection is the bottleneck (a 100-way dup cluster yields ~5k
+    candidate pairs per LSH bucket; exact verify walks each in Python,
+    the estimator compares all of a bucket's pairs in ONE vectorized
+    (P, num_perm) equality + row mean).
+
+    est(J) = mean(sig_a == sig_b) is the unbiased MinHash estimator,
+    sigma = sqrt(J(1-J)/num_perm) (~0.06 at num_perm=64, J=0.7) — raise
+    ``num_perm`` to tighten.  Signatures (8*num_perm bytes) move
+    through the one bucket shuffle instead of document texts.  Same
+    bucket machinery and return shape as verify_pairs_distributed."""
+    import ray
+
+    from .relational import grouped_agg
+
+    hasher = MinHasher(num_perm=num_perm, bands=num_perm,
+                       shingle_n=shingle_n)
+
+    def tag_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        vb = ((a.view(np.uint64) * _PAIR_GOLD)
+              ^ (b.view(np.uint64) * _FNV_PRIME)) % np.uint64(n_buckets)
+        return pd.DataFrame({"a": a, "b": b,
+                             "__vb": vb.astype(np.int64)})
+
+    tagged = pairs_ds.map_batches(tag_pairs,
+                                  batch_format="pandas").materialize()
+
+    def need_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": np.concatenate([batch["a"].to_numpy(),
+                                      batch["b"].to_numpy()]),
+            "__vb": np.tile(batch["__vb"].to_numpy(), 2),
+        }).drop_duplicates()
+
+    needs = grouped_agg(
+        tagged.map_batches(need_rows, batch_format="pandas"),
+        ["doc_id", "__vb"], {"n": ("doc_id", "size")},
+        n_buckets=n_buckets).to_pandas()
+    if len(needs) == 0 or "doc_id" not in needs.columns:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64())}))
+    need_map: dict[int, list[int]] = {}
+    for d, vb in zip(needs["doc_id"].astype(np.int64),
+                     needs["__vb"].astype(np.int64)):
+        need_map.setdefault(int(d), []).append(int(vb))
+    need_ref = ray.put(need_map)
+
+    def emit_sigs(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "__vb": pd.Series(dtype=np.int64),
+            "doc_id": pd.Series(dtype=np.int64),
+            "sig": pd.Series(dtype=object),
+            "a": pd.Series(dtype=np.int64),
+            "b": pd.Series(dtype=np.int64),
+            "__side": pd.Series(dtype=np.int8)})
+        m = ray.get(need_ref)
+        cand = batch[batch["doc_id"].isin(m)]
+        if len(cand) == 0:
+            return empty
+        # sig as BYTES: a plain binary column unions cleanly with the
+        # pair side's None rows (ndarray cells trip Ray's tensor ext)
+        sigs = hasher.signatures(list(cand["text"]))
+        ids = cand["doc_id"].to_numpy().astype(np.int64)
+        out_id, out_vb, out_sig = [], [], []
+        for i, d in enumerate(ids):
+            for vb in m[int(d)]:
+                out_id.append(int(d))
+                out_vb.append(vb)
+                out_sig.append(sigs[i].tobytes())
+        n = len(out_id)
+        return pd.DataFrame({
+            "__vb": np.asarray(out_vb, dtype=np.int64),
+            "doc_id": np.asarray(out_id, dtype=np.int64),
+            "sig": out_sig,
+            "a": np.full(n, -1, dtype=np.int64),
+            "b": np.full(n, -1, dtype=np.int64),
+            "__side": np.zeros(n, dtype=np.int8)})
+
+    def tag_pairrows(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        return pd.DataFrame({
+            "__vb": batch["__vb"].to_numpy().astype(np.int64),
+            "doc_id": np.full(n, -1, dtype=np.int64),
+            "sig": [b""] * n,
+            "a": batch["a"].to_numpy().astype(np.int64),
+            "b": batch["b"].to_numpy().astype(np.int64),
+            "__side": np.ones(n, dtype=np.int8)})
+
+    unioned = (docs_ds.map_batches(emit_sigs, batch_format="pandas")
+               .union(tagged.map_batches(tag_pairrows,
+                                         batch_format="pandas")))
+
+    def verify(block: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                              "b": pd.Series(dtype=np.int64)})
+        if len(block) == 0:
+            return empty
+        sdf = block[block["__side"] == 0].drop_duplicates("doc_id")
+        pdf = block[block["__side"] == 1][["a", "b"]].drop_duplicates()
+        if len(pdf) == 0 or len(sdf) == 0:
+            return empty
+        S = np.stack([np.frombuffer(bytes(s), dtype=np.uint64)
+                      for s in sdf["sig"]])
+        row = {int(d): i for i, d in enumerate(sdf["doc_id"])}
+        a = pdf["a"].to_numpy().astype(np.int64)
+        b = pdf["b"].to_numpy().astype(np.int64)
+        ai = np.asarray([row.get(int(x), -1) for x in a],
+                        dtype=np.int64)
+        bi = np.asarray([row.get(int(x), -1) for x in b],
+                        dtype=np.int64)
+        ok = (ai >= 0) & (bi >= 0)
+        if not ok.any():
+            return empty
+        est = (S[ai[ok]] == S[bi[ok]]).mean(axis=1)
+        keep = est >= threshold
+        ka, kb = a[ok][keep], b[ok][keep]
+        if collapse == "forest":
+            ka, kb = _spanning_forest(ka, kb)
+        return pd.DataFrame({"a": ka, "b": kb})
+
+    return unioned.groupby("__vb").map_groups(verify,
+                                              batch_format="pandas")
+
+
 def minhash_dedup(docs_ds, threshold: float = 0.7, num_perm: int = 64,
-                  bands: int = 16, shingle_n: int = 3):
+                  bands: int = 16, shingle_n: int = 3,
+                  verify: str = "exact", max_clique: int = 64):
     """Full MinHash-LSH near-dup pipeline -> (doc_id, rep_id) for every doc.
 
-    Candidate pairs from shared LSH buckets are verified with exact
-    Jaccard >= threshold DISTRIBUTED (verify_pairs_distributed — texts
-    never touch the driver); clusters resolved by union-find over the
-    (small) verified pair set; rep_id = min doc_id of the cluster.
+    Candidate pairs from shared LSH buckets are verified DISTRIBUTED,
+    then clusters resolve by union-find over the (small) verified pair
+    set; rep_id = min doc_id of the cluster.  ``verify`` picks the
+    verification path:
+
+    - ``"exact"`` (default): true shingle-set Jaccard per candidate pair
+      (verify_pairs_distributed) — precise, but per-pair cost makes it
+      the bottleneck on dup-HEAVY corpora where LSH cliques are large;
+    - ``"signature"``: the vectorized MinHash-estimator path
+      (verify_pairs_by_signature) — the CC-scale default in practice
+      (est J unbiased, sigma ~0.06 at 64 perms);
+    - ``"none"``: trust LSH bucket co-membership (no verification) —
+      maximum recall, precision bounded by the banding parameters.
+
+    ``max_clique`` bounds candidate generation on dup-heavy corpora: an
+    LSH bucket with more than ``max_clique`` members emits STAR pairs
+    (every member vs the min doc — O(k) candidates) instead of the full
+    O(k²) clique.  For connectivity this is lossless when verification
+    is off; with verification it is a documented recall bound — a
+    member merges only if its similarity TO THE HUB clears the
+    threshold (template-dup clusters, the case where big buckets arise,
+    are mutually similar so this rarely matters; raise ``max_clique``
+    to trade cost for completeness).
     """
     bands_ds = docs_ds.map_batches(
         MinHasher(num_perm=num_perm, bands=bands),
@@ -299,9 +486,15 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, num_perm: int = 64,
         out_b: list[np.ndarray] = []
         for _, grp in multi.groupby(["band", "band_hash"]):
             ids = np.unique(grp["doc_id"].to_numpy())
-            a, b = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[a])
-            out_b.append(ids[b])
+            if len(ids) > max_clique:
+                # star pairs: O(k) candidates for giant dup buckets
+                out_a.append(np.full(len(ids) - 1, ids[0],
+                                     dtype=np.int64))
+                out_b.append(ids[1:])
+            else:
+                a, b = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[a])
+                out_b.append(ids[b])
         if not out_a:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64)})
@@ -313,10 +506,31 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, num_perm: int = 64,
                 .groupby("__b")
                 .map_groups(coarse_pairs, batch_format="pandas"))
 
-    # distributed exact-Jaccard verify; only the (small) verified pair
-    # set reaches the driver, for union-find
-    vdf = verify_pairs_distributed(docs_ds, pairs_ds, threshold,
-                                   shingle_n=shingle_n).to_pandas()
+    # distributed verify; only the (small) verified pair set reaches
+    # the driver, for union-find
+    # union-find only needs CONNECTIVITY, so each verify bucket ships a
+    # spanning forest of its verified edges — the driver's input stays
+    # linear in document count even when dup cliques are huge
+    if verify == "exact":
+        vds = verify_pairs_distributed(docs_ds, pairs_ds, threshold,
+                                       shingle_n=shingle_n,
+                                       collapse="forest")
+    elif verify == "signature":
+        vds = verify_pairs_by_signature(docs_ds, pairs_ds, threshold,
+                                        num_perm=num_perm,
+                                        shingle_n=shingle_n,
+                                        collapse="forest")
+    elif verify == "none":
+        def forest(batch: pd.DataFrame) -> pd.DataFrame:
+            ka, kb = _spanning_forest(
+                batch["a"].to_numpy().astype(np.int64),
+                batch["b"].to_numpy().astype(np.int64))
+            return pd.DataFrame({"a": ka, "b": kb})
+
+        vds = pairs_ds.map_batches(forest, batch_format="pandas")
+    else:
+        raise ValueError("verify must be exact | signature | none")
+    vdf = vds.to_pandas()
     verified = sorted(zip(vdf["a"].astype(int), vdf["b"].astype(int))) \
         if len(vdf) else []
 

@@ -629,3 +629,31 @@ def test_reference_sample1_semantics():
     # decode ∘ encode fixpoint: re-encoding the decoded doc is stable
     again = codec.decode(codec.Encoder(10 ** 8).encode(out))
     assert again == out
+
+
+_geometry_or_collection = st.one_of(
+    _geometry,
+    st.builds(lambda gs: {"type": "GeometryCollection",
+                          "geometries": gs},
+              st.lists(_geometry, min_size=0, max_size=3)),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_geometry_or_collection, min_size=1, max_size=12))
+def test_property_dispatch_byte_identity(docs):
+    """Property: for ANY mix of geometry documents (collections
+    included), the batched dispatch produces exactly the per-document
+    encoder's bytes, and decode∘encode is a fixpoint."""
+    got = codec_batch.encode_geometry_docs(docs)
+    for i, d in enumerate(docs):
+        b = got[i].as_py()
+        assert b == codec.encode(d)
+        out = codec.decode(b)
+        if out is None:
+            # empty geometry decodes to None, mirroring the reference's
+            # default-constructed empty (codec.py _read_geometry)
+            assert d["type"] == "GeometryCollection" \
+                and d["geometries"] == []
+        else:
+            assert codec.encode(out) == b  # fixpoint

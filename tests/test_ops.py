@@ -783,3 +783,18 @@ def test_grouped_count_distinct_matches_pandas(ray_session):
     want = df.groupby("g")["v"].nunique().reset_index(name="nd")
     pd.testing.assert_frame_equal(
         got.astype({"nd": np.int64}), want.astype({"nd": np.int64}))
+
+
+def test_minhash_signature_and_none_verify_modes(ray_session):
+    """The signature-estimator and no-verify paths find the same
+    clusters as exact verification on the controlled corpus (clear
+    margins: near-dups ~0.8 jaccard, cross-cluster ~0)."""
+    import ray.data
+    ds = ray.data.from_arrow(_docs_corpus())
+    for mode in ("signature", "none"):
+        out = dedup.minhash_dedup(ds, threshold=0.6,
+                                  verify=mode).to_pandas()
+        rep = dict(zip(out["doc_id"], out["rep_id"]))
+        assert rep[0] == rep[1] == rep[2] == 0, mode
+        assert rep[3] == rep[4] == 3, mode
+        assert rep[5] == 5, mode
