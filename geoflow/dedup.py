@@ -42,6 +42,31 @@ def _seg_ranges(lengths: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
 
 
+def _batch_token_hashes(texts: list[str]
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """(token_hashes, per-doc token counts) for a whole batch with NO
+    per-token Python strings: polars extract_all(\\S+) tokenizes (same
+    tokens as str.split()), explode + hash run in Rust, counts come
+    from list lengths."""
+    import polars as pl
+    s = pl.Series(texts, dtype=pl.String)
+    toks = s.str.extract_all(r"\S+")
+    counts = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+    flat = toks.explode().drop_nulls()
+    th = flat.hash(seed=0).to_numpy()
+    return th, counts
+
+
+_PAD_HASH = None  # lazily computed hash of the "\x00" pad token
+
+
+def _pad_hash() -> np.uint64:
+    global _PAD_HASH
+    if _PAD_HASH is None:
+        _PAD_HASH = _hash_tokens(["\x00"])[0]
+    return _PAD_HASH
+
+
 def _batch_shingles(texts: list[str], n: int
                     ) -> tuple[np.ndarray, np.ndarray]:
     """Word n-gram shingle hashes for a whole batch at once.
@@ -49,15 +74,21 @@ def _batch_shingles(texts: list[str], n: int
     Returns (shingle_hashes, offsets) where doc i's shingles are
     ``sh[offsets[i]:offsets[i+1]]``.  Docs shorter than n tokens are padded
     with "\\x00" so every doc has >= 1 shingle (mirrors the reference
-    single-doc behavior).  One vectorized hash over all tokens of the
-    batch, rolling combine in uint64 (wraparound is the mod)."""
-    tok_lists = [t.split() for t in texts]
-    for tl in tok_lists:
-        if len(tl) < n:
-            tl.extend(["\x00"] * (n - len(tl)))
-    counts = np.asarray([len(tl) for tl in tok_lists], dtype=np.int64)
-    flat = [t for tl in tok_lists for t in tl]
-    th = _hash_tokens(flat)
+    single-doc behavior).  Tokenization + hashing are fully Rust-side
+    (polars); the pad insertion and rolling combine are numpy — no
+    per-token Python strings anywhere."""
+    th0, counts0 = _batch_token_hashes(texts)
+    # pad short docs to n tokens with the "\x00" hash, vectorized
+    if (counts0 < n).any():
+        counts = np.maximum(counts0, n)
+        total = int(counts.sum())
+        th = np.full(total, _pad_hash(), dtype=np.uint64)
+        within = _seg_ranges(counts)
+        mask = within < np.repeat(counts0, counts)
+        th[mask] = th0
+    else:
+        counts = counts0
+        th = th0
     total = len(th)
     m = total - n + 1
     sh_full = th[:m].copy()
@@ -577,10 +608,7 @@ class SimHasher:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = list(batch["text"])
-        tok_lists = [t.split() for t in texts]
-        counts = np.asarray([len(tl) for tl in tok_lists], dtype=np.int64)
-        flat = [t for tl in tok_lists for t in tl]
-        th = _hash_tokens(flat)
+        th, counts = _batch_token_hashes(texts)
         shifts = np.arange(64, dtype=np.uint64)[None, :]
         bits = ((th[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
         # per-doc bit sums via prefix sums (robust to empty docs)
