@@ -52,7 +52,9 @@ def _batch_token_hashes(texts: list[str]
     s = pl.Series(texts, dtype=pl.String)
     toks = s.str.extract_all(r"\S+")
     counts = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
-    flat = toks.explode().drop_nulls()
+    # empty_as_null=True: empty token lists explode to a null (dropped
+    # below), matching today's default and silencing the 2.0 warning
+    flat = toks.explode(empty_as_null=True).drop_nulls()
     th = flat.hash(seed=0).to_numpy()
     return th, counts
 

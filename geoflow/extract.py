@@ -60,7 +60,7 @@ class Extractor:
         m = (texts.with_row_index("row")
              .select(["row",
                       pl.col("text").str.extract_all(GEOTAG).alias("m")])
-             .explode("m")
+             .explode("m", empty_as_null=True)
              .drop_nulls("m"))
         if m.height == 0:
             take = pa.array(np.empty(0, dtype=np.int64))
