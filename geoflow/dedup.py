@@ -673,8 +673,11 @@ def simhash_dedup(docs_ds, max_hamming: int = 3, n_coarse: int = 32):
         if not out_a:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b)}).drop_duplicates()
+        # forest collapse: these edges only feed union-find, so each
+        # bucket ships a spanning forest, not cliques (same components)
+        ka, kb = _spanning_forest(np.concatenate(out_a),
+                                  np.concatenate(out_b))
+        return pd.DataFrame({"a": ka, "b": kb})
 
     pairs = (sigs.map_batches(explode, batch_format="pandas")
              .groupby("__b").map_groups(verified_pairs,

@@ -169,6 +169,28 @@ def test_checkpoint_write_and_resume(ray_session, tmp_path):
     assert sorted(back["v"]) == list(range(100))
 
 
+def test_checkpoint_torn_partition_rewrites(ray_session, tmp_path):
+    """Crash BETWEEN data write and manifest write: the partition has
+    data.parquet but no manifest.  It must not count as finished; the
+    rerun atomically rewrites it and the readback has no duplicates."""
+    import ray.data
+    from geoflow import checkpoint
+
+    t = pa.table({"part": pa.array([i % 3 for i in range(60)],
+                                   type=pa.int64()),
+                  "v": pa.array(range(60))})
+    out = str(tmp_path / "torn")
+    checkpoint.checkpointed_write(ray.data.from_arrow(t), out)
+    # tear partition 1: keep (possibly partial) data, drop the manifest
+    import pathlib
+    (pathlib.Path(out) / "part=1" / "manifest.json").unlink()
+    assert checkpoint.finished_partitions(out) == {0, 2}
+    s = checkpoint.checkpointed_write(ray.data.from_arrow(t), out)
+    assert s["written_this_run"] == 20  # only the torn partition
+    back = checkpoint.read_checkpoint(out).to_pandas()
+    assert sorted(back["v"]) == list(range(60))  # no dups, no gaps
+
+
 def test_flagship_end_to_end(ray_session, tmp_path):
     pages_dir = synth.pages_dir_for(2000)
     out = str(tmp_path / "flag")
