@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_join": relational.q_asof_join,
         "q_interval_join": relational.q_interval_join,
         "q_distinct_users": relational.q_distinct_users,
+        "q_docs_sample": relational.q_docs_sample,
         "q_value_quantiles": relational.q_value_quantiles,
         # text analysis (full SQL oracles)
         "q_token_stats": textops.q_token_stats,
@@ -363,6 +364,7 @@ def oracle_sql() -> dict[str, str]:
         "q_asof_join": relational.Q_ASOF_JOIN_SQL,
         "q_interval_join": relational.Q_INTERVAL_JOIN_SQL,
         "q_distinct_users": relational.Q_DISTINCT_USERS_SQL,
+        "q_docs_sample": relational.Q_DOCS_SAMPLE_SQL,
         "q_value_quantiles": relational.Q_VALUE_QUANTILES_SQL,
         "q_token_stats": textops.TOKEN_STATS_SQL,
         "q_quality": textops.QUALITY_SQL,

@@ -510,6 +510,38 @@ def sessionize(ds, user_col: str, time_col: str, order_col: str,
             .groupby("__b").map_groups(build, batch_format="pandas"))
 
 
+def grouped_topn(ds, keys: list[str], order_cols: list[str], n: int,
+                 n_buckets: int = 32):
+    """Deterministic top-n rows PER KEY GROUP (ascending order_cols) —
+    the stratified-subsample operator of a training-data pipeline
+    ("n docs per language by content hash", reproducible, no RNG).
+
+    Shape: hash-bucket the key (whole groups co-located, n_buckets
+    cardinality), then per bucket one vectorized pandas pass: sort by
+    (keys, order_cols) + cumcount < n.  A per-batch LOCAL top-n prunes
+    before the shuffle, so at most n rows per (group, input block) move
+    — never the whole table."""
+    def local_prune(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.sort_values(keys + order_cols, kind="mergesort")
+        keep = g.groupby(keys, sort=False).cumcount() < n
+        out = g[keep].copy()
+        h = pd.util.hash_pandas_object(out[keys],
+                                       index=False).to_numpy()
+        out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def bucket_topn(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return group.drop(columns=["__b"])
+        g = group.drop(columns=["__b"]).sort_values(
+            keys + order_cols, kind="mergesort")
+        return g[g.groupby(keys, sort=False).cumcount() < n]
+
+    return (ds.map_batches(local_prune, batch_format="pandas")
+            .groupby("__b").map_groups(bucket_topn,
+                                       batch_format="pandas"))
+
+
 def topk(ds, sort_cols: list[str], k: int, descending: list[bool]):
     """Top-k pushdown: per-block local top-k (vectorized) before the global
     sort+limit — the shuffle moves at most k rows per block."""
@@ -1073,4 +1105,37 @@ def q_distinct_users(sf_dir: str):
 Q_DISTINCT_USERS_SQL = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_docs_sample(sf_dir: str):
+    """Stratified deterministic subsample: 3 docs per (lang, source) by
+    content hash — reproducible training-subset selection (no RNG)."""
+    import hashlib
+
+    docs = read(sf_dir, "documents", ["doc_id", "text", "lang",
+                                      "source"])
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": batch["lang"], "source": batch["source"],
+            "h": [hashlib.md5(t.encode()).hexdigest()
+                  for t in batch["text"]],
+            "doc_id": batch["doc_id"].astype(np.int64)})
+
+    top = grouped_topn(docs.map_batches(key, batch_format="pandas"),
+                       ["lang", "source"], ["h", "doc_id"], 3)
+    return (top.map_batches(
+        lambda b: b[["lang", "source", "doc_id"]],
+        batch_format="pandas")
+        .sort(["lang", "source", "doc_id"]))
+
+
+Q_DOCS_SAMPLE_SQL = """
+SELECT lang, source, doc_id FROM (
+  SELECT lang, source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY md5(text), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 3 ORDER BY lang, source, doc_id
 """

@@ -798,3 +798,20 @@ def test_minhash_signature_and_none_verify_modes(ray_session):
         assert rep[0] == rep[1] == rep[2] == 0, mode
         assert rep[3] == rep[4] == 3, mode
         assert rep[5] == 5, mode
+
+
+def test_grouped_topn_matches_pandas(ray_session):
+    import ray.data
+    from geoflow.relational import grouped_topn
+    rng = np.random.default_rng(59)
+    df = pd.DataFrame({
+        "g": rng.choice(list("abc"), 2000),
+        "o": rng.integers(0, 10**6, 2000).astype(np.int64),
+        "v": np.arange(2000, dtype=np.int64)})
+    got = grouped_topn(ray.data.from_pandas(df), ["g"], ["o", "v"],
+                       n=5).to_pandas().sort_values(["g", "o", "v"]) \
+        .reset_index(drop=True)
+    want = df.sort_values(["g", "o", "v"], kind="mergesort")
+    want = want[want.groupby("g", sort=False).cumcount() < 5] \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "o", "v"]], want)
