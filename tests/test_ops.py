@@ -815,3 +815,48 @@ def test_grouped_topn_matches_pandas(ray_session):
     want = want[want.groupby("g", sort=False).cumcount() < 5] \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["g", "o", "v"]], want)
+
+
+def test_property_ops_roundtrip_random():
+    """Property fuzz: for random JSON property objects, get() returns
+    exactly what set() stored, del removes it, keys() tracks both."""
+    import json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geoflow import properties as P
+    from geoflow.jsonops import dump_json
+
+    val = st.one_of(st.none(), st.booleans(),
+                    st.integers(-10**12, 10**12),
+                    st.floats(allow_nan=False, allow_infinity=False,
+                              min_value=-1e9, max_value=1e9),
+                    st.text(max_size=10))
+    objs = st.lists(st.dictionaries(
+        st.text(min_size=1, max_size=6).filter(
+            lambda k: k.isidentifier()), val, max_size=5),
+        min_size=1, max_size=8)
+
+    @settings(max_examples=40, deadline=None)
+    @given(objs, st.text(min_size=1, max_size=6).filter(
+        lambda k: k.isidentifier()))
+    def run(rows, key):
+        b = pa.table({"properties": pa.array(
+            [dump_json(r, sort_keys=True) for r in rows])})
+        stored = P.set_property(b, key, 17)
+        got = P.get_property(stored, key, dtype="int64")
+        assert got[key].to_pylist() == [17] * len(rows)
+        back = [json.loads(s) for s in
+                stored["properties"].to_pylist()]
+        for orig, new in zip(rows, back):
+            want = dict(orig)
+            want[key] = 17
+            assert new == want
+        gone = P.del_property(stored, key)
+        keys = P.property_keys(gone)["keys"].to_pylist()
+        for orig, ks in zip(rows, keys):
+            assert key not in ks
+            assert set(ks) == set(orig) - {key}
+
+    run()
