@@ -116,9 +116,63 @@ def bucketed_hash_join(left_ds, right_ds, on: str, n_buckets: int = 32,
 BROADCAST_LIMIT = 2_000_000
 
 
+_BLOOM_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_BLOOM_MIX = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k_hashes: int
+                     ) -> np.ndarray:
+    """(n, k) bit positions via double hashing (splitmix-style)."""
+    x = keys.astype(np.int64).view(np.uint64)
+    h1 = (x ^ (x >> np.uint64(30))) * _BLOOM_GOLD
+    h2 = ((x ^ (x >> np.uint64(27))) * _BLOOM_MIX) | np.uint64(1)
+    i = np.arange(k_hashes, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def build_bloom(keys_ds, on: str, m_bits: int = 1 << 24,
+                k_hashes: int = 4) -> np.ndarray:
+    """Bloom filter of a key column, built distributed: each block
+    produces a partial bitset (one uint64-array row), partials OR
+    together — here on the driver (#blocks rows of m_bits/8 bytes; on a
+    real cluster insert a bucketed OR level first if #blocks is huge).
+    Size ``m_bits`` at ~10 bits per expected key for ~1% FP."""
+    words = m_bits // 64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(words, dtype=np.uint64)
+        keys = batch[on].to_numpy().astype(np.int64)
+        pos = _bloom_positions(keys, m_bits, k_hashes).ravel()
+        np.bitwise_or.at(bits, pos // 64,
+                         np.uint64(1) << (pos % 64).astype(np.uint64))
+        return pd.DataFrame({"bloom": [bits.tobytes()]})
+
+    parts = keys_ds.map_batches(partial, batch_format="pandas",
+                                batch_size=65536).to_pandas()
+    out = np.zeros(words, dtype=np.uint64)
+    for b in parts["bloom"]:
+        out |= np.frombuffer(bytes(b), dtype=np.uint64)
+    return out
+
+
+def bloom_contains(bits: np.ndarray, keys: np.ndarray,
+                   k_hashes: int = 4) -> np.ndarray:
+    """Vectorized membership test (no false negatives)."""
+    m_bits = len(bits) * 64
+    pos = _bloom_positions(keys.astype(np.int64), m_bits, k_hashes)
+    hit = np.ones(len(keys), dtype=bool)
+    for j in range(pos.shape[1]):
+        p = pos[:, j]
+        hit &= (bits[p // 64] >> (p % 64).astype(np.uint64)) \
+            & np.uint64(1) > 0
+    return hit
+
+
 def adaptive_semijoin(big_ds, keys_ds, on: str,
                       broadcast_limit: int = BROADCAST_LIMIT,
-                      n_buckets: int = 32, schemas: tuple | None = None):
+                      n_buckets: int = 32, schemas: tuple | None = None,
+                      bloom_bits: int = 1 << 24):
     """Semijoin-filter ``big_ds`` to rows whose ``on`` appears in
     ``keys_ds`` — with the physical plan chosen by the measured build
     size (the explicit broadcast-vs-shuffle decision of SURVEY §4):
@@ -127,8 +181,12 @@ def adaptive_semijoin(big_ds, keys_ds, on: str,
     for the consume), then its now-free row count picks the plan: at or
     below ``broadcast_limit`` the key set ships once via ``ray.put``
     and the filter is map-only (zero shuffles); above it both sides
-    flow through the co-partitioned ``bucketed_hash_join``.  Results
-    identical either way."""
+    flow through the co-partitioned ``bucketed_hash_join``, with a
+    BLOOM RUNTIME FILTER (``bloom_bits``; 0 disables) broadcast ahead
+    of it so the big side ships only probably-matching rows through the
+    AllToAll — Bloom filters have no false negatives and the join
+    itself is exact, so false positives only cost shuffle bytes.
+    Results identical on every path."""
     import ray
 
     keys_mat = keys_ds.materialize()  # build side only — never big_ds
@@ -140,6 +198,15 @@ def adaptive_semijoin(big_ds, keys_ds, on: str,
             return batch[batch[on].isin(ray.get(ref))]
 
         return big_ds.map_batches(semi, batch_format="pandas")
+    if bloom_bits:
+        bits_ref = ray.put(build_bloom(keys_mat, on, m_bits=bloom_bits))
+
+        def prefilter(batch: pd.DataFrame) -> pd.DataFrame:
+            bits = ray.get(bits_ref)
+            keys = batch[on].to_numpy().astype(np.int64)
+            return batch[bloom_contains(bits, keys)]
+
+        big_ds = big_ds.map_batches(prefilter, batch_format="pandas")
     return bucketed_hash_join(big_ds, keys_mat, on,
                               n_buckets=n_buckets, schemas=schemas)
 

@@ -860,3 +860,40 @@ def test_property_ops_roundtrip_random():
             assert set(ks) == set(orig) - {key}
 
     run()
+
+
+def test_bloom_filter_no_false_negatives(ray_session):
+    import ray.data
+    from geoflow.relational import bloom_contains, build_bloom
+    rng = np.random.default_rng(61)
+    keys = np.unique(rng.integers(0, 10**9, 5000).astype(np.int64))
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys}))
+    bits = build_bloom(ds, "k", m_bits=1 << 18)
+    # every inserted key hits (no false negatives — exactness relies on it)
+    assert bloom_contains(bits, keys).all()
+    # false-positive rate is small at ~50 bits/key
+    probe = rng.integers(10**9, 2 * 10**9, 20000).astype(np.int64)
+    fp = bloom_contains(bits, probe).mean()
+    assert fp < 0.05
+
+
+def test_adaptive_semijoin_bloom_path_identical(ray_session):
+    """Shuffle path with the bloom prefilter == broadcast path rows."""
+    import ray.data
+    from geoflow.relational import adaptive_semijoin
+    rng = np.random.default_rng(67)
+    big = pd.DataFrame({
+        "k": rng.integers(0, 5000, 20000).astype(np.int64),
+        "v": np.arange(20000, dtype=np.int64)})
+    keys = pd.DataFrame({"k": np.arange(0, 5000, 7, dtype=np.int64)})
+
+    def norm(ds):
+        return ds.to_pandas()[["k", "v"]].sort_values(["k", "v"]) \
+            .reset_index(drop=True)
+
+    bcast = norm(adaptive_semijoin(ray.data.from_pandas(big),
+                                   ray.data.from_pandas(keys), on="k"))
+    bloomed = norm(adaptive_semijoin(ray.data.from_pandas(big),
+                                     ray.data.from_pandas(keys), on="k",
+                                     broadcast_limit=0))
+    pd.testing.assert_frame_equal(bcast, bloomed)
