@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_langid": textops.q_langid,
         "q_fingerprint": textops.q_fingerprint,
         "q_winnow": textops.q_winnow,
+        "q_regex_extract": textops.q_regex_extract,
         # dedup
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_dedup_prefix": dedup.q_dedup_prefix,
@@ -370,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality": textops.QUALITY_SQL,
         "q_langid": textops.LANGID_SQL,
         "q_fingerprint": textops.FINGERPRINT_SQL,
+        "q_regex_extract": textops.Q_REGEX_EXTRACT_SQL,
         "q_dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
         "q_dedup_prefix": dedup.Q_DEDUP_PREFIX_SQL,
         "q_embedding_dups": dedup.Q_EMBEDDING_DUPS_SQL,

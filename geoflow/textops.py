@@ -227,3 +227,56 @@ class WinnowFingerprint:
 def q_winnow(sf_dir: str):
     return _docs(sf_dir).map_batches(
         WinnowFingerprint(), batch_format="pandas").sort("doc_id")
+
+
+REGEX_EXTRACT_PATTERN = r"s\w+"
+
+
+def regex_extract(ds, pattern: str, id_col: str = "doc_id",
+                  text_col: str = "text", out_col: str = "tok"):
+    """Generic vectorized regex FLAT-MAP (the extraction machinery of
+    ★M15, pattern-parameterized): Rust-regex ``extract_all`` over the
+    whole batch, explode one output row per match with its per-document
+    match index — no per-row Python.  This is the operator the flagship
+    geotag extractor instantiates; here it gets a DuckDB
+    ``regexp_extract_all`` value oracle of its own."""
+    import polars as pl
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pl.DataFrame({id_col: batch[id_col].to_numpy(),
+                           text_col: batch[text_col].astype(str)})
+        m = (df.select([id_col,
+                        pl.col(text_col).str.extract_all(pattern)
+                        .alias("m")])
+             .explode("m", empty_as_null=True)
+             .drop_nulls("m"))
+        out = m.with_columns(
+            pl.col(id_col).cum_count().over(id_col).alias("match_idx")
+            - 1)
+        return pd.DataFrame({
+            id_col: out[id_col].to_numpy(),
+            "match_idx": out["match_idx"].to_numpy().astype(np.int64),
+            out_col: out["m"].to_list()})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_regex_extract(sf_dir: str):
+    """M15's regex flat-map over the documents table (one row per match
+    with per-doc match index) — full value-hash SQL oracle."""
+    import ray.data
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return regex_extract(docs, REGEX_EXTRACT_PATTERN) \
+        .sort(["doc_id", "match_idx"])
+
+
+Q_REGEX_EXTRACT_SQL = r"""
+SELECT doc_id,
+       CAST(unnest(generate_series(1, len(l))) - 1 AS BIGINT)
+           AS match_idx,
+       unnest(l) AS tok
+FROM (SELECT doc_id, regexp_extract_all(text, 's\w+') AS l
+      FROM documents)
+ORDER BY doc_id, match_idx
+"""

@@ -897,3 +897,17 @@ def test_adaptive_semijoin_bloom_path_identical(ray_session):
                                      ray.data.from_pandas(keys), on="k",
                                      broadcast_limit=0))
     pd.testing.assert_frame_equal(bcast, bloomed)
+
+
+def test_cli_normalize_json_precision_roundtrip(tmp_path):
+    """--precision > 0 roundtrips values through the geobuf codec:
+    coordinates quantize to the requested precision."""
+    import json
+    src = tmp_path / "g.json"
+    src.write_text('{"type":"Point","coordinates":[1.23456789,2.5]}')
+    out = tmp_path / "o.json"
+    r = _run_cli(["normalize_json", str(src), str(out),
+                  "--precision", "4"])
+    assert r.returncode == 0, r.stderr
+    got = json.loads(out.read_text())
+    assert got["coordinates"] == [1.2346, 2.5]
