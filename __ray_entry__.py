@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_simhash": dedup.q_dedup_simhash,
         "q_dedup_jaccard": dedup.q_dedup_jaccard,
         "q_embedding_dups": dedup.q_embedding_dups,
+        "q_embedding_dups_ivf": dedup.q_embedding_dups_ivf,
         # similarity search
         "q_ann_topk": similarity.q_ann_topk,
         "q_ann_lsh": similarity.q_ann_lsh,

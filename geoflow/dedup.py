@@ -906,3 +906,76 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.45
 ORDER BY vec_id_a, vec_id_b
 """
+
+
+def embedding_dups_ivf(emb_ds, threshold: float = 0.45,
+                       n_centroids: int = 16, n_assign: int = 2,
+                       train_sample: int = 4096):
+    """APPROXIMATE embedding near-dup — the sub-quadratic scale path
+    (``embedding_dups`` stays the exact N²/2 oracle).
+
+    IVF bucketing per VERDICT r1 #4's scale note: spherical-k-means
+    centroids are trained once on a driver sample and broadcast; each
+    vector is assigned to its ``n_assign`` nearest centroids
+    (multi-assignment catches boundary pairs); ONE ``groupby(centroid)``
+    shuffle co-locates each bucket, which runs an exact normalized
+    matmul over its members only.  Work drops from N²/2 to
+    sum_b(|bucket_b|²)/2; recall vs the exact path is measured in
+    tests (a pair is found iff the two vectors share >= 1 assigned
+    centroid).  Output pairs are globally deduplicated (bucketed
+    grouped-agg), never driver-collected."""
+    import ray
+
+    from .relational import grouped_agg
+    from .similarity import _normalize, kmeans_centroids
+
+    sample = emb_ds.limit(train_sample).to_pandas()
+    cents = kmeans_centroids(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64),
+        n_centroids)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref)
+        v = _normalize(np.stack(batch["embedding"].to_numpy())
+                       .astype(np.float64))
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        top = np.argsort(-(v @ c.T), axis=1)[:, :n_assign]
+        n = len(ids)
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, n_assign),
+            "__cb": top.ravel().astype(np.int64),
+            "embedding": list(np.repeat(v, n_assign, axis=0))})
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id_a": pd.Series(dtype=np.int64),
+                              "vec_id_b": pd.Series(dtype=np.int64)})
+        if len(group) < 2:
+            return empty
+        g = group.drop_duplicates("vec_id")
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        v = np.stack(g["embedding"].to_numpy())
+        sim = v @ v.T
+        ai, aj = np.nonzero(sim >= threshold)
+        a, b = ids[ai], ids[aj]
+        m = a < b
+        return pd.DataFrame({"vec_id_a": a[m], "vec_id_b": b[m]})
+
+    pairs = (emb_ds.map_batches(assign, batch_format="pandas")
+             .groupby("__cb").map_groups(bucket_pairs,
+                                         batch_format="pandas"))
+    # global dedup (a pair may surface in every shared bucket)
+    uniq = grouped_agg(pairs, ["vec_id_a", "vec_id_b"],
+                       {"__n": ("vec_id_a", "size")})
+    return (uniq.map_batches(
+        lambda b: b[["vec_id_a", "vec_id_b"]], batch_format="pandas")
+        .sort(["vec_id_a", "vec_id_b"]))
+
+
+def q_embedding_dups_ivf(sf_dir: str):
+    """Approximate IVF-bucketed near-dup pairs (rows-only driver check;
+    recall vs the exact path oracled in pytest)."""
+    import ray.data
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return embedding_dups_ivf(emb)

@@ -683,14 +683,19 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     takes the honest shuffle; VERDICT r1 #9).  lineitem revenue is
     pre-aggregated per orderkey so the second join moves one row per
     order."""
-    cust_keys = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    # predicate PUSHED INTO THE READ: only matching row groups/rows are
+    # decoded and only the key column leaves storage
+    import pyarrow.dataset as pds
+    import ray.data
+    cust_keys = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=(pds.field("c_mktsegment") == segment))
 
-    def seg_filter(batch: pa.Table) -> pa.Table:
-        m = pc.equal(batch["c_mktsegment"], pa.scalar(segment))
-        return pa.table(
-            {"o_custkey": batch.filter(m)["c_custkey"].cast(pa.int64())})
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch["c_custkey"]
+                         .cast(pa.int64())})
 
-    cust_f = cust_keys.map_batches(seg_filter, batch_format="pyarrow")
+    cust_f = cust_keys.map_batches(rename, batch_format="pyarrow")
 
     orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     orders_f = adaptive_semijoin(

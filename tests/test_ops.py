@@ -911,3 +911,28 @@ def test_cli_normalize_json_precision_roundtrip(tmp_path):
     assert r.returncode == 0, r.stderr
     got = json.loads(out.read_text())
     assert got["coordinates"] == [1.2346, 2.5]
+
+
+def test_embedding_dups_ivf_recall(ray_session):
+    """IVF-bucketed near-dup vs the exact blocked path: near-copy pairs
+    survive bucketing (multi-assignment), recall is high, and every
+    emitted pair is a TRUE pair (within-bucket verify is exact)."""
+    import ray.data
+    rng = np.random.default_rng(71)
+    base = rng.standard_normal((300, 16)).astype(np.float32)
+    near = base[:30] + rng.standard_normal((30, 16)).astype(
+        np.float32) * 0.01
+    m = np.vstack([base, near])
+    t = pa.table({"vec_id": pa.array(range(len(m)), type=pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in m],
+                                        type=pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    exact = dedup.embedding_dups(ds, threshold=0.95).to_pandas()
+    approx = dedup.embedding_dups_ivf(ds, threshold=0.95,
+                                      n_centroids=8,
+                                      n_assign=3).to_pandas()
+    e = set(zip(exact["vec_id_a"], exact["vec_id_b"]))
+    a = set(zip(approx["vec_id_a"], approx["vec_id_b"]))
+    assert a <= e                      # no false positives
+    assert len(e) >= 30
+    assert len(e & a) / len(e) >= 0.9  # high recall w/ multi-assign
