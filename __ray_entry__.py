@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_ivf": similarity.q_ann_ivf,
         # multimodal plumbing
         "q_media_features": multimodal.q_media_features,
+        "q_media_frames": multimodal.q_media_frames,
         # JSON normalization / codec utility surface (M3/M5/M6/M7)
         "q_json_normalize": jsonops.q_json_normalize,
         # property-column surface (M14): typed get + set + del
@@ -378,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_dups": dedup.Q_EMBEDDING_DUPS_SQL,
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,
         "q_media_features": multimodal.Q_MEDIA_SQL,
+        "q_media_frames": multimodal.Q_MEDIA_FRAMES_SQL,
         "q_properties_project": properties.Q_PROPERTIES_PROJECT_SQL,
         "q_cell_grid": spatial_queries.q_cell_grid_sql(),
         "q_tile_assign": spatial_queries.q_tile_assign_sql(),

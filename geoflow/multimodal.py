@@ -141,3 +141,72 @@ SELECT doc_id AS media_id,
            '[\\x60-\\x6f]', '', 'g')) AS hist6
 FROM documents ORDER BY media_id
 """
+
+
+class FakeFrameSampler:
+    """Deterministic stand-in exercising the ``VideoFrameSampler``
+    CONTRACT — a flat-map that turns one media row into one row per
+    sampled frame — without codec libraries: a "frame" is the
+    ``frame_len``-byte window at every ``every_n``-byte stride of the
+    payload.  Same plumbing as the real thing: per-actor setup in
+    ``__init__``, fat-binary-aware batches, flat-map output
+    (media_id, frame_idx, frame)."""
+
+    def __init__(self, every_n: int = 64, frame_len: int = 32):
+        self.every_n = every_n
+        self.frame_len = frame_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["payload"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset:col.offset + n + 1].astype(np.int64)
+        buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        sizes = np.diff(off)
+        nf = np.maximum(
+            (sizes - self.frame_len) // self.every_n + 1, 0)
+        nf[sizes < self.frame_len] = 0
+        media = np.repeat(
+            batch["media_id"].to_numpy(zero_copy_only=False), nf)
+        # frame start offsets, vectorized across the whole batch
+        starts_in_doc = (np.arange(int(nf.sum()), dtype=np.int64)
+                         - np.repeat(np.concatenate(
+                             ([0], np.cumsum(nf[:-1]))), nf))
+        starts = np.repeat(off[:-1], nf) \
+            + starts_in_doc * self.every_n
+        take = starts[:, None] + np.arange(self.frame_len)[None, :]
+        windows = buf[take.ravel()].reshape(-1, self.frame_len) \
+            if len(starts) else np.empty((0, self.frame_len), np.uint8)
+        frames = [w.tobytes().decode("utf-8", "replace")
+                  for w in windows]
+        return pa.table({
+            "media_id": pa.array(media, type=pa.int64()),
+            "frame_idx": pa.array(starts_in_doc),
+            "frame": pa.array(frames, type=pa.string())})
+
+
+def q_media_frames(sf_dir: str):
+    """Frame-sampling flat-map over binary payloads (actor pool, small
+    batches) — one row per 32-byte frame every 64 bytes; full SQL
+    substr oracle (payloads are ASCII in the synth tables, so byte
+    windows == char windows)."""
+    media = media_from_documents(sf_dir)
+    out = media.map_batches(FakeFrameSampler, batch_format="pyarrow",
+                            batch_size=256, concurrency=(1, 4))
+    return out.sort(["media_id", "frame_idx"])
+
+
+Q_MEDIA_FRAMES_SQL = """
+WITH d AS (SELECT doc_id, text,
+                  CAST((length(text) - 32) // 64 + 1 AS BIGINT)
+                      AS nf
+           FROM documents WHERE length(text) >= 32)
+SELECT doc_id AS media_id,
+       CAST(unnest(generate_series(0, nf - 1)) AS BIGINT) AS frame_idx,
+       unnest(list_transform(generate_series(0, nf - 1),
+              i -> substr(text, CAST(i * 64 + 1 AS BIGINT), 32)))
+           AS frame
+FROM d ORDER BY media_id, frame_idx
+"""

@@ -936,3 +936,20 @@ def test_embedding_dups_ivf_recall(ray_session):
     assert a <= e                      # no false positives
     assert len(e) >= 30
     assert len(e & a) / len(e) >= 0.9  # high recall w/ multi-assign
+
+
+def test_frame_sampler_flatmap_contract(ray_session):
+    """FakeFrameSampler: one output row per frame window, correct bytes
+    and indices; docs shorter than a frame emit zero rows."""
+    from geoflow.multimodal import FakeFrameSampler
+    payloads = [b"a" * 100, b"xy", bytes(range(64)) * 2]
+    t = pa.table({
+        "media_id": pa.array([10, 11, 12], type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary())})
+    out = FakeFrameSampler(every_n=64, frame_len=32)(t).to_pydict()
+    # doc 10: frames at 0 and 64 (100-32=68 >= 64); doc 11: none;
+    # doc 12: len 128 -> frames at 0, 64
+    assert out["media_id"] == [10, 10, 12, 12]
+    assert out["frame_idx"] == [0, 1, 0, 1]
+    assert out["frame"][0] == "a" * 32
+    assert out["frame"][2] == bytes(range(32)).decode("utf-8", "replace")
