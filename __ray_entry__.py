@@ -234,6 +234,55 @@ def _q_polygon_tiles(sf_dir: str):
         .sort(["poly_id", "tile_x", "tile_y"])
 
 
+def _q_polygon_clip(sf_dir: str):
+    """Vector-side M17: clip each synth polygon to every covering z8
+    tile (Sutherland-Hodgman) — one row per non-empty (poly, tile) clip
+    with ring/vertex counts and the clipped shoelace area in 1e-12
+    deg^2 units (rows-only; area-conservation oracle in
+    tests/test_spatial.py)."""
+    import ray.data
+    import numpy as np
+    import pyarrow as pa
+    from geoflow import synth, tiles
+
+    polys = ray.data.from_arrow(synth.make_polygons())
+
+    def clip(batch: pa.Table) -> pa.Table:
+        pids, xs, ys, nrings, nverts, areas = [], [], [], [], [], []
+        coords_rows = batch["coords"].to_pylist()
+        lengths_rows = batch["lengths"].to_pylist()
+        ids = batch["poly_id"].to_numpy(zero_copy_only=False)
+        for i in range(batch.num_rows):
+            coords = np.asarray(coords_rows[i])
+            lengths = np.asarray(lengths_rows[i], dtype=np.int64)
+            for tx, ty in tiles.tiles_for_polygon(coords, lengths, 8):
+                cf, cl = tiles.clip_polygon_to_tile(
+                    coords, lengths, int(tx), int(ty), 8)
+                if len(cl) == 0:
+                    continue
+                pts = cf.reshape(-1, 2)
+                a, k = 0.0, 0
+                for ln in cl:
+                    a += tiles.ring_area(pts[k:k + ln])
+                    k += ln
+                pids.append(int(ids[i]))
+                xs.append(int(tx))
+                ys.append(int(ty))
+                nrings.append(len(cl))
+                nverts.append(int(cl.sum()))
+                areas.append(int(round(a * 1e12)))
+        return pa.table({
+            "poly_id": pa.array(pids, type=pa.int64()),
+            "tile_x": pa.array(xs, type=pa.int64()),
+            "tile_y": pa.array(ys, type=pa.int64()),
+            "n_rings": pa.array(nrings, type=pa.int64()),
+            "n_vertices": pa.array(nverts, type=pa.int64()),
+            "area_pdeg2": pa.array(areas, type=pa.int64())})
+
+    return polys.map_batches(clip, batch_format="pyarrow") \
+        .sort(["poly_id", "tile_x", "tile_y"])
+
+
 def _q_tile_blobs(sf_dir: str):
     """Vector-tile assembly (G2): per-tile geobuf FeatureCollection blob
     sizes (rows-only; blob decode oracled in tests/test_joins.py)."""
@@ -348,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_pages": _q_dedup_pages,
         "q_tile_blobs": _q_tile_blobs,
         "q_polygon_tiles": _q_polygon_tiles,
+        "q_polygon_clip": _q_polygon_clip,
         "q_geobuf_sizes": _q_geobuf_sizes,
     }
 

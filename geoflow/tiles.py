@@ -115,3 +115,81 @@ def tiles_for_polygon(coords: np.ndarray, lengths: np.ndarray,
     arr = np.stack([ii + x0, jj + y0], axis=1).astype(np.int64)
     order = np.lexsort((arr[:, 1], arr[:, 0]))
     return arr[order]
+
+
+def _clip_ring_halfplane(ring: np.ndarray, axis: int, bound: float,
+                         keep_le: bool) -> np.ndarray:
+    """Sutherland–Hodgman: clip one open ring (N, 2) against a single
+    axis-aligned half-plane; vectorized edge classification, Python only
+    over the (short) crossing list assembly."""
+    if len(ring) == 0:
+        return ring
+    v = ring[:, axis]
+    inside = v <= bound if keep_le else v >= bound
+    nxt = np.roll(np.arange(len(ring)), -1)
+    out: list[np.ndarray] = []
+    for i in range(len(ring)):
+        j = nxt[i]
+        p, q = ring[i], ring[j]
+        if inside[i]:
+            out.append(p)
+        if inside[i] != inside[j]:
+            t = (bound - p[axis]) / (q[axis] - p[axis])
+            out.append(p + t * (q - p))
+    return np.asarray(out, dtype=np.float64).reshape(-1, 2)
+
+
+def clip_ring_to_box(ring: np.ndarray, lng0: float, lat0: float,
+                     lng1: float, lat1: float) -> np.ndarray:
+    """Clip a CLOSED GeoJSON ring to an axis-aligned box
+    (Sutherland–Hodgman against the four half-planes).  Input repeats
+    the first point at the end; output does too (or is empty when the
+    ring lies outside the box).  The box is convex, so the result is a
+    single ring — the vector side of M17's tile↔geometry assignment
+    (tile clip list)."""
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(r) and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    for axis, bound, keep_le in ((0, lng0, False), (0, lng1, True),
+                                 (1, lat0, False), (1, lat1, True)):
+        r = _clip_ring_halfplane(r, axis, bound, keep_le)
+        if len(r) < 3:
+            return np.empty((0, 2))
+    return np.vstack([r, r[:1]])
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Shoelace area (absolute) of a closed ring (N, 2)."""
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(r) < 4:
+        return 0.0
+    x, y = r[:-1, 0], r[:-1, 1]
+    return float(abs(np.dot(x, np.roll(y, -1))
+                     - np.dot(y, np.roll(x, -1))) / 2.0)
+
+
+def clip_polygon_to_tile(coords: np.ndarray, lengths: np.ndarray,
+                         x: int, y: int, z: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Clip a polygon (flat closed rings + ring lengths, GeoJSON style)
+    to tile (z, x, y) — outer ring and holes each clipped against the
+    tile box.  Returns (flat_coords, ring_lengths) in the same layout;
+    empty when nothing of the polygon lies in the tile.  Used by the
+    vector-tile assembly to store per-tile geometry instead of whole
+    polygons."""
+    lng0, lat0, lng1, lat1 = tile_bounds(x, y, z)
+    pts = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    out_flat: list[np.ndarray] = []
+    out_len: list[int] = []
+    k = 0
+    for ln in np.asarray(lengths, dtype=np.int64):
+        ring = pts[k:k + ln]
+        k += ln
+        clipped = clip_ring_to_box(ring, lng0, lat0, lng1, lat1)
+        if len(clipped):
+            out_flat.append(clipped.ravel())
+            out_len.append(len(clipped))
+    if not out_flat:
+        return np.empty(0), np.empty(0, dtype=np.int64)
+    return (np.concatenate(out_flat),
+            np.asarray(out_len, dtype=np.int64))

@@ -268,3 +268,48 @@ def test_hot_cluster_skew_exists():
     _, counts = np.unique(c, return_counts=True)
     # the hot cell holds >10% of all features (20% of tags in a 0.5° box)
     assert counts.max() > 0.1 * len(c)
+
+
+def test_clip_ring_to_box():
+    from geoflow import tiles
+    sq = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+                  dtype=np.float64)
+    # box fully contains the ring -> unchanged area
+    c = tiles.clip_ring_to_box(sq, -1, -1, 5, 5)
+    assert tiles.ring_area(c) == tiles.ring_area(sq) == 16.0
+    # half overlap -> half the area
+    c = tiles.clip_ring_to_box(sq, 2, -1, 10, 10)
+    assert tiles.ring_area(c) == 8.0
+    assert (c[:, 0] >= 2).all()
+    # disjoint -> empty
+    c = tiles.clip_ring_to_box(sq, 10, 10, 20, 20)
+    assert len(c) == 0
+    # corner overlap -> quarter
+    c = tiles.clip_ring_to_box(sq, 2, 2, 10, 10)
+    assert tiles.ring_area(c) == 4.0
+
+
+def test_clip_polygon_to_tile_conserves_area():
+    """Clipping a polygon to every covering tile partitions it: the
+    clipped areas sum to the original area (planar degrees)."""
+    from geoflow import tiles
+    rng = np.random.default_rng(73)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 8))
+    r = rng.uniform(1.0, 4.0, 8)
+    ring = np.stack([10 + r * np.cos(ang), 20 + r * np.sin(ang)],
+                    axis=1)
+    ring = np.vstack([ring, ring[:1]])
+    coords = ring.ravel()
+    lengths = np.array([len(ring)], dtype=np.int64)
+    z = 6
+    cover = tiles.tiles_for_polygon(coords, lengths, z)
+    total = 0.0
+    for tx, ty in cover:
+        cf, cl = tiles.clip_polygon_to_tile(coords, lengths,
+                                            int(tx), int(ty), z)
+        k = 0
+        pts = cf.reshape(-1, 2) if len(cf) else np.empty((0, 2))
+        for ln in cl:
+            total += tiles.ring_area(pts[k:k + ln])
+            k += ln
+    assert abs(total - tiles.ring_area(ring)) < 1e-9
