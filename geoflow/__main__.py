@@ -20,6 +20,7 @@ decoded header.
 from __future__ import annotations
 
 import argparse
+import json
 import pathlib
 import sys
 
@@ -154,7 +155,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (ValueError, json.JSONDecodeError) as e:
+        # corrupt pbf bytes / invalid JSON: clean failure, no traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -953,3 +953,10 @@ def test_frame_sampler_flatmap_contract(ray_session):
     assert out["frame_idx"] == [0, 1, 0, 1]
     assert out["frame"][0] == "a" * 32
     assert out["frame"][2] == bytes(range(32)).decode("utf-8", "replace")
+
+
+def test_cli_corrupt_pbf_fails_cleanly():
+    r = _run_cli(["geobuf2json", "-", "-"],
+                 stdin_bytes=b"\xff\xff\xff not a pbf")
+    assert r.returncode != 0
+    assert b"Traceback" not in r.stderr or b"failed" in r.stderr.lower()
