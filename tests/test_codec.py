@@ -657,3 +657,60 @@ def test_property_dispatch_byte_identity(docs):
                 and d["geometries"] == []
         else:
             assert codec.encode(out) == b  # fixpoint
+
+
+def test_decode_segmented_roundtrip():
+    """decode_segmented inverts encode_polygons / encode_multilines:
+    quantized coords, ring closure and lengths-omission reconstruction
+    all restored (cross-checked against the document decoder)."""
+    import numpy as np
+    rng = np.random.default_rng(83)
+
+    # polygons incl. single-ring (lengths omitted on the wire)
+    coords_rows, ring_rows = [], []
+    for i in range(60):
+        n_rings = 1 if i % 2 else 3
+        flat, lens = [], []
+        for _ in range(n_rings):
+            k = int(rng.integers(3, 8))
+            pts = np.round(rng.uniform(-170, 170, (k, 2)),
+                           int(rng.integers(0, 7)))
+            ring = np.vstack([pts, pts[:1]])
+            flat.append(ring.ravel())
+            lens.append(len(ring))
+        coords_rows.append(np.concatenate(flat))
+        ring_rows.append(lens)
+    enc = codec_batch.encode_polygons(coords_rows, ring_rows)
+    dec = codec_batch.decode_segmented(enc)
+    for i in range(60):
+        g, flat, lens = dec[i]
+        assert g == 4
+        assert list(lens) == ring_rows[i]
+        doc = codec.decode(enc[i].as_py())
+        want = np.concatenate([np.asarray(r).ravel()
+                               for r in doc["coordinates"]])
+        assert np.allclose(flat, want, atol=0)
+        assert (flat == want).all()
+
+    # multilinestrings (open segments, no closure)
+    coords_rows, line_rows = [], []
+    for i in range(40):
+        n_lines = 1 if i % 3 else 2
+        flat, lens = [], []
+        for _ in range(n_lines):
+            k = int(rng.integers(2, 6))
+            pts = np.round(rng.uniform(-170, 170, (k, 2)), 4)
+            flat.append(pts.ravel())
+            lens.append(k)
+        coords_rows.append(np.concatenate(flat))
+        line_rows.append(lens)
+    enc = codec_batch.encode_multilines(coords_rows, line_rows)
+    dec = codec_batch.decode_segmented(enc)
+    for i in range(40):
+        g, flat, lens = dec[i]
+        assert g == 3
+        assert list(lens) == line_rows[i]
+        doc = codec.decode(enc[i].as_py())
+        want = np.concatenate([np.asarray(ln).ravel()
+                               for ln in doc["coordinates"]])
+        assert (flat == want).all()
