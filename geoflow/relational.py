@@ -332,14 +332,17 @@ def interval_join(left_ds, right_ds, key: str, left_time: str,
     ``key`` with ``|right_time - left_time| <= window_us`` — an operator
     Ray Data lacks (SURVEY §2 custom-operator rule).
 
-    Shape: both sides hash-co-partition on ``key % n_buckets`` through
-    one null-padded union shuffle (sides re-split at the Arrow level so
-    int64 times stay exact); each bucket runs one vectorized pandas
-    merge-on-key + band filter.  Partitioning assumption: a key's rows
-    land wholly in one bucket, so results are exact; a key whose
-    events×rows cross product is huge makes its bucket the straggler —
-    that cartesian blow-up is inherent to the operator's output, not
-    the plan (pre-filter or coarser windows bound it)."""
+    Shape: co-partition on (key, TIME CHUNK) — chunk width =
+    ``window_us``; each right row lands in its one chunk, each left row
+    is replicated to the ≤3 chunks its band can reach, and one
+    null-padded union shuffle on ``hash(key, chunk) % n_buckets``
+    co-locates them (sides re-split at the Arrow level so int64 times
+    stay exact).  Per bucket: one vectorized merge on (key, chunk) +
+    band filter.  Every qualifying pair is evaluated exactly once (at
+    the right row's unique chunk), so results are exact — and a hot key
+    no longer concentrates its whole history in one bucket: per-bucket
+    work is bounded by rows per (key, window-sized time slice), the
+    time-locality the operator itself expresses."""
     if schemas is not None:
         lschema, rschema = schemas
     else:
@@ -349,26 +352,53 @@ def interval_join(left_ds, right_ds, key: str, left_time: str,
     rcols = [c for c in rschema.names if c != key]
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
+    w = np.int64(window_us)
+
+    def _bucket(k: np.ndarray, ck: np.ndarray) -> np.ndarray:
+        h = (k.astype(np.int64).view(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) \
+            ^ (ck.astype(np.int64).view(np.uint64)
+               * np.uint64(1099511628211))
+        return (h % np.uint64(n_buckets)).astype(np.int64)
 
     def tag(side: int):
         own_schema = lschema if side == 0 else rschema
         pad_cols = rcols if side == 0 else [c for c in lcols
                                             if c != key]
         pad_types = rtypes if side == 0 else ltypes
+        tcol = left_time if side == 0 else right_time
 
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            k = batch[key].to_numpy(zero_copy_only=False)
-            cols: dict = {key: batch[key]}
+            t = batch[tcol].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if side == 1:
+                reps = np.ones(n, dtype=np.int64)
+                ck = np.floor_divide(t, w)
+            else:
+                # replicate to every chunk the band [t-w, t+w] touches
+                lo = np.floor_divide(t - w, w)
+                hi = np.floor_divide(t + w, w)
+                reps = (hi - lo + 1)
+                offs = np.arange(int(reps.max()), dtype=np.int64)
+                ck_grid = lo[:, None] + offs[None, :]
+                keep = offs[None, :] < reps[:, None]
+                ck = ck_grid[keep]
+            take = pa.array(np.repeat(np.arange(n, dtype=np.int64),
+                                      reps))
+            m = int(len(ck))
+            cols: dict = {key: pc.take(batch[key], take)}
             for c in own_schema.names:
                 if c != key:
-                    cols[c] = batch[c]
+                    cols[c] = pc.take(batch[c], take)
             for c in pad_cols:
-                cols[c] = pa.nulls(n, type=pad_types[c])
-            cols["__b"] = pa.array((k % n_buckets).astype(np.int64))
-            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+                cols[c] = pa.nulls(m, type=pad_types[c])
+            k = cols[key].to_numpy(zero_copy_only=False)
+            cols["__ck"] = pa.array(ck.astype(np.int64))
+            cols["__b"] = pa.array(_bucket(k, ck))
+            cols["__side"] = pa.array(np.full(m, side, dtype=np.int8))
             order = [key] + [c for c in lcols if c != key] + rcols \
-                + ["__b", "__side"]
+                + ["__ck", "__b", "__side"]
             return pa.table({c: cols[c] for c in order})
         return fn
 
@@ -376,24 +406,25 @@ def interval_join(left_ds, right_ds, key: str, left_time: str,
                .union(right_ds.map_batches(tag(1),
                                            batch_format="pyarrow")))
 
-    left_out = [key] + [c for c in lcols if c != key]
+    left_out = [key, "__ck"] + [c for c in lcols if c != key]
 
     def join_bucket(block: pa.Table) -> pa.Table:
         side = block["__side"]
         left = block.filter(pc.equal(side, 0)).select(left_out) \
             .to_pandas()
         right = block.filter(pc.equal(side, 1)) \
-            .select([key] + rcols).to_pandas()
+            .select([key, "__ck"] + rcols).to_pandas()
         if len(left) == 0 or len(right) == 0:
-            empty = {c: left[c].head(0) for c in left_out}
+            empty = {c: left[c].head(0) for c in left_out
+                     if c != "__ck"}
             for c in rcols:
                 empty[c] = right[c].head(0)
             return pa.Table.from_pandas(pd.DataFrame(empty),
                                         preserve_index=False)
-        m = left.merge(right, on=key, how="inner",
+        m = left.merge(right, on=[key, "__ck"], how="inner",
                        suffixes=("", "__r"))
         dt = m[left_time].to_numpy() - m[right_time].to_numpy()
-        out = m[np.abs(dt) <= window_us]
+        out = m[np.abs(dt) <= window_us].drop(columns=["__ck"])
         return pa.Table.from_pandas(out.reset_index(drop=True),
                                     preserve_index=False)
 
