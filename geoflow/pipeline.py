@@ -108,6 +108,11 @@ def assemble_tiles(joined_ds, n_buckets: int = 64):
     from . import codec
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        # project to the assembly columns BEFORE the shuffle: the fat
+        # (dictionary-encoded) carried text never enters the AllToAll
+        # — the blob only needs (tile, url, feature_idx, lng, lat)
+        batch = batch.select(["tile_z", "tile_x", "tile_y", "url",
+                              "feature_idx", "lng", "lat"])
         z = batch["tile_z"].to_numpy(zero_copy_only=False).astype(np.int64)
         x = batch["tile_x"].to_numpy(zero_copy_only=False).astype(np.int64)
         y = batch["tile_y"].to_numpy(zero_copy_only=False).astype(np.int64)
