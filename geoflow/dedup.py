@@ -142,20 +142,24 @@ class MinHasher:
         # every doc has >= 1 shingle, so reduceat segments are non-empty
         return np.minimum.reduceat(vals, offsets[:-1], axis=0)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        """Explode each doc into one row per LSH band."""
-        sigs = self.signatures(list(batch["text"]))
-        n = len(batch)
+    def band_rows(self, doc_ids: np.ndarray, sigs: np.ndarray
+                  ) -> pd.DataFrame:
+        """(doc_id, band, band_hash) rows from precomputed signatures —
+        FNV-style rolling combine across each band's rows."""
+        n = len(doc_ids)
         band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
-        doc_ids = np.repeat(batch["doc_id"].to_numpy(), self.bands)
-        # band hash: FNV-style rolling combine across the band's rows
         s3 = sigs.reshape(n, self.bands, self.rows)
         h = np.full((n, self.bands), 1469598103934665603, dtype=np.uint64)
         for r in range(self.rows):
             h = (h ^ s3[:, :, r]) * _FNV_PRIME
         bh = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).ravel()
-        return pd.DataFrame({"doc_id": doc_ids, "band": band_ids,
-                             "band_hash": bh})
+        return pd.DataFrame({"doc_id": np.repeat(doc_ids, self.bands),
+                             "band": band_ids, "band_hash": bh})
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """Explode each doc into one row per LSH band."""
+        sigs = self.signatures(list(batch["text"]))
+        return self.band_rows(batch["doc_id"].to_numpy(), sigs)
 
 
 def jaccard(text_a: str, text_b: str, n: int = 3) -> float:
@@ -337,7 +341,8 @@ def verify_pairs_distributed(docs_ds, pairs_ds, threshold: float,
 def verify_pairs_by_signature(docs_ds, pairs_ds, threshold: float,
                               num_perm: int = 64, shingle_n: int = 3,
                               n_buckets: int = 32,
-                              collapse: str = "none"):
+                              collapse: str = "none",
+                              sigs_ds=None):
     """Candidate-pair verification by the MinHash SIGNATURE estimator —
     the 100-TB path for dup-heavy corpora where exact per-pair shingle
     intersection is the bottleneck (a 100-way dup cluster yields ~5k
@@ -403,15 +408,19 @@ def verify_pairs_by_signature(docs_ds, pairs_ds, threshold: float,
         if len(cand) == 0:
             return empty
         # sig as BYTES: a plain binary column unions cleanly with the
-        # pair side's None rows (ndarray cells trip Ray's tensor ext)
-        sigs = hasher.signatures(list(cand["text"]))
+        # pair side's empty rows (ndarray cells trip Ray's tensor ext)
+        if "sig" in cand.columns:          # precomputed sigs_ds source
+            sig_bytes = [bytes(s) for s in cand["sig"]]
+        else:                              # compute from text
+            sig_bytes = [s.tobytes()
+                         for s in hasher.signatures(list(cand["text"]))]
         ids = cand["doc_id"].to_numpy().astype(np.int64)
         out_id, out_vb, out_sig = [], [], []
         for i, d in enumerate(ids):
             for vb in m[int(d)]:
                 out_id.append(int(d))
                 out_vb.append(vb)
-                out_sig.append(sigs[i].tobytes())
+                out_sig.append(sig_bytes[i])
         n = len(out_id)
         return pd.DataFrame({
             "__vb": np.asarray(out_vb, dtype=np.int64),
@@ -431,7 +440,8 @@ def verify_pairs_by_signature(docs_ds, pairs_ds, threshold: float,
             "b": batch["b"].to_numpy().astype(np.int64),
             "__side": np.ones(n, dtype=np.int8)})
 
-    unioned = (docs_ds.map_batches(emit_sigs, batch_format="pandas")
+    src = sigs_ds if sigs_ds is not None else docs_ds
+    unioned = (src.map_batches(emit_sigs, batch_format="pandas")
                .union(tagged.map_batches(tag_pairrows,
                                          batch_format="pandas")))
 
@@ -496,9 +506,33 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, num_perm: int = 64,
     are mutually similar so this rarely matters; raise ``max_clique``
     to trade cost for completeness).
     """
-    bands_ds = docs_ds.map_batches(
-        MinHasher(num_perm=num_perm, bands=bands),
-        batch_format="pandas")
+    hasher = MinHasher(num_perm=num_perm, bands=bands,
+                       shingle_n=shingle_n)
+    sigs_ds = None
+    if verify == "signature":
+        # compute signatures ONCE (materialized): banding and the
+        # verify stage both derive from the same signature table
+        # instead of shingling the corpus twice
+        def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
+            sigs = hasher.signatures(list(batch["text"]))
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+                "sig": [s.tobytes() for s in sigs]})
+
+        sigs_ds = docs_ds.map_batches(
+            sig_rows, batch_format="pandas").materialize()
+
+        def bands_from_sigs(batch: pd.DataFrame) -> pd.DataFrame:
+            sigs = np.stack([np.frombuffer(bytes(s), dtype=np.uint64)
+                             for s in batch["sig"]]) if len(batch) \
+                else np.empty((0, num_perm), dtype=np.uint64)
+            return hasher.band_rows(
+                batch["doc_id"].to_numpy().astype(np.int64), sigs)
+
+        bands_ds = sigs_ds.map_batches(bands_from_sigs,
+                                       batch_format="pandas")
+    else:
+        bands_ds = docs_ds.map_batches(hasher, batch_format="pandas")
 
     # co-locate LSH buckets via a COARSE hash bucket (band_hash is already
     # uniform) — one vectorized pass per coarse bucket instead of one
@@ -552,7 +586,8 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, num_perm: int = 64,
         vds = verify_pairs_by_signature(docs_ds, pairs_ds, threshold,
                                         num_perm=num_perm,
                                         shingle_n=shingle_n,
-                                        collapse="forest")
+                                        collapse="forest",
+                                        sigs_ds=sigs_ds)
     elif verify == "none":
         def forest(batch: pd.DataFrame) -> pd.DataFrame:
             ka, kb = _spanning_forest(
