@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_users": relational.q_distinct_users,
         "q_docs_sample": relational.q_docs_sample,
         "q_value_quantiles": relational.q_value_quantiles,
+        "q_grouped_quantiles": relational.q_grouped_quantiles,
         # text analysis (full SQL oracles)
         "q_token_stats": textops.q_token_stats,
         "q_quality": textops.q_quality,
@@ -419,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "q_distinct_users": relational.Q_DISTINCT_USERS_SQL,
         "q_docs_sample": relational.Q_DOCS_SAMPLE_SQL,
         "q_value_quantiles": relational.Q_VALUE_QUANTILES_SQL,
+        "q_grouped_quantiles": relational.Q_GROUPED_QUANTILES_SQL,
         "q_token_stats": textops.TOKEN_STATS_SQL,
         "q_quality": textops.QUALITY_SQL,
         "q_langid": textops.LANGID_SQL,

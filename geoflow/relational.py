@@ -1020,6 +1020,95 @@ def int_histogram(ds, col: str):
                        [col], {"n": ("n", "sum")})
 
 
+def grouped_quantiles(ds, keys: list[str], col: str,
+                      quantiles, n_buckets: int | None = None):
+    """Exact PER-GROUP quantiles (★G7) from a distributed integer
+    histogram: stage 1 reduces rows to (keys, value, count) partials
+    (shuffle bounded by the value domain per group, not row count);
+    stage 2 buckets whole groups together and extracts each quantile
+    vectorized — quantile q = sorted value at 0-based floor((n-1)*q),
+    the same convention as q_value_quantiles' ROW_NUMBER oracle.
+    Returns (keys..., q, col) rows."""
+    if n_buckets is None:
+        n_buckets = _default_buckets()
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch.groupby(keys + [col], sort=False) \
+            .size().reset_index(name="n")
+        return vc
+
+    hist = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                       keys + [col], {"n": ("n", "sum")},
+                       n_buckets=n_buckets)
+
+    def add_gbucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch[keys],
+                                       index=False).to_numpy()
+        batch = batch.copy()
+        batch["__qb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return batch
+
+    qs = [float(q) for q in quantiles]
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        cols = {k: pd.Series(dtype=object) for k in keys}
+        cols["q"] = pd.Series(dtype=np.float64)
+        cols[col] = pd.Series(dtype=np.int64)
+        if len(group) == 0:
+            return pd.DataFrame(cols)
+        g = group.drop(columns=["__qb"]).sort_values(
+            keys + [col], kind="mergesort")
+        gb = g.groupby(keys, sort=False)
+        hi = gb["n"].cumsum().to_numpy()
+        lo = hi - g["n"].to_numpy()
+        n_per = gb["n"].transform("sum").to_numpy()
+        outs = []
+        for q in qs:
+            t = np.floor((n_per - 1) * q)
+            hit = g[(lo <= t) & (t < hi)].copy()
+            hit["q"] = q
+            outs.append(hit[keys + ["q", col]])
+        out = pd.concat(outs, ignore_index=True)
+        out[col] = out[col].astype(np.int64)
+        return out
+
+    return (hist.map_batches(add_gbucket, batch_format="pandas")
+            .groupby("__qb").map_groups(pick, batch_format="pandas"))
+
+
+GROUPED_QUANTILES = (0.5, 0.9)
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Median and p90 of events.value (cents) per event_type from the
+    distributed per-group histogram."""
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "value_c": _cents(batch["value"])})
+
+    out = grouped_quantiles(ds.map_batches(prep, batch_format="pyarrow"),
+                            ["event_type"], "value_c",
+                            GROUPED_QUANTILES)
+    return out.sort(["event_type", "q"])
+
+
+Q_GROUPED_QUANTILES_SQL = f"""
+WITH v AS (SELECT event_type,
+                  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
+           FROM events),
+r AS (SELECT event_type, value_c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value_c) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n FROM v)
+SELECT event_type, q, value_c
+FROM (VALUES {", ".join(f"({q})" for q in GROUPED_QUANTILES)}) qs(q)
+JOIN r ON r.rn = CAST(FLOOR((r.n - 1) * qs.q) AS BIGINT)
+ORDER BY event_type, q
+"""
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact quantiles of events.value (in cents) from a distributed
     integer histogram; quantile q = sorted value at 0-based index

@@ -960,3 +960,24 @@ def test_cli_corrupt_pbf_fails_cleanly():
                  stdin_bytes=b"\xff\xff\xff not a pbf")
     assert r.returncode != 0
     assert b"Traceback" not in r.stderr or b"failed" in r.stderr.lower()
+
+
+def test_grouped_quantiles_matches_pandas(ray_session):
+    import ray.data
+    from geoflow.relational import grouped_quantiles
+    rng = np.random.default_rng(79)
+    df = pd.DataFrame({
+        "g": rng.choice(list("abc"), 4000),
+        "v": rng.integers(0, 500, 4000).astype(np.int64)})
+    got = grouped_quantiles(ray.data.from_pandas(df), ["g"], "v",
+                            (0.25, 0.5, 0.9), n_buckets=5).to_pandas() \
+        .sort_values(["g", "q"]).reset_index(drop=True)
+    rows = []
+    for g, grp in df.groupby("g"):
+        sv = np.sort(grp["v"].to_numpy())
+        for q in (0.25, 0.5, 0.9):
+            rows.append((g, q, int(sv[int(np.floor((len(sv) - 1) * q))])))
+    want = pd.DataFrame(rows, columns=["g", "q", "v"]) \
+        .sort_values(["g", "q"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "q", "v"]], want,
+                                  check_dtype=False)
