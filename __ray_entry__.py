@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_dedup_prefix": dedup.q_dedup_prefix,
+        "q_incremental_dedup": dedup.q_incremental_dedup,
         "q_dedup_minhash": dedup.q_dedup_minhash,
         "q_dedup_simhash": dedup.q_dedup_simhash,
         "q_dedup_jaccard": dedup.q_dedup_jaccard,
@@ -428,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "q_regex_extract": textops.Q_REGEX_EXTRACT_SQL,
         "q_dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
         "q_dedup_prefix": dedup.Q_DEDUP_PREFIX_SQL,
+        "q_incremental_dedup": dedup.Q_INCREMENTAL_DEDUP_SQL,
         "q_embedding_dups": dedup.Q_EMBEDDING_DUPS_SQL,
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,
         "q_media_features": multimodal.Q_MEDIA_SQL,

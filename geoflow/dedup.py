@@ -1014,3 +1014,117 @@ def q_embedding_dups_ivf(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     return embedding_dups_ivf(emb)
+
+
+def incremental_dedup_exact(docs_ds, state_dir: str,
+                            n_buckets: int = 64,
+                            run_id: str | None = None):
+    """CROSS-RUN exact dedup for incremental ingestion: marks each doc
+    new-or-seen against a persistent fingerprint store and appends the
+    new fingerprints, so successive runs (new crawl shards) dedup
+    against everything ingested before.
+
+    Distributed state WITHOUT a shared mutable index: the store is
+    hash-bucketed parquet (``state_dir/bucket=k/``); each run's docs
+    hash to md5 fingerprints, co-locate per bucket through one groupby
+    shuffle, and every bucket task reads only ITS bucket's stored
+    fingerprints, flags rows (stored fp, or a smaller doc_id in this
+    run's bucket, means dup) and appends one (run, content)-keyed
+    fingerprint file.  Retries are idempotent: a retried task rewrites
+    the same file name and EXCLUDES its own file when loading the
+    store, so its flags don't flip — the RUN id in the name keeps that
+    exclusion from masking a previous run's identical block (the same
+    fp multiset across runs must read as already-stored).  ``run_id``
+    defaults to a fresh token per call; pass a stable one to make a
+    whole-run replay reproduce its flags exactly.  Returns a Dataset
+    of (doc_id, is_new)."""
+    import hashlib
+    import os
+    import pathlib
+    import uuid
+
+    import pyarrow.parquet as _pq
+
+    root = pathlib.Path(state_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    if run_id is None:
+        run_id = uuid.uuid4().hex[:12]
+
+    def fp_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        fps = [hashlib.md5(t.encode()).digest() for t in batch["text"]]
+        b = np.asarray([f[0] % n_buckets for f in fps], dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+            "fp": fps, "__fb": b})
+
+    def bucket_mark(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "is_new": pd.Series(dtype=bool)})
+        bkt = int(group["__fb"].iloc[0])
+        bdir = root / f"bucket={bkt}"
+        bdir.mkdir(parents=True, exist_ok=True)
+        # deterministic content key for THIS block's fp set
+        g = group.sort_values(["fp", "doc_id"], kind="mergesort")
+        h = hashlib.sha1()
+        for f in g["fp"]:
+            h.update(bytes(f))
+        own = f"fps-{run_id}-{h.hexdigest()[:16]}.parquet"
+        stored: set[bytes] = set()
+        for p in sorted(bdir.glob("fps-*.parquet")):
+            if p.name == own:
+                continue  # a retried task must not see its own write
+            for v in _pq.read_table(p, columns=["fp"])["fp"]:
+                stored.add(bytes(v.as_py()))
+        first = ~g.duplicated("fp", keep="first")
+        fresh = np.asarray([bytes(f) not in stored for f in g["fp"]])
+        is_new = first.to_numpy() & fresh
+        new_fps = [bytes(f) for f, nw in zip(g["fp"], is_new) if nw]
+        if new_fps:
+            tmp = bdir / f".{own}.tmp"
+            _pq.write_table(
+                pa.table({"fp": pa.array(new_fps, type=pa.binary())}),
+                tmp)
+            os.replace(tmp, bdir / own)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "is_new": is_new})
+
+    return (docs_ds.map_batches(fp_rows, batch_format="pandas")
+            .groupby("__fb").map_groups(bucket_mark,
+                                        batch_format="pandas"))
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Cross-run dedup exercised end-to-end: ingest the first half of
+    documents as run 1, then the full table as run 2 against the same
+    store — run 2's flags mark exactly the docs whose text was neither
+    in run 1 nor earlier (by doc_id) in run 2.  Fresh store per call;
+    SQL oracle mirrors the flag definition."""
+    import shutil
+    import tempfile
+
+    state = tempfile.mkdtemp(prefix="geoflow_incdedup_")
+    try:
+        docs = _docs(sf_dir)
+        half = docs.map_batches(
+            lambda b: b[b["doc_id"] < 250], batch_format="pandas")
+        incremental_dedup_exact(half, state,
+                                run_id="run1").materialize()
+        out = incremental_dedup_exact(docs, state, run_id="run2") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "is_new": pa.array(out["is_new"].astype(bool))})
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+Q_INCREMENTAL_DEDUP_SQL = """
+SELECT d2.doc_id,
+       NOT EXISTS (SELECT 1 FROM documents d1
+                   WHERE d1.doc_id < 250 AND d1.text = d2.text)
+       AND NOT EXISTS (SELECT 1 FROM documents d0
+                       WHERE d0.doc_id < d2.doc_id
+                         AND d0.text = d2.text) AS is_new
+FROM documents d2 ORDER BY d2.doc_id
+"""

@@ -981,3 +981,33 @@ def test_grouped_quantiles_matches_pandas(ray_session):
         .sort_values(["g", "q"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["g", "q", "v"]], want,
                                   check_dtype=False)
+
+
+def test_incremental_dedup_across_runs(ray_session, tmp_path):
+    """Cross-run exact dedup against the persistent fingerprint store:
+    run 1 marks everything new; run 2 over an overlapping shard marks
+    only unseen docs new; re-running run 2 marks nothing new."""
+    import ray.data
+    state = str(tmp_path / "fps")
+
+    def docs(ids, texts):
+        return ray.data.from_pandas(pd.DataFrame(
+            {"doc_id": np.asarray(ids, dtype=np.int64),
+             "text": texts}))
+
+    a = docs(range(6), [f"doc number {i}" for i in range(6)])
+    r1 = dedup.incremental_dedup_exact(a, state).to_pandas()
+    assert r1["is_new"].all() and len(r1) == 6
+
+    # shard 2: 3 previously-seen texts + 2 new + 1 in-run duplicate
+    b = docs(range(10, 16),
+             ["doc number 1", "doc number 3", "doc number 5",
+              "brand new text A", "brand new text B",
+              "brand new text A"])
+    r2 = dedup.incremental_dedup_exact(b, state).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert r2["is_new"].tolist() == [False, False, False,
+                                     True, True, False]
+
+    r3 = dedup.incremental_dedup_exact(b, state).to_pandas()
+    assert not r3["is_new"].any()
