@@ -391,3 +391,30 @@ def test_streamed_write_no_endpoint_collision(ray_session, tmp_path):
     assert s["files"] == 2 and s["rows"] == 6
     back = ray.data.read_parquet(out).to_pandas()
     assert sorted(back["v"]) == [1, 2, 3, 4, 5, 6]
+
+
+def test_decode_for_shuffle_types():
+    """Dictionary columns decode to plain values and fat string columns
+    promote to large_string before an AllToAll; other columns pass
+    through untouched (CLAUDE.md shuffle invariants)."""
+    t = pa.table({
+        "text": pa.array(["a", "b", "a"]).dictionary_encode(),
+        "lang": pa.array(["en", "de", "en"]).dictionary_encode(),
+        "url": pa.array(["u1", "u2", "u3"]),
+        "n": pa.array([1, 2, 3], type=pa.int64()),
+    })
+    out = shuffle.decode_for_shuffle(t)
+    assert pa.types.is_large_string(out.schema.field("text").type)
+    assert pa.types.is_string(out.schema.field("lang").type)
+    assert pa.types.is_string(out.schema.field("url").type)
+    assert pa.types.is_int64(out.schema.field("n").type)
+    assert out["text"].to_pylist() == ["a", "b", "a"]
+    # idempotent
+    again = shuffle.decode_for_shuffle(out)
+    assert again.schema == out.schema
+    # shuffle_safe_type maps the union-padding side consistently
+    assert shuffle.shuffle_safe_type(
+        pa.dictionary(pa.int32(), pa.string()), "text") \
+        == pa.large_string()
+    assert shuffle.shuffle_safe_type(pa.string(), "url") == pa.string()
+    assert shuffle.shuffle_safe_type(pa.int64(), "n") == pa.int64()
