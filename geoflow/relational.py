@@ -348,6 +348,9 @@ def interval_join(left_ds, right_ds, key: str, left_time: str,
     else:
         lschema = left_ds.schema()
         rschema = right_ds.schema()
+    if window_us <= 0:
+        raise ValueError("window_us must be positive (use an equi-join "
+                         "on the time column for a zero-width band)")
     lcols = list(lschema.names)
     rcols = [c for c in rschema.names if c != key]
     ltypes = dict(zip(lschema.names, lschema.types))
