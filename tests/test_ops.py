@@ -1011,3 +1011,33 @@ def test_incremental_dedup_across_runs(ray_session, tmp_path):
 
     r3 = dedup.incremental_dedup_exact(b, state).to_pandas()
     assert not r3["is_new"].any()
+
+
+def test_json_batch_wrappers_and_broadcast_join(ray_session):
+    """The remaining untested public surface: jsonops batch wrappers in
+    a real map_batches, and the plain broadcast_join primitive."""
+    import ray.data
+    from geoflow import jsonops
+    from geoflow.relational import broadcast_join
+
+    t = pa.table({"geojson": pa.array(
+        ['{"b": 1, "a": 2}', '{"z": [3, 2], "y": null}'])})
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(jsonops.lint_json_batch,
+                         batch_format="pyarrow").to_pandas()
+    assert out["geojson"].tolist() == ['{"a":2,"b":1}',
+                                       '{"y":null,"z":[3,2]}']
+    out2 = ds.map_batches(
+        jsonops.normalize_json_batch, batch_format="pyarrow",
+        fn_kwargs={"indent": None}).to_pandas()
+    assert out2["geojson"].tolist() == ['{"a":2,"b":1}',
+                                        '{"y":null,"z":[3,2]}']
+
+    big = ray.data.from_pandas(pd.DataFrame(
+        {"k": np.array([1, 2, 3, 2], dtype=np.int64),
+         "v": np.arange(4, dtype=np.int64)}))
+    small = pd.DataFrame({"k": np.array([2, 3], dtype=np.int64),
+                          "name": ["two", "three"]})
+    j = broadcast_join(big, small, on="k").to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    assert j["name"].tolist() == ["two", "three", "two"]
