@@ -86,8 +86,9 @@ def checkpointed_write(ds, out_dir: str, partition_col: str = "part",
         return _metrics_row(part, group.num_rows, group.nbytes,
                             skipped=False)
 
-    metrics = ds.groupby(partition_col).map_groups(
-        write_group, batch_format="pyarrow").to_pandas()
+    from .shuffle import collect_pandas
+    metrics = collect_pandas(ds.groupby(partition_col).map_groups(
+        write_group, batch_format="pyarrow"))
     return summarize(out_dir, metrics)
 
 

@@ -227,6 +227,11 @@ def verify_pairs_distributed(docs_ds, pairs_ds, threshold: float,
     from .relational import grouped_agg
 
     def tag_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch):
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "__vb": pd.Series(dtype=np.int64)})
         a = batch["a"].to_numpy().astype(np.int64)
         b = batch["b"].to_numpy().astype(np.int64)
         vb = ((a.view(np.uint64) * _PAIR_GOLD)
@@ -242,6 +247,10 @@ def verify_pairs_distributed(docs_ds, pairs_ds, threshold: float,
                                   batch_format="pandas").materialize()
 
     def need_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "__vb": pd.Series(dtype=np.int64)})
         return pd.DataFrame({
             "doc_id": np.concatenate([batch["a"].to_numpy(),
                                       batch["b"].to_numpy()]),
@@ -251,7 +260,9 @@ def verify_pairs_distributed(docs_ds, pairs_ds, threshold: float,
     needs = grouped_agg(
         tagged.map_batches(need_rows, batch_format="pandas"),
         ["doc_id", "__vb"], {"n": ("doc_id", "size")},
-        n_buckets=n_buckets).to_pandas()  # int rows only
+        n_buckets=n_buckets)
+    from .shuffle import collect_pandas
+    needs = collect_pandas(needs)  # int rows only
     if len(needs) == 0 or "doc_id" not in needs.columns:
         import ray.data
         return ray.data.from_arrow(pa.table({
@@ -363,6 +374,11 @@ def verify_pairs_by_signature(docs_ds, pairs_ds, threshold: float,
                        shingle_n=shingle_n)
 
     def tag_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch):
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "__vb": pd.Series(dtype=np.int64)})
         a = batch["a"].to_numpy().astype(np.int64)
         b = batch["b"].to_numpy().astype(np.int64)
         vb = ((a.view(np.uint64) * _PAIR_GOLD)
@@ -374,6 +390,10 @@ def verify_pairs_by_signature(docs_ds, pairs_ds, threshold: float,
                                   batch_format="pandas").materialize()
 
     def need_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "__vb": pd.Series(dtype=np.int64)})
         return pd.DataFrame({
             "doc_id": np.concatenate([batch["a"].to_numpy(),
                                       batch["b"].to_numpy()]),
@@ -383,7 +403,9 @@ def verify_pairs_by_signature(docs_ds, pairs_ds, threshold: float,
     needs = grouped_agg(
         tagged.map_batches(need_rows, batch_format="pandas"),
         ["doc_id", "__vb"], {"n": ("doc_id", "size")},
-        n_buckets=n_buckets).to_pandas()
+        n_buckets=n_buckets)
+    from .shuffle import collect_pandas
+    needs = collect_pandas(needs)
     if len(needs) == 0 or "doc_id" not in needs.columns:
         import ray.data
         return ray.data.from_arrow(pa.table({
@@ -590,6 +612,10 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, num_perm: int = 64,
                                         sigs_ds=sigs_ds)
     elif verify == "none":
         def forest(batch: pd.DataFrame) -> pd.DataFrame:
+            from .shuffle import schemaless_empty
+            if schemaless_empty(batch):
+                return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                     "b": pd.Series(dtype=np.int64)})
             ka, kb = _spanning_forest(
                 batch["a"].to_numpy().astype(np.int64),
                 batch["b"].to_numpy().astype(np.int64))
@@ -598,7 +624,8 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, num_perm: int = 64,
         vds = pairs_ds.map_batches(forest, batch_format="pandas")
     else:
         raise ValueError("verify must be exact | signature | none")
-    vdf = vds.to_pandas()
+    from .shuffle import collect_pandas
+    vdf = collect_pandas(vds)
     verified = sorted(zip(vdf["a"].astype(int), vdf["b"].astype(int))) \
         if len(vdf) else []
 
@@ -714,10 +741,12 @@ def simhash_dedup(docs_ds, max_hamming: int = 3, n_coarse: int = 32):
                                   np.concatenate(out_b))
         return pd.DataFrame({"a": ka, "b": kb})
 
-    pairs = (sigs.map_batches(explode, batch_format="pandas")
-             .groupby("__b").map_groups(verified_pairs,
-                                        batch_format="pandas")
-             .to_pandas().drop_duplicates())
+    from .shuffle import collect_pandas
+    pairs = collect_pandas(
+        sigs.map_batches(explode, batch_format="pandas")
+        .groupby("__b").map_groups(verified_pairs,
+                                   batch_format="pandas")) \
+        .drop_duplicates()
     return _assign_reps(docs_ds,
                         sorted(zip(pairs["a"].astype(int),
                                    pairs["b"].astype(int))))
@@ -853,7 +882,9 @@ def jaccard_pairs(docs_ds, threshold: float = 0.7, shingle_n: int = 3,
 
     vdf = verify_pairs_distributed(docs_ds, pairs_ds, threshold,
                                    shingle_n=shingle_n,
-                                   n_buckets=n_coarse).to_pandas()
+                                   n_buckets=n_coarse)
+    from .shuffle import collect_pandas
+    vdf = collect_pandas(vdf)
     keep = sorted(zip(vdf["a"].astype(int), vdf["b"].astype(int))) \
         if len(vdf) else []
     return pa.table({
@@ -1002,8 +1033,9 @@ def embedding_dups_ivf(emb_ds, threshold: float = 0.45,
     # global dedup (a pair may surface in every shared bucket)
     uniq = grouped_agg(pairs, ["vec_id_a", "vec_id_b"],
                        {"__n": ("vec_id_a", "size")})
+    from .relational import project_cols
     return (uniq.map_batches(
-        lambda b: b[["vec_id_a", "vec_id_b"]], batch_format="pandas")
+        project_cols(["vec_id_a", "vec_id_b"]), batch_format="pandas")
         .sort(["vec_id_a", "vec_id_b"]))
 
 
@@ -1110,8 +1142,10 @@ def q_incremental_dedup(sf_dir: str):
             lambda b: b[b["doc_id"] < 250], batch_format="pandas")
         incremental_dedup_exact(half, state,
                                 run_id="run1").materialize()
-        out = incremental_dedup_exact(docs, state, run_id="run2") \
-            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        from .shuffle import collect_pandas
+        out = collect_pandas(
+            incremental_dedup_exact(docs, state, run_id="run2")) \
+            .sort_values("doc_id").reset_index(drop=True)
         return pa.table({
             "doc_id": pa.array(out["doc_id"].astype(np.int64)),
             "is_new": pa.array(out["is_new"].astype(bool))})

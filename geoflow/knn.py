@@ -152,8 +152,9 @@ def knn_join_pruned(features_ds, queries: dict, res: int = 8,
         cell = batch["cell"].to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(np.isin(cell, cand_i64)))
 
+    from .shuffle import collect_pandas
     pruned = features_ds.map_batches(prune, batch_format="pyarrow")
-    out1 = knn_join(pruned, queries).to_pandas()
+    out1 = collect_pandas(knn_join(pruned, queries))
 
     # exactness check per query
     k_by_query = dict(zip((int(q) for q in queries["query_id"]),
@@ -168,7 +169,7 @@ def knn_join_pruned(features_ds, queries: dict, res: int = 8,
         mask = np.isin(np.asarray(queries["query_id"], dtype=np.int64),
                        np.asarray(redo))
         sub = {key: np.asarray(val)[mask] for key, val in queries.items()}
-        out2 = knn_join(features_ds, sub).to_pandas()
+        out2 = collect_pandas(knn_join(features_ds, sub))
         out1 = pd.concat([out1[~out1["query_id"].isin(redo)], out2],
                          ignore_index=True)
     return out1.sort_values(["query_id", "dist_m", "url", "feature_idx"],
@@ -304,6 +305,9 @@ def copartition_knn_join(features_ds, queries_ds, res: int = 8,
     n_merge = 32
 
     def add_qbucket(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch):
+            return batch
         batch = batch.copy()
         batch["__qb"] = (batch["query_id"].to_numpy().astype(np.int64)
                          % n_merge)
@@ -355,13 +359,25 @@ def copartition_knn_join(features_ds, queries_ds, res: int = 8,
     # redo detection WITHOUT collecting the merged result: only the
     # (small) distinct flagged query_id set reaches the driver
     def redo_ids(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch):
+            return pd.DataFrame({"query_id": pd.Series(dtype=np.int64)})
         return batch[batch["redo"]][["query_id"]].drop_duplicates()
 
-    redo = sorted(set(
-        merged.map_batches(redo_ids, batch_format="pandas")
-        .to_pandas()["query_id"].astype(int)))
+    from .shuffle import collect_pandas
+    redo_df = collect_pandas(
+        merged.map_batches(redo_ids, batch_format="pandas"))
+    redo = sorted(set(redo_df["query_id"].astype(int))) \
+        if len(redo_df) else []
 
     def good_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch):
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype=np.int64),
+                "dist_m": pd.Series(dtype=np.float64),
+                "url": pd.Series(dtype=object),
+                "feature_idx": pd.Series(dtype=np.int32)})
         return batch[~batch["redo"]][["query_id", "dist_m", "url",
                                       "feature_idx"]]
 
@@ -382,6 +398,13 @@ def copartition_knn_join(features_ds, queries_ds, res: int = 8,
                 "k": sub["k"].to_numpy()}
 
         def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+            from .shuffle import schemaless_empty
+            if schemaless_empty(batch):
+                return pd.DataFrame({
+                    "query_id": pd.Series(dtype=np.int64),
+                    "dist_m": pd.Series(dtype=np.float64),
+                    "url": pd.Series(dtype=object),
+                    "feature_idx": pd.Series(dtype=np.int32)})
             out = batch[["query_id", "dist_m", "url", "feature_idx"]]
             return out.astype({"query_id": np.int64,
                                "feature_idx": np.int32})

@@ -303,6 +303,7 @@ def verify_text_invariant(pages_dir: str, features_ds,
                   if truth.get(u) != (a, b))
         return pd.DataFrame({"bad": [int(bad)]})
 
-    counts = src.union(feats).groupby("__b") \
-        .map_groups(check, batch_format="pandas").to_pandas()
-    return int(counts["bad"].sum()) == 0
+    from .shuffle import collect_pandas
+    counts = collect_pandas(src.union(feats).groupby("__b")
+                            .map_groups(check, batch_format="pandas"))
+    return int(counts["bad"].sum()) == 0 if len(counts) else True

@@ -236,6 +236,18 @@ def adaptive_lookup_join(big_ds, right_ds, on: str,
                               n_buckets=n_buckets, schemas=schemas)
 
 
+
+
+def project_cols(cols: list[str]):
+    """Post-shuffle-safe projection for ``map_batches``: passes Ray's
+    schemaless empty blocks through instead of KeyError-ing on them."""
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch):
+            return batch
+        return batch[cols]
+    return fn
+
 # combine fn applied to partials in the final stage, per partial fn
 _COMBINE = {"sum": "sum", "size": "sum", "min": "min", "max": "max"}
 
@@ -276,6 +288,9 @@ def grouped_agg(ds, keys: list[str], specs: dict[str, tuple[str, str]],
               for alias, (_src, fn) in specs.items()}
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch):
+            return batch  # concat-neutral pass-through (shuffle.py)
         gb = batch.groupby(keys, as_index=False, sort=False)
         out = gb.agg(**aggs)
         h = pd.util.hash_pandas_object(out[keys], index=False).to_numpy()
@@ -623,6 +638,9 @@ def grouped_topn(ds, keys: list[str], order_cols: list[str], n: int,
     before the shuffle, so at most n rows per (group, input block) move
     — never the whole table."""
     def local_prune(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch):
+            return batch
         g = batch.sort_values(keys + order_cols, kind="mergesort")
         keep = g.groupby(keys, sort=False).cumcount() < n
         out = g[keep].copy()
@@ -649,6 +667,9 @@ def topk(ds, sort_cols: list[str], k: int, descending: list[bool]):
     ascending = [not d for d in descending]
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch):
+            return batch
         return batch.sort_values(sort_cols, ascending=ascending,
                                  kind="mergesort").head(k)
 
@@ -737,7 +758,7 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         schemas=(pa.schema([("o_custkey", pa.int64()),
                             ("o_orderkey", pa.int64())]),
                  pa.schema([("o_custkey", pa.int64())]))) \
-        .map_batches(lambda b: b[["o_orderkey"]], batch_format="pandas")
+        .map_batches(project_cols(["o_orderkey"]), batch_format="pandas")
 
     li = read(sf_dir, "lineitem",
               ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -816,7 +837,7 @@ def q5_nation_volume(sf_dir: str):
                             ("o_orderkey", pa.int64())]),
                  pa.schema([("o_custkey", pa.int64()),
                             ("n_name", pa.string())]))) \
-        .map_batches(lambda b: b[["o_orderkey", "n_name"]],
+        .map_batches(project_cols(["o_orderkey", "n_name"]),
                      batch_format="pandas")
 
     li = read(sf_dir, "lineitem",
@@ -839,7 +860,7 @@ def q5_nation_volume(sf_dir: str):
                             ("n_name", pa.string())])))
 
     out = partial_grouped_agg(
-        joined.map_batches(lambda b: b[["n_name", "revenue_c"]],
+        joined.map_batches(project_cols(["n_name", "revenue_c"]),
                            batch_format="pandas"),
         ["n_name"], {"revenue_c": "revenue_c"}, count_alias="n_items")
     return out.sort("n_name")
@@ -1045,6 +1066,9 @@ def grouped_quantiles(ds, keys: list[str], col: str,
                        n_buckets=n_buckets)
 
     def add_gbucket(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch):
+            return batch
         h = pd.util.hash_pandas_object(batch[keys],
                                        index=False).to_numpy()
         batch = batch.copy()
@@ -1121,8 +1145,10 @@ def q_value_quantiles(sf_dir: str):
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table({"value_c": _cents(batch["value"])})
 
-    hist = int_histogram(ds.map_batches(prep, batch_format="pyarrow"),
-                         "value_c").to_pandas() \
+    from .shuffle import collect_pandas
+    hist = collect_pandas(
+        int_histogram(ds.map_batches(prep, batch_format="pyarrow"),
+                      "value_c")) \
         .sort_values("value_c").reset_index(drop=True)
     cum = hist["n"].cumsum().to_numpy()
     n = int(cum[-1]) if len(cum) else 0
@@ -1218,6 +1244,11 @@ def q_asof_join(sf_dir: str):
         right_tiebreak=["o_orderkey"], schemas=(lschema, rschema))
 
     def out(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype=np.int64),
+                "o_orderkey": pd.Series(dtype=np.int64)})
         return pd.DataFrame({
             "event_id": batch["event_id"].astype(np.int64),
             "o_orderkey": batch["o_orderkey"].astype(np.int64)})
@@ -1269,6 +1300,11 @@ def q_interval_join(sf_dir: str):
                             ("tus_b", pa.int64())])))
 
     def out(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch):
+            return pd.DataFrame({
+                "event_id_a": pd.Series(dtype=np.int64),
+                "event_id_b": pd.Series(dtype=np.int64)})
         keep = batch[batch["event_id"] < batch["event_id_b"]]
         return pd.DataFrame({
             "event_id_a": keep["event_id"].astype(np.int64),
@@ -1321,7 +1357,7 @@ def q_docs_sample(sf_dir: str):
     top = grouped_topn(docs.map_batches(key, batch_format="pandas"),
                        ["lang", "source"], ["h", "doc_id"], 3)
     return (top.map_batches(
-        lambda b: b[["lang", "source", "doc_id"]],
+        project_cols(["lang", "source", "doc_id"]),
         batch_format="pandas")
         .sort(["lang", "source", "doc_id"]))
 

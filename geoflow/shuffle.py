@@ -26,8 +26,8 @@ def detect_hot_keys(ds, key: str, target_rows_per_group: int,
     from .relational import grouped_agg
     sample = ds.select_columns([key]).random_sample(sample_fraction,
                                                     seed=seed)
-    counts = grouped_agg(sample, [key],
-                         {"n": (key, "size")}).to_pandas()
+    counts = collect_pandas(grouped_agg(sample, [key],
+                                        {"n": (key, "size")}))
     if len(counts) == 0:
         return {}
     est = counts["n"] / sample_fraction
@@ -70,6 +70,37 @@ def shuffle_safe_type(t: pa.DataType, name: str = "") -> pa.DataType:
     if pa.types.is_string(t) and (name in FAT_STRING_COLS or name == ""):
         t = pa.large_string()
     return t
+
+
+def schemaless_empty(batch) -> bool:
+    """True for the zero-row, ZERO-COLUMN blocks Ray's sort-based
+    AllToAll can emit for empty partitions WITHOUT invoking the group
+    fn.  Such blocks are concat-neutral downstream (no columns to
+    poison dtypes), so post-shuffle transforms should pass them through
+    unchanged instead of indexing columns that aren't there (observed
+    crash: KeyError in copartition_knn_join's redo scan at 800k
+    pages).  Handles pandas and pyarrow blocks."""
+    if isinstance(batch, pa.Table):
+        return batch.num_rows == 0 and batch.num_columns == 0
+    return len(batch) == 0 and len(batch.columns) == 0
+
+
+def collect_pandas(ds):
+    """Robust driver-side collect for SMALL datasets downstream of a
+    pandas-format groupby: Ray's AllToAll can emit schemaless empty
+    blocks (see ``schemaless_empty``) and map operators SKIP empty
+    blocks entirely, so they survive to collection where a plain
+    ``to_pandas()`` can resolve the frame's schema from one of them
+    (flaky: depends on block arrival order).  Concatenate only the
+    schema-bearing blocks instead."""
+    import pandas as pd
+    import ray
+
+    dfs = [df for df in ray.get(ds.to_pandas_refs())
+           if len(df.columns)]
+    if not dfs:
+        return pd.DataFrame()
+    return pd.concat(dfs, ignore_index=True)
 
 
 def decode_for_shuffle(batch: pa.Table) -> pa.Table:
