@@ -192,4 +192,19 @@ def read_checkpoint(out_dir: str, empty_schema: pa.Schema | None = None):
                 [pa.array([], type=f.type) for f in empty_schema],
                 schema=empty_schema)
             if empty_schema is not None else pa.table({}))
-    return ray.data.read_parquet(files)
+    ds = ray.data.read_parquet(files)
+    if "text_z" in pq.read_schema(files[0]).names:
+        # the sink stores the carried page text zlib-compressed
+        # (pipeline.add_part) — restore `text` transparently so readers
+        # and the byte-identity invariant see the original column
+        def inflate(batch: pa.Table) -> pa.Table:
+            import zlib
+            i = batch.schema.get_field_index("text_z")
+            txt = pa.array(
+                [zlib.decompress(bytes(z)).decode("utf-8")
+                 for z in batch["text_z"].to_pylist()],
+                type=pa.large_string())
+            return batch.remove_column(i).append_column("text", txt)
+
+        ds = ds.map_batches(inflate, batch_format="pyarrow")
+    return ds
