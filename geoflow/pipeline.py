@@ -46,13 +46,21 @@ def enrich(batch: pa.Table, res: int = DEFAULT_RES,
     geobuf = codec_batch.encode_points(lng, lat)
     cell = cells.cell_encode(lng, lat, res).view(np.int64)
     tx, ty = tiles.tile_for_point(lng, lat, tile_z)
-    batch = batch.append_column("geobuf", geobuf)
-    batch = batch.append_column("cell", pa.array(cell))
-    batch = batch.append_column("tile_z",
-                                pa.array(np.full(len(lng), tile_z,
-                                                 dtype=np.int32)))
-    batch = batch.append_column("tile_x", pa.array(tx.astype(np.int32)))
-    batch = batch.append_column("tile_y", pa.array(ty.astype(np.int32)))
+
+    def put(b: pa.Table, name: str, arr) -> pa.Table:
+        # replace-or-append: composing enrich after a stage that already
+        # added e.g. `cell` must not create a duplicate field (duplicate
+        # names poison parquet schema unification at read time)
+        i = b.schema.get_field_index(name)
+        return b.set_column(i, name, arr) if i != -1 \
+            else b.append_column(name, arr)
+
+    batch = put(batch, "geobuf", geobuf)
+    batch = put(batch, "cell", pa.array(cell))
+    batch = put(batch, "tile_z", pa.array(np.full(len(lng), tile_z,
+                                                  dtype=np.int32)))
+    batch = put(batch, "tile_x", pa.array(tx.astype(np.int32)))
+    batch = put(batch, "tile_y", pa.array(ty.astype(np.int32)))
     return batch
 
 

@@ -418,3 +418,19 @@ def test_decode_for_shuffle_types():
         == pa.large_string()
     assert shuffle.shuffle_safe_type(pa.string(), "url") == pa.string()
     assert shuffle.shuffle_safe_type(pa.int64(), "n") == pa.int64()
+
+
+def test_enrich_idempotent_composition():
+    """Composing enrich after a stage that already added `cell` must
+    replace, not duplicate, the column (duplicate field names poison
+    parquet schema unification at read time)."""
+    feats = Extractor()(synth.make_pages(200))
+    cell = cells.cell_encode(feats["lng"].to_numpy(),
+                             feats["lat"].to_numpy(),
+                             pip.DEFAULT_RES).view(np.int64)
+    pre = feats.append_column("cell", pa.array(cell))
+    out = pipeline.enrich(pre)
+    assert out.column_names.count("cell") == 1
+    again = pipeline.enrich(out)
+    assert again.column_names.count("geobuf") == 1
+    assert again.column_names == out.column_names
