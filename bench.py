@@ -125,12 +125,33 @@ def run_bench() -> dict:
                 return len(res)
             timed(name, run)
 
+    # round-2 operators, timed SEPARATELY so `value` stays comparable
+    # with the round-1 17-query protocol
+    extra: dict[str, float] = {}
+    if not FLAGSHIP_ONLY:
+        for name in ["q_interval_join", "q_distinct_users",
+                     "q_grouped_quantiles", "q_docs_sample",
+                     "q_regex_extract", "q_media_frames",
+                     "q_properties_project", "q_incremental_dedup",
+                     "q_embedding_dups_ivf", "q_dedup_simhash"]:
+            def run2(fn=qs[name]):
+                res = fn(SF_DIR)
+                import ray.data
+                if isinstance(res, ray.data.Dataset):
+                    return res.count()
+                return len(res)
+            t0 = time.time()
+            run2()
+            extra[name] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "geoflow flagship + operator suite wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extra,
+        "extra_total": round(sum(extra.values()), 3),
         "sf": pathlib.Path(SF_DIR).name,
         "num_cpus": NUM_CPUS,
         "flagship_pages": n_pages,
