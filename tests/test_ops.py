@@ -1041,3 +1041,25 @@ def test_json_batch_wrappers_and_broadcast_join(ray_session):
     j = broadcast_join(big, small, on="k").to_pandas() \
         .sort_values("v").reset_index(drop=True)
     assert j["name"].tolist() == ["two", "three", "two"]
+
+
+def test_cli_reference_sample1_roundtrip(tmp_path):
+    """CLI interop on the reference's own vendored fixture: encode,
+    decode, normalize — custom properties and null geometry preserved
+    (the 'reference user switches to this repo' path)."""
+    import json
+    pbf = tmp_path / "s1.pbf"
+    out = tmp_path / "s1.json"
+    r = _run_cli(["json2geobuf", "/root/reference/data/sample1.json",
+                  str(pbf), "--precision", "8"])
+    assert r.returncode == 0, r.stderr
+    r = _run_cli(["geobuf2json", str(pbf), str(out), "--sort-keys"])
+    assert r.returncode == 0, r.stderr
+    doc = json.loads(out.read_text())
+    assert doc["type"] == "FeatureCollection"
+    assert doc["key"] == "value" and doc["shit me"] == 42
+    assert len(doc["features"]) == 6
+    assert any(f["geometry"] is None for f in doc["features"])
+    before = pbf.read_bytes()
+    r = _run_cli(["normalize_geobuf", str(pbf)])
+    assert r.returncode == 0 and pbf.read_bytes() == before
