@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprint": textops.q_fingerprint,
         "q_winnow": textops.q_winnow,
         "q_regex_extract": textops.q_regex_extract,
+        "q_text_normalize": textops.q_text_normalize,
         # dedup
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_dedup_prefix": dedup.q_dedup_prefix,
@@ -427,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         "q_langid": textops.LANGID_SQL,
         "q_fingerprint": textops.FINGERPRINT_SQL,
         "q_regex_extract": textops.Q_REGEX_EXTRACT_SQL,
+        "q_text_normalize": textops.Q_TEXT_NORMALIZE_SQL,
         "q_dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
         "q_dedup_prefix": dedup.Q_DEDUP_PREFIX_SQL,
         "q_incremental_dedup": dedup.Q_INCREMENTAL_DEDUP_SQL,

@@ -280,3 +280,41 @@ FROM (SELECT doc_id, regexp_extract_all(text, 's\w+') AS l
       FROM documents)
 ORDER BY doc_id, match_idx
 """
+
+
+def normalize_text(ds, text_col: str = "text", out_col: str = "norm"):
+    """Standard training-data text cleaning: lowercase, collapse
+    whitespace runs to single spaces, strip — fully Rust-side polars
+    string kernels per batch."""
+    import polars as pl
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        s = pl.Series(batch[text_col].astype(str))
+        norm = (s.str.to_lowercase()
+                .str.replace_all(r"\s+", " ")
+                .str.strip_chars())
+        out = batch.copy()
+        out[out_col] = norm.to_list()
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_text_normalize(sf_dir: str):
+    """Cleaning stage over documents with a byte-exact SQL oracle."""
+    import ray.data
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = normalize_text(docs)
+
+    def proj(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "norm"]]
+
+    return out.map_batches(proj, batch_format="pandas").sort("doc_id")
+
+
+Q_TEXT_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+FROM documents ORDER BY doc_id
+"""
