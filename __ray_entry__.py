@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_hopwindow": relational.q_events_hopwindow,
         "q_orders_topk": relational.q_orders_topk,
         "q_part_brand_stats": relational.q_part_brand_stats,
+        "q_supplier_balance": relational.q_supplier_balance,
         "q_distinct_segments": relational.q_distinct_segments,
         "q_bucket_join": relational.q_bucket_join,
         "q_sessionize": relational.q_sessionize,
@@ -414,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_hopwindow": relational.Q_EVENTS_HOPWINDOW_SQL,
         "q_orders_topk": relational.Q_ORDERS_TOPK_SQL,
         "q_part_brand_stats": relational.Q_PART_SQL,
+        "q_supplier_balance": relational.Q_SUPPLIER_BALANCE_SQL,
         "q_distinct_segments": relational.Q_DISTINCT_SQL,
         "q_bucket_join": relational.Q_BUCKET_JOIN_SQL,
         "q_sessionize": relational.Q_SESSIONIZE_SQL,

@@ -1370,3 +1370,38 @@ SELECT lang, source, doc_id FROM (
   FROM documents)
 WHERE rn <= 3 ORDER BY lang, source, doc_id
 """
+
+
+def q_supplier_balance(sf_dir: str):
+    """Per-nation supplier account stats (exact int cents): count, total
+    and max balance per nation, nations resolved via the broadcast
+    25-row map — completes table coverage (supplier⋈nation)."""
+    nation = read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"].astype(np.int64),
+                    nation["n_name"]))
+    sup = read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": batch["s_nationkey"].map(nmap),
+            "bal_c": np.floor(batch["s_acctbal"].to_numpy()
+                              * 100 + 0.5).astype(np.int64)})
+
+    prepped = sup.map_batches(prep, batch_format="pandas")
+    out = grouped_agg(prepped, ["n_name"],
+                      {"n_suppliers": ("bal_c", "size"),
+                       "total_bal_c": ("bal_c", "sum"),
+                       "max_bal_c": ("bal_c", "max")})
+    return out.sort("n_name")
+
+
+Q_SUPPLIER_BALANCE_SQL = """
+SELECT n_name,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(FLOOR(s_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_bal_c,
+       CAST(MAX(CAST(FLOOR(s_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS max_bal_c
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
