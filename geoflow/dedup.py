@@ -1084,7 +1084,12 @@ def incremental_dedup_exact(docs_ds, state_dir: str,
 
     def fp_rows(batch: pd.DataFrame) -> pd.DataFrame:
         fps = [hashlib.md5(t.encode()).digest() for t in batch["text"]]
-        b = np.asarray([f[0] % n_buckets for f in fps], dtype=np.int64)
+        # 8 fingerprint bytes, not 1: honors any n_buckets (1 byte caps
+        # distinct buckets at 256 and skews non-power-of-two counts).
+        # NOTE: changes bucket layout vs stores written before r3 —
+        # state_dirs are per-deployment, rebuild on upgrade.
+        b = np.asarray([int.from_bytes(f[:8], "big") % n_buckets
+                        for f in fps], dtype=np.int64)
         return pd.DataFrame({
             "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
             "fp": fps, "__fb": b})

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from . import cells, geom
 
@@ -247,9 +248,17 @@ def copartition_knn_join(features_ds, queries_ds, res: int = 8,
                                              batch_format="pyarrow"))
                .map_batches(add_bucket, batch_format="pyarrow"))
 
-    def bucket_topk(block: pd.DataFrame) -> pd.DataFrame:
-        f = block[block["__side"] == 0]
-        q = block[block["__side"] == 1]
+    def bucket_topk(block: pa.Table) -> pd.DataFrame:
+        # split sides at the ARROW level (relational.join_bucket pattern):
+        # each side's own columns are non-null on its own rows, so the
+        # feature side's int32 feature_idx and the query side's int64
+        # query_id/k never pass through a null-padded float64 pandas
+        # conversion (CLAUDE.md join-dtype invariant).
+        side = block["__side"]
+        f = block.filter(pc.equal(side, 0)).select(
+            ["cell", "url", "feature_idx", "lng", "lat"]).to_pandas()
+        q = block.filter(pc.equal(side, 1)).select(
+            ["cell", "lng", "lat", "query_id", "k"]).to_pandas()
         if len(f) == 0 or len(q) == 0:
             return pd.DataFrame({
                 "query_id": pd.Series(dtype=np.int64),
@@ -296,7 +305,7 @@ def copartition_knn_join(features_ds, queries_ds, res: int = 8,
                 "qlat": np.repeat(qg["lat"].to_numpy(), idx.shape[1]),
             }))
         if not outs:
-            return bucket_topk(block.head(0))
+            return bucket_topk(block.slice(0, 0))
         return pd.concat(outs, ignore_index=True)
 
     # coarse-bucket the per-query merge (NOT groupby(query_id) — per-
@@ -351,10 +360,15 @@ def copartition_knn_join(features_ds, queries_ds, res: int = 8,
         return top[["query_id", "dist_m", "url", "feature_idx", "redo"]]
 
     merged = (unioned.groupby("__b")
-              .map_groups(bucket_topk, batch_format="pandas")
+              .map_groups(bucket_topk, batch_format="pyarrow")
               .map_batches(add_qbucket, batch_format="pandas")
               .groupby("__qb").map_groups(merge_bucket,
                                           batch_format="pandas"))
+    # the merged top-k is bounded (~n_queries x k rows): materialize it
+    # ONCE so the two consumers below (redo_ids probe + good_rows output)
+    # don't each re-execute the dominant co-partition shuffle lineage
+    # (probe-then-consume invariant, CLAUDE.md)
+    merged = merged.materialize()
 
     # redo detection WITHOUT collecting the merged result: only the
     # (small) distinct flagged query_id set reaches the driver

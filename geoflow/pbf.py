@@ -139,15 +139,20 @@ class PbfReader:
         data, pos = self.data, self.pos
         result = 0
         shift = 0
-        while True:
-            b = data[pos]
-            pos += 1
-            result |= (b & 0x7F) << shift
-            if not b & 0x80:
-                break
-            shift += 7
-            if shift > 70:
-                raise ValueError("malformed varint")
+        try:
+            while True:
+                b = data[pos]
+                pos += 1
+                result |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+                if shift > 70:
+                    raise ValueError("malformed varint")
+        except IndexError:
+            raise ValueError("truncated varint") from None
+        if pos > self.end:
+            raise ValueError("varint overruns message boundary")
         self.pos = pos
         return result & _U64
 
@@ -159,12 +164,16 @@ class PbfReader:
         return unzigzag(self.read_varint())
 
     def read_double(self) -> float:
+        if self.pos + 8 > self.end:
+            raise ValueError("truncated double")
         x = struct.unpack_from("<d", self.data, self.pos)[0]
         self.pos += 8
         return x
 
     def read_bytes(self) -> bytes:
         n = self.read_varint()
+        if self.pos + n > self.end:
+            raise ValueError("truncated length-delimited field")
         out = self.data[self.pos:self.pos + n]
         self.pos += n
         return out
@@ -174,6 +183,8 @@ class PbfReader:
 
     def enter_message(self) -> "PbfReader":
         n = self.read_varint()
+        if self.pos + n > self.end:
+            raise ValueError("truncated embedded message")
         sub = PbfReader(self.data, self.pos, self.pos + n)
         self.pos += n
         return sub
@@ -196,9 +207,13 @@ class PbfReader:
         if self.wire == WIRE_VARINT:
             self.read_varint()
         elif self.wire == WIRE_FIXED64:
+            if self.pos + 8 > self.end:
+                raise ValueError("truncated fixed64 field")
             self.pos += 8
         elif self.wire == WIRE_LEN:
             n = self.read_varint()
+            if self.pos + n > self.end:
+                raise ValueError("truncated length-delimited field")
             self.pos += n
         else:
             raise ValueError(f"unsupported wire type {self.wire}")

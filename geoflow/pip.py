@@ -417,25 +417,37 @@ def copartition_pip_join(features_ds, polygons_ds,
                .union(polygons_ds.map_batches(tag_polys,
                                               batch_format="pyarrow")))
 
-    def bucket_join(block: pd.DataFrame) -> pd.DataFrame:
-        pts = block[block["__side"] == 0]
-        frs = block[block["__side"] == 1]
-        drop = ["__b", "__side", "poly_id", "coords", "lengths"]
-        if len(pts) == 0 or len(frs) == 0:
-            out = pts.drop(columns=drop).head(0)
-            out["poly_id"] = pd.Series(dtype=np.int64)
-            return out
+    out_cols = list(point_cols) + ["salt"]
+
+    def bucket_join(block: pa.Table) -> pa.Table:
+        # split sides at the ARROW level (relational.join_bucket pattern):
+        # each side's own columns are non-null on its own rows, so int
+        # point payloads (feature_idx, ids >= 2^53) never pass through a
+        # null-padded float64 pandas conversion — output dtypes are
+        # bit-exact copies of the input feature dtypes.
+        side = block["__side"]
+        pts = block.filter(pc.equal(side, 0)).select(out_cols)
+        frs = block.filter(pc.equal(side, 1)).select(
+            ["cell", "salt", "poly_id", "coords", "lengths"])
+        if pts.num_rows == 0 or frs.num_rows == 0:
+            return pts.slice(0, 0).append_column(
+                "poly_id", pa.array([], type=pa.int64()))
         # fragment lookup: (cell, salt) -> list of (poly_id, coords, lens)
         frag: dict = {}
-        for r in frs.itertuples():
-            frag.setdefault((int(r.cell), int(r.salt)), []).append(
-                (int(r.poly_id),
-                 np.asarray(r.coords, dtype=np.float64),
-                 np.asarray(r.lengths, dtype=np.int64)))
-        cell = pts["cell"].to_numpy()
-        salt = pts["salt"].to_numpy()
-        lng = pts["lng"].to_numpy()
-        lat = pts["lat"].to_numpy()
+        f_cell = frs["cell"].to_numpy(zero_copy_only=False)
+        f_salt = frs["salt"].to_numpy(zero_copy_only=False)
+        f_pid = frs["poly_id"].to_numpy(zero_copy_only=False)
+        f_coords = frs["coords"].to_pylist()
+        f_lens = frs["lengths"].to_pylist()
+        for i in range(frs.num_rows):
+            frag.setdefault((int(f_cell[i]), int(f_salt[i])), []).append(
+                (int(f_pid[i]),
+                 np.asarray(f_coords[i], dtype=np.float64),
+                 np.asarray(f_lens[i], dtype=np.int64)))
+        cell = pts["cell"].to_numpy(zero_copy_only=False)
+        salt = pts["salt"].to_numpy(zero_copy_only=False)
+        lng = pts["lng"].to_numpy(zero_copy_only=False)
+        lat = pts["lat"].to_numpy(zero_copy_only=False)
         order = np.lexsort((salt, cell))
         cs, ss = cell[order], salt[order]
         bounds = np.flatnonzero(np.concatenate(
@@ -454,16 +466,14 @@ def copartition_pip_join(features_ds, polygons_ds,
                     polys_out.append(np.full(len(idx), pid,
                                              dtype=np.int64))
         if not rows_out:
-            out = pts.drop(columns=drop)
-            out = out.head(0)
-            out["poly_id"] = pd.Series(dtype=np.int64)
-            return out
+            return pts.slice(0, 0).append_column(
+                "poly_id", pa.array([], type=pa.int64()))
         rows_cat = np.concatenate(rows_out)
         polys_cat = np.concatenate(polys_out)
         order2 = np.lexsort((polys_cat, rows_cat))
-        out = pts.drop(columns=drop).iloc[rows_cat[order2]].copy()
-        out["poly_id"] = polys_cat[order2]
-        return out
+        out = pts.take(pa.array(rows_cat[order2]))
+        return out.append_column(
+            "poly_id", pa.array(polys_cat[order2], type=pa.int64()))
 
     return unioned.groupby("__b").map_groups(bucket_join,
-                                             batch_format="pandas")
+                                             batch_format="pyarrow")

@@ -186,7 +186,11 @@ def adaptive_semijoin(big_ds, keys_ds, on: str,
     of it so the big side ships only probably-matching rows through the
     AllToAll — Bloom filters have no false negatives and the join
     itself is exact, so false positives only cost shuffle bytes.
-    Results identical on every path."""
+    Results identical on every path: both plans are TRUE semi-filters
+    (``big_ds`` rows/columns only, emitted at most once) even when
+    ``keys_ds`` carries duplicate keys or payload columns — the shuffle
+    path projects to the key column and dedups it distributed before
+    joining (ADVICE r2: plan choice must not change results)."""
     import ray
 
     keys_mat = keys_ds.materialize()  # build side only — never big_ds
@@ -198,8 +202,20 @@ def adaptive_semijoin(big_ds, keys_ds, on: str,
             return batch[batch[on].isin(ray.get(ref))]
 
         return big_ds.map_batches(semi, batch_format="pandas")
+    # distinct key-only build side (hash-bucket partials + vectorized
+    # per-bucket combine — never per-group Python): an inner join with a
+    # unique key-only build side IS a semi-filter
+    keys_distinct = (grouped_agg(keys_mat.select_columns([on]), [on],
+                                 {"__n": (on, "size")})
+                     .map_batches(project_cols([on]),
+                                  batch_format="pandas")
+                     .materialize())
+    if schemas is not None:
+        kschema = pa.schema([schemas[1].field(on)])
+        schemas = (schemas[0], kschema)
     if bloom_bits:
-        bits_ref = ray.put(build_bloom(keys_mat, on, m_bits=bloom_bits))
+        bits_ref = ray.put(build_bloom(keys_distinct, on,
+                                       m_bits=bloom_bits))
 
         def prefilter(batch: pd.DataFrame) -> pd.DataFrame:
             bits = ray.get(bits_ref)
@@ -207,7 +223,7 @@ def adaptive_semijoin(big_ds, keys_ds, on: str,
             return batch[bloom_contains(bits, keys)]
 
         big_ds = big_ds.map_batches(prefilter, batch_format="pandas")
-    return bucketed_hash_join(big_ds, keys_mat, on,
+    return bucketed_hash_join(big_ds, keys_distinct, on,
                               n_buckets=n_buckets, schemas=schemas)
 
 
@@ -398,10 +414,13 @@ def interval_join(left_ds, right_ds, key: str, left_time: str,
                 lo = np.floor_divide(t - w, w)
                 hi = np.floor_divide(t + w, w)
                 reps = (hi - lo + 1)
-                offs = np.arange(int(reps.max()), dtype=np.int64)
-                ck_grid = lo[:, None] + offs[None, :]
-                keep = offs[None, :] < reps[:, None]
-                ck = ck_grid[keep]
+                if n == 0:  # empty-but-schema'd block: reps.max() raises
+                    ck = np.empty(0, dtype=np.int64)
+                else:
+                    offs = np.arange(int(reps.max()), dtype=np.int64)
+                    ck_grid = lo[:, None] + offs[None, :]
+                    keep = offs[None, :] < reps[:, None]
+                    ck = ck_grid[keep]
             take = pa.array(np.repeat(np.arange(n, dtype=np.int64),
                                       reps))
             m = int(len(ck))

@@ -714,3 +714,25 @@ def test_decode_segmented_roundtrip():
         want = np.concatenate([np.asarray(ln).ravel()
                                for ln in doc["coordinates"]])
         assert (flat == want).all()
+
+
+def test_decode_corrupt_inputs_clean_valueerror():
+    """Corrupt, truncated, or non-geobuf bytes must raise ValueError
+    (protozero in the reference throws data_view/end_of_buffer
+    exceptions) — never IndexError/struct.error, never a silent None."""
+    import pytest
+    for bad in (b"\x99\x99garbage",       # unknown fields, truncated
+                b"\xff\xff\xff\xff",       # truncated varint key
+                b"\x0a",                   # len-field with no length
+                b"\x0a\xff",               # truncated length varint
+                b"\x0a\x20abc",            # declared length > buffer
+                b"\x22\x05\x0a\xff\xff",   # truncated nested message
+                b"\x19\x01\x02",           # fixed64 with 2 bytes
+                b"\x1d\x00",               # unsupported wire type 5
+                b""):                      # empty: no payload field
+        with pytest.raises(ValueError):
+            codec.decode(bad)
+    # valid empty-GeometryCollection bytes still decode to None
+    assert codec.decode(
+        codec.encode({"type": "GeometryCollection",
+                      "geometries": []})) is None

@@ -339,6 +339,39 @@ def test_copartition_pip_sparse_polygons(ray_session, feats):
     assert len(out) == len(rows)
 
 
+def test_copartition_pip_dtypes_exact_beyond_2_53(ray_session, feats,
+                                                  polygons):
+    """Regression (VERDICT r2 #1): the dual-shuffle PIP used to split
+    sides on a null-padded pandas block, so the point side's int columns
+    passed through float64 (int32 feature_idx widened; int64 >= 2^53
+    silently corrupted).  Arrow-level split must keep point payload
+    dtypes AND values bit-exact."""
+    import ray.data
+    lng = feats["lng"].to_numpy()
+    lat = feats["lat"].to_numpy()
+    cell = cells.cell_encode(lng, lat, pip.DEFAULT_RES).view(np.int64)
+    # sentinel int64 payload above 2^53: float64 cannot represent these
+    base = (1 << 53) + 1
+    sentinel = base + 2 * np.arange(feats.num_rows, dtype=np.int64)
+    t = (feats.append_column("cell", pa.array(cell))
+         .append_column("big_id", pa.array(sentinel)))
+    ds = ray.data.from_arrow(t)
+    polys_ds = ray.data.from_arrow(synth.make_polygons(60))
+    out = pip.copartition_pip_join(ds, polys_ds).to_pandas()
+    assert len(out) > 100
+    assert out["feature_idx"].dtype == np.int32
+    assert out["big_id"].dtype == np.int64
+    # every output big_id must be one of the exact odd sentinels —
+    # a float64 round-trip would make some even
+    assert (out["big_id"].to_numpy() % 2 == 1).all()
+    want = {int(s) for s in sentinel}
+    assert set(int(v) for v in out["big_id"]) <= want
+    # counts still equal to the broadcast path
+    idx = pip.PolygonIndex(polygons)
+    rows, _ = idx.match(lng, lat)
+    assert len(out) == len(rows)
+
+
 def test_copartition_knn_matches_bruteforce(ray_session, feats):
     """Co-partitioned kNN (queries as a Dataset) == brute force,
     including empty-region queries that trigger the exact fallback."""

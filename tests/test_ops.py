@@ -744,6 +744,20 @@ def test_adaptive_joins_both_plans_identical(ray_session):
                                  ray.data.from_pandas(keys), on="k"),
                ["k", "v"])
     pd.testing.assert_frame_equal(got, want.astype(np.int64))
+    # ADVICE r2: a keys_ds with DUPLICATE keys and payload columns must
+    # still semi-FILTER on the shuffle path (no row multiplication, no
+    # appended build columns) — identical to the broadcast plan
+    dirty = pd.concat([keys.assign(junk=1), keys.assign(junk=2)],
+                      ignore_index=True)
+    for lim in (None, 0):
+        kw = {} if lim is None else {"broadcast_limit": 0}
+        out = adaptive_semijoin(ray.data.from_pandas(big),
+                                ray.data.from_pandas(dirty), on="k",
+                                **kw).to_pandas()
+        assert sorted(out.columns) == ["k", "v"]
+        got2 = out[["k", "v"]].sort_values(["k", "v"]) \
+            .reset_index(drop=True).astype(np.int64)
+        pd.testing.assert_frame_equal(got2, want.astype(np.int64))
 
 
 def test_interval_join_matches_bruteforce(ray_session):
