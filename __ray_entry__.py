@@ -64,127 +64,91 @@ def _q_flagship_tiles(sf_dir: str):
     return tile_stats.sort(["tile_x", "tile_y"])
 
 
-def _q_pip_pages(sf_dir: str):
+def _cell_feats(sf_dir: str, res: int = 8):
+    """Extracted page features + join cell column, materialized ONCE so
+    multi-path variant queries don't re-execute the extraction per
+    path (probe-then-consume invariant)."""
+    import ray.data
+    import numpy as np
+    import pyarrow as pa
+    from geoflow import cells, pipeline
+
+    pages = ray.data.read_parquet(_pages_dir(sf_dir),
+                                  columns=pipeline.PAGE_COLUMNS)
+    feats = pipeline.extract_features(pages)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        c = cells.cell_encode(batch["lng"].to_numpy(zero_copy_only=False),
+                              batch["lat"].to_numpy(zero_copy_only=False),
+                              res).view(np.int64)
+        batch = batch.select(["url", "feature_idx", "lng", "lat"])
+        return batch.append_column("cell", pa.array(c))
+
+    return feats.map_batches(add_cell,
+                             batch_format="pyarrow").materialize()
+
+
+def _q_pip_variants(sf_dir: str):
+    """PIP join ★J1 on all three physical paths in one query —
+    broadcast (per-worker index), salted-shuffle groupby (hot-cell
+    salting from sampled skew detection), and dual-shuffle
+    co-partition (polygon side as a Dataset) — returning
+    (path, poly_id, n_matches).  All paths must agree per polygon
+    (equality oracled in tests/test_joins.py; rows-only here because
+    the pages table is synthesized outside DuckDB's view)."""
     import ray
     import ray.data
-    from geoflow import pipeline, synth
+    import pandas as pd
+    from geoflow import pip, shuffle, synth
     from geoflow.pip import PIPJoiner
     from geoflow.relational import partial_grouped_agg
 
-    pages = ray.data.read_parquet(_pages_dir(sf_dir),
-                                  columns=pipeline.PAGE_COLUMNS)
-    feats = pipeline.extract_features(pages)
+    feats = _cell_feats(sf_dir, res=pip.DEFAULT_RES)
     polys = synth.make_polygons().to_pydict()
-    joined = feats.map_batches(
-        PIPJoiner(polygons_ref=ray.put(polys)),
-        batch_format="pyarrow")
-    out = partial_grouped_agg(joined, ["poly_id"], {},
-                              count_alias="n_matches")
-    return out.sort("poly_id")
 
+    def counts(joined):
+        out = partial_grouped_agg(joined, ["poly_id"], {},
+                                  count_alias="n_matches")
+        return shuffle.collect_pandas(out)
 
-def _q_pip_salted(sf_dir: str):
-    """Shuffle-path PIP join (groupby on cell with hot-cell salting from
-    sampled skew detection) — must produce IDENTICAL per-polygon counts
-    to the broadcast path _q_pip_pages (oracle equality in tests)."""
-    import ray.data
-    import numpy as np
-    import pyarrow as pa
-    from geoflow import cells, pip, pipeline, shuffle, synth
-    from geoflow.relational import partial_grouped_agg
-
-    pages = ray.data.read_parquet(_pages_dir(sf_dir),
-                                  columns=pipeline.PAGE_COLUMNS)
-    feats = pipeline.extract_features(pages)
-
-    def add_cell(batch: pa.Table) -> pa.Table:
-        c = cells.cell_encode(batch["lng"].to_numpy(zero_copy_only=False),
-                              batch["lat"].to_numpy(zero_copy_only=False),
-                              pip.DEFAULT_RES).view(np.int64)
-        return batch.append_column("cell", pa.array(c))
-
-    feats = feats.map_batches(add_cell, batch_format="pyarrow")
-    polys = synth.make_polygons().to_pydict()
+    broadcast = counts(feats.map_batches(
+        PIPJoiner(polygons_ref=ray.put(polys)), batch_format="pyarrow"))
     salt_map = shuffle.detect_hot_keys(feats, "cell",
                                        target_rows_per_group=2000)
-    joined = pip.grouped_pip_join(feats, polys, salt_map=salt_map)
-    out = partial_grouped_agg(joined, ["poly_id"], {},
-                              count_alias="n_matches")
-    return out.sort("poly_id")
+    salted = counts(pip.grouped_pip_join(feats, polys,
+                                         salt_map=salt_map))
+    coparted = counts(pip.copartition_pip_join(
+        feats, ray.data.from_arrow(synth.make_polygons())))
+    for name, df in (("broadcast", broadcast), ("salted", salted),
+                     ("copartition", coparted)):
+        df.insert(0, "path", name)
+    return pd.concat([broadcast, salted, coparted],
+                     ignore_index=True).sort_values(
+        ["path", "poly_id"]).reset_index(drop=True)
 
 
-def _q_pip_copartition(sf_dir: str):
-    """Dual-shuffle PIP join (polygon side as a Dataset, no broadcast) —
-    per-polygon counts identical to _q_pip_pages (oracle in tests)."""
+def _q_knn_variants(sf_dir: str):
+    """kNN join ★J2 on both large-scale paths in one query — cell-
+    pruned broadcast scan (ring-closure exact fallback) and the
+    co-partitioned queries-as-Dataset path — returning
+    (path, query_id, url, feature_idx); result sets must be identical
+    (oracle equality in tests/test_joins.py; rows-only here)."""
     import ray.data
-    import numpy as np
-    import pyarrow as pa
-    from geoflow import cells, pip, pipeline, synth
-    from geoflow.relational import partial_grouped_agg
+    import pandas as pd
+    from geoflow import knn, synth
 
-    pages = ray.data.read_parquet(_pages_dir(sf_dir),
-                                  columns=pipeline.PAGE_COLUMNS)
-    feats = pipeline.extract_features(pages)
-
-    def add_cell(batch: pa.Table) -> pa.Table:
-        c = cells.cell_encode(batch["lng"].to_numpy(zero_copy_only=False),
-                              batch["lat"].to_numpy(zero_copy_only=False),
-                              pip.DEFAULT_RES).view(np.int64)
-        return batch.append_column("cell", pa.array(c))
-
-    feats = feats.map_batches(add_cell, batch_format="pyarrow")
-    polys_ds = ray.data.from_arrow(synth.make_polygons())
-    joined = pip.copartition_pip_join(feats, polys_ds)
-    out = partial_grouped_agg(joined, ["poly_id"], {},
-                              count_alias="n_matches")
-    return out.sort("poly_id")
-
-
-def _q_knn_pages(sf_dir: str):
-    import ray
-    import ray.data
-    import numpy as np
-    import pyarrow as pa
-    from geoflow import cells, knn, pipeline, synth
-
-    pages = ray.data.read_parquet(_pages_dir(sf_dir),
-                                  columns=pipeline.PAGE_COLUMNS)
-    feats = pipeline.extract_features(pages)
-
-    def add_cell(batch: pa.Table) -> pa.Table:
-        c = cells.cell_encode(batch["lng"].to_numpy(zero_copy_only=False),
-                              batch["lat"].to_numpy(zero_copy_only=False),
-                              8).view(np.int64)
-        return batch.append_column("cell", pa.array(c))
-
-    feats = feats.map_batches(add_cell, batch_format="pyarrow")
-    queries = synth.make_knn_queries(20).to_pydict()
-    out = knn.knn_join_pruned(feats, queries, res=8, ring=2)
-    return out[["query_id", "url", "feature_idx"]]
-
-
-def _q_knn_copartition(sf_dir: str):
-    """Co-partitioned kNN (queries as a Dataset; exact with disk-ring
-    fallback) — same result set as _q_knn_pages (oracle in tests)."""
-    import ray.data
-    import numpy as np
-    import pyarrow as pa
-    from geoflow import cells, knn, pipeline, synth
-
-    pages = ray.data.read_parquet(_pages_dir(sf_dir),
-                                  columns=pipeline.PAGE_COLUMNS)
-    feats = pipeline.extract_features(pages)
-
-    def add_cell(batch: pa.Table) -> pa.Table:
-        c = cells.cell_encode(batch["lng"].to_numpy(zero_copy_only=False),
-                              batch["lat"].to_numpy(zero_copy_only=False),
-                              8).view(np.int64)
-        return batch.append_column("cell", pa.array(c))
-
-    feats = feats.map_batches(add_cell, batch_format="pyarrow")
-    queries = ray.data.from_arrow(synth.make_knn_queries(20))
-    out = knn.copartition_knn_join(feats, queries, res=8, ring=2)
-    return out.select_columns(["query_id", "url", "feature_idx"])
+    feats = _cell_feats(sf_dir, res=8)
+    pruned = knn.knn_join_pruned(feats, synth.make_knn_queries(20)
+                                 .to_pydict(), res=8, ring=2)
+    pruned = pruned[["query_id", "url", "feature_idx"]]
+    coparted = knn.copartition_knn_join(
+        feats, ray.data.from_arrow(synth.make_knn_queries(20)),
+        res=8, ring=2).select_columns(
+        ["query_id", "url", "feature_idx"]).to_pandas()
+    pruned.insert(0, "path", "pruned")
+    coparted.insert(0, "path", "copartition")
+    return pd.concat([pruned, coparted], ignore_index=True).sort_values(
+        ["path", "query_id", "url", "feature_idx"]).reset_index(drop=True)
 
 
 def _q_dedup_pages(sf_dir: str):
@@ -203,9 +167,13 @@ def _q_dedup_pages(sf_dir: str):
 
 
 def _q_polygon_tiles(sf_dir: str):
-    """Raster-side M17: exact z8 tile cover per synth polygon (exploded
-    (poly_id, tile_x, tile_y) rows; rows-only — the per-geometry oracle
-    is tests/test_spatial.py's sampling check)."""
+    """Both M17 sides in one query: the raster z8 tile cover per synth
+    polygon AND the vector clip of the polygon to each covering tile
+    (Sutherland-Hodgman) — one row per (poly, covering tile) with ring/
+    vertex counts and the clipped shoelace area in 1e-12 deg^2 units
+    (zeros when the cover tile's exact clip is empty).  Rows-only; the
+    sampling cover oracle and the area-conservation clip oracle live in
+    tests/test_spatial.py."""
     import ray.data
     import numpy as np
     import pyarrow as pa
@@ -213,41 +181,7 @@ def _q_polygon_tiles(sf_dir: str):
 
     polys = ray.data.from_arrow(synth.make_polygons())
 
-    def cover(batch: pa.Table) -> pa.Table:
-        pids, xs, ys = [], [], []
-        coords_rows = batch["coords"].to_pylist()
-        lengths_rows = batch["lengths"].to_pylist()
-        ids = batch["poly_id"].to_numpy(zero_copy_only=False)
-        for i in range(batch.num_rows):
-            coords = np.asarray(coords_rows[i])
-            lengths = np.asarray(lengths_rows[i], dtype=np.int64)
-            t = tiles.tiles_for_polygon(coords, lengths, 8)
-            pids.append(np.full(len(t), ids[i], dtype=np.int64))
-            xs.append(t[:, 0])
-            ys.append(t[:, 1])
-        return pa.table({
-            "poly_id": pa.array(np.concatenate(pids)),
-            "tile_x": pa.array(np.concatenate(xs)),
-            "tile_y": pa.array(np.concatenate(ys))})
-
-    return polys.map_batches(cover, batch_format="pyarrow") \
-        .sort(["poly_id", "tile_x", "tile_y"])
-
-
-def _q_polygon_clip(sf_dir: str):
-    """Vector-side M17: clip each synth polygon to every covering z8
-    tile (Sutherland-Hodgman) — one row per non-empty (poly, tile) clip
-    with ring/vertex counts and the clipped shoelace area in 1e-12
-    deg^2 units (rows-only; area-conservation oracle in
-    tests/test_spatial.py)."""
-    import ray.data
-    import numpy as np
-    import pyarrow as pa
-    from geoflow import synth, tiles
-
-    polys = ray.data.from_arrow(synth.make_polygons())
-
-    def clip(batch: pa.Table) -> pa.Table:
+    def cover_and_clip(batch: pa.Table) -> pa.Table:
         pids, xs, ys, nrings, nverts, areas = [], [], [], [], [], []
         coords_rows = batch["coords"].to_pylist()
         lengths_rows = batch["lengths"].to_pylist()
@@ -258,10 +192,8 @@ def _q_polygon_clip(sf_dir: str):
             for tx, ty in tiles.tiles_for_polygon(coords, lengths, 8):
                 cf, cl = tiles.clip_polygon_to_tile(
                     coords, lengths, int(tx), int(ty), 8)
-                if len(cl) == 0:
-                    continue
-                pts = cf.reshape(-1, 2)
                 a, k = 0.0, 0
+                pts = cf.reshape(-1, 2)
                 for ln in cl:
                     a += tiles.ring_area(pts[k:k + ln])
                     k += ln
@@ -269,7 +201,7 @@ def _q_polygon_clip(sf_dir: str):
                 xs.append(int(tx))
                 ys.append(int(ty))
                 nrings.append(len(cl))
-                nverts.append(int(cl.sum()))
+                nverts.append(int(cl.sum()) if len(cl) else 0)
                 areas.append(int(round(a * 1e12)))
         return pa.table({
             "poly_id": pa.array(pids, type=pa.int64()),
@@ -279,7 +211,7 @@ def _q_polygon_clip(sf_dir: str):
             "n_vertices": pa.array(nverts, type=pa.int64()),
             "area_pdeg2": pa.array(areas, type=pa.int64())})
 
-    return polys.map_batches(clip, batch_format="pyarrow") \
+    return polys.map_batches(cover_and_clip, batch_format="pyarrow") \
         .sort(["poly_id", "tile_x", "tile_y"])
 
 
@@ -375,8 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_dups_ivf": dedup.q_embedding_dups_ivf,
         # similarity search
         "q_ann_topk": similarity.q_ann_topk,
-        "q_ann_lsh": similarity.q_ann_lsh,
-        "q_ann_ivf": similarity.q_ann_ivf,
+        "q_ann_approx": similarity.q_ann_approx,
         # multimodal plumbing
         "q_media_features": multimodal.q_media_features,
         "q_media_frames": multimodal.q_media_frames,
@@ -393,15 +324,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial pipeline over synthesized pages (rows-only; pytest
         # brute-force oracles in tests/test_joins.py)
         "q_flagship_tiles": _q_flagship_tiles,
-        "q_pip_pages": _q_pip_pages,
-        "q_pip_salted": _q_pip_salted,
-        "q_pip_copartition": _q_pip_copartition,
-        "q_knn_pages": _q_knn_pages,
-        "q_knn_copartition": _q_knn_copartition,
+        "q_pip_variants": _q_pip_variants,
+        "q_knn_variants": _q_knn_variants,
         "q_dedup_pages": _q_dedup_pages,
         "q_tile_blobs": _q_tile_blobs,
         "q_polygon_tiles": _q_polygon_tiles,
-        "q_polygon_clip": _q_polygon_clip,
         "q_geobuf_sizes": _q_geobuf_sizes,
     }
 

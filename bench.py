@@ -133,7 +133,8 @@ def run_bench() -> dict:
                      "q_grouped_quantiles", "q_docs_sample",
                      "q_regex_extract", "q_media_frames",
                      "q_properties_project", "q_incremental_dedup",
-                     "q_embedding_dups_ivf", "q_dedup_simhash"]:
+                     "q_embedding_dups_ivf", "q_dedup_simhash",
+                     "q_tile_blobs"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data

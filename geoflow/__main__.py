@@ -9,22 +9,40 @@ binaries (/root/reference/examples/*.cpp):
   normalize_geobuf IN [OUT] [--precision -1]
   normalize_json  IN [OUT] [--no-indent] [--precision -1]
   pbf_decode      IN [OUT]
+  lintjson        IN [OUT]
 
 ``-`` means stdin/stdout (the C++ CLIs read stdin when no arg,
 /root/reference/examples/json2geobuf.cpp:9-13).  Defaults match the
-reference: encode precision 8 (10^8 max), decode compact unsorted,
-normalize_json pretty+sorted, normalize_geobuf auto-precision from the
-decoded header.
+reference: encode precision 8 (10^8 max) — overridable via the
+``GEOBUF_PRECISION`` env var like the reference example binary
+(/root/reference/examples/json2geobuf.cpp:10-13; the --precision flag
+wins over the env) — decode compact unsorted, normalize_json
+pretty+sorted, normalize_geobuf auto-precision from the decoded
+header, lintjson parse -> pretty dump
+(/root/reference/examples/lintjson.cpp:6-15).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import pathlib
 import sys
 
 from . import codec, jsonops
+
+
+def _default_precision() -> int:
+    """GEOBUF_PRECISION env (reference examples/json2geobuf.cpp:10),
+    falling back to the reference CLI default of 8."""
+    v = os.environ.get("GEOBUF_PRECISION")
+    if v is None:
+        return 8
+    try:
+        return int(v)
+    except ValueError:
+        return 8
 
 
 def _read_text(path: str) -> str:
@@ -62,8 +80,9 @@ def _write_bytes(path: str | None, data: bytes,
 
 
 def cmd_json2geobuf(args) -> int:
-    data = codec.encode(_read_text(args.input),
-                        max_precision=10 ** args.precision)
+    p = args.precision if args.precision is not None \
+        else _default_precision()
+    data = codec.encode(_read_text(args.input), max_precision=10 ** p)
     _write_bytes(args.output, data)
     return 0
 
@@ -107,6 +126,15 @@ def cmd_pbf_decode(args) -> int:
     return 0
 
 
+def cmd_lintjson(args) -> int:
+    """Parse -> pretty-print roundtrip (reference examples/lintjson.cpp:
+    load_json + dump_json(indent=true); M5 jsonops.str2json2str)."""
+    _write_text(args.output,
+                jsonops.str2json2str(_read_text(args.input), indent=4,
+                                     sort_keys=args.sort_keys))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python -m geoflow",
                                 description=__doc__.splitlines()[0])
@@ -116,8 +144,9 @@ def build_parser() -> argparse.ArgumentParser:
                        help="GeoJSON text -> geobuf bytes (M9)")
     s.add_argument("input")
     s.add_argument("output", nargs="?", default="-")
-    s.add_argument("--precision", type=int, default=8,
-                   help="max precision exponent (reference default 8)")
+    s.add_argument("--precision", type=int, default=None,
+                   help="max precision exponent (default: "
+                        "$GEOBUF_PRECISION, else 8)")
     s.set_defaults(fn=cmd_json2geobuf)
 
     s = sub.add_parser("geobuf2json",
@@ -150,6 +179,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("input")
     s.add_argument("output", nargs="?", default="-")
     s.set_defaults(fn=cmd_pbf_decode)
+
+    s = sub.add_parser("lintjson",
+                       help="JSON parse -> pretty dump (M5)")
+    s.add_argument("input")
+    s.add_argument("output", nargs="?", default="-")
+    s.add_argument("--sort-keys", action="store_true")
+    s.set_defaults(fn=cmd_lintjson)
     return p
 
 

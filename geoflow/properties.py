@@ -22,6 +22,15 @@ inside ``map_batches`` over ``pyarrow.Table`` batches:
 
 All operators default to ``column="properties"`` but work on any JSON
 column (e.g. ``custom_properties`` or the events table's ``props``).
+
+Bytes convention: the reference's rapidjson binding converts Python
+``bytes`` values to base64 STRINGS on assignment
+(/root/reference/src/pybind11_rapidjson.cpp via
+tests/test_geobuf.py:125-147 — ``rapidjson(b"raw bytes")() ==
+"cmF3IGJ5dGVz"``); ``set_property`` applies the same rule, so binary
+payloads round-trip through the JSON property column as base64 text and
+decode with ``base64.b64decode`` exactly like the reference's
+``GetRawString`` flow.
 """
 
 from __future__ import annotations
@@ -144,19 +153,29 @@ def set_property(batch: pa.Table, key: str, values,
     """Set ``key`` on every row (``__setitem__``).  ``values`` is a
     python scalar (broadcast) or a sequence/array with one JSON-able
     value per row; a None element deletes nothing — it stores JSON
-    null, exactly like assigning None in the reference binding."""
+    null, exactly like assigning None in the reference binding.
+    ``bytes`` values are stored as base64 strings (the reference's
+    rapidjson convention, tests/test_geobuf.py:125-147)."""
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         values = values.to_pylist()
     elif isinstance(values, np.ndarray):
         values = values.tolist()
+
+    def b64(v):
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            import base64
+            return base64.b64encode(bytes(v)).decode("ascii")
+        return v
+
     if isinstance(values, (list, tuple)):
         if len(values) != batch.num_rows:
             raise ValueError("values length != batch rows")
+        values = [b64(v) for v in values]
 
         def mutate(obj, i):
             obj[key] = values[i]
     else:
-        scalar = values
+        scalar = b64(values)
 
         def mutate(obj, i):
             obj[key] = scalar

@@ -216,3 +216,19 @@ def q_ann_lsh(sf_dir: str):
 def q_ann_ivf(sf_dir: str):
     qids, qm = _fixed_queries(sf_dir)
     return ann_ivf_topk(_emb(sf_dir), qids, qm, k=10)
+
+
+def q_ann_approx(sf_dir: str):
+    """Both approximate ANN paths (★N2 LSH + ★N3 IVF) in one query:
+    per-method top-k rows tagged by ``method`` (rows-only; recall-vs-
+    exact oracles live in tests/test_ops.py)."""
+    import pandas as pd
+
+    qids, qm = _fixed_queries(sf_dir)
+    emb = _emb(sf_dir)
+    lsh = ann_lsh_topk(emb, qids, qm, k=10).to_pandas()
+    ivf = ann_ivf_topk(emb, qids, qm, k=10).to_pandas()
+    lsh.insert(0, "method", "lsh")
+    ivf.insert(0, "method", "ivf")
+    return pd.concat([lsh, ivf], ignore_index=True).sort_values(
+        ["method", "query_id", "vec_id"]).reset_index(drop=True)

@@ -10,6 +10,7 @@ import json
 import pathlib
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from geoflow import codec, codec_batch, pbf
@@ -736,3 +737,143 @@ def test_decode_corrupt_inputs_clean_valueerror():
     assert codec.decode(
         codec.encode({"type": "GeometryCollection",
                       "geometries": []})) is None
+
+
+def test_encode_point_fc_byte_identity():
+    """Vectorized tile-blob encoder == per-document Encoder, byte for
+    byte, across segment sizes, >127-byte feature bodies (long urls),
+    large feature indexes, and max-precision coordinate capping."""
+    rng = np.random.default_rng(7)
+    n = 80
+    lng = np.round(rng.uniform(-180, 180, n), 4)
+    lat = np.round(rng.uniform(-85, 85, n), 6)
+    lng[7] = 1 / 3            # irrational decimal: precision caps at 6
+    lat[11] = -1 / 7
+    urls = [("https://example.com/" + "x" * int(rng.integers(0, 200))
+             + f"/{i}") for i in range(n)]
+    fi = rng.integers(0, 1 << 31, n).astype(np.int64)
+    bounds = np.array([0, 1, 6, 30, n], dtype=np.int64)
+    got = codec_batch.encode_point_fc(
+        lng, lat, pa.array(urls, type=pa.large_string()), fi, bounds)
+    assert len(got) == len(bounds) - 1
+    for t in range(len(bounds) - 1):
+        a, b = bounds[t], bounds[t + 1]
+        features = [
+            {"type": "Feature",
+             "properties": {"url": urls[i], "idx": int(fi[i])},
+             "geometry": {"type": "Point",
+                          "coordinates": [float(lng[i]), float(lat[i])]}}
+            for i in range(a, b)]
+        want = codec.encode({"type": "FeatureCollection",
+                             "features": features})
+        assert got[t].as_py() == want
+
+
+def _w_vi(n: int) -> bytes:
+    """Independent unsigned-varint writer (public protobuf wire spec) —
+    deliberately NOT geoflow.pbf, so the fixture below is a foreign
+    byte stream as far as the codec under test is concerned."""
+    out = bytearray()
+    n &= (1 << 64) - 1
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _w_zz(v: int) -> bytes:
+    return _w_vi(((v << 1) ^ (v >> 63)) & ((1 << 64) - 1))
+
+
+def test_decode_foreign_wire_fixture():
+    """Decode parity on a HAND-ASSEMBLED geobuf byte stream (written
+    directly from the wire layout of SURVEY §1.2 / reference
+    src/geobuf/geobuf.cpp:561-882 with an independent varint writer —
+    no geoflow encoder involved): dim=3, precision=5, FeatureCollection
+    with int64 id, string+double properties, Point and LineString with
+    negative deltas.  The reference container ships no .pbf fixture
+    (its js/ submodule is empty), so this is the closest available
+    stand-in for decoding a reference-produced stream."""
+    import struct
+
+    def tagb(tag, payload):  # length-delimited field
+        return _w_vi((tag << 3) | 2) + _w_vi(len(payload)) + payload
+
+    # geometry 1: Point [12.34567, -8.76543, 100.5] @ e=1e5, dim 3
+    g1 = (b"\x08\x00"
+          + tagb(3, _w_zz(1234567) + _w_zz(-876543) + _w_zz(10050000)))
+    # feature 1: geometry + id=-3 (tag12 two's-complement int64 varint)
+    #            + properties {"name": "tower", "height": 100.5}
+    f1 = (tagb(1, g1)
+          + _w_vi((12 << 3) | 0) + _w_vi(-3)
+          + tagb(13, tagb(1, b"tower"))
+          + tagb(13, _w_vi((2 << 3) | 1) + struct.pack("<d", 100.5))
+          + tagb(14, b"\x00\x00\x01\x01"))
+    # geometry 2: LineString [[1e-5, -2e-5, 0], [1.0, 2.0, 0]] — deltas
+    # (1,-2,0) then (99999, 200002, 0)
+    g2 = (b"\x08\x02"
+          + tagb(3, _w_zz(1) + _w_zz(-2) + _w_zz(0)
+                 + _w_zz(99999) + _w_zz(200002) + _w_zz(0)))
+    f2 = tagb(1, g2)
+    fc = tagb(1, f1) + tagb(1, f2)
+    data = (tagb(1, b"name") + tagb(1, b"height")
+            + b"\x10\x03"            # tag2 dim = 3
+            + b"\x18\x05"            # tag3 precision = 5
+            + tagb(4, fc))
+
+    d = codec.Decoder()
+    doc = d.decode(data)
+    assert d.dim == 3 and d.precision == 5
+    assert doc == {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature",
+             "geometry": {"type": "Point",
+                          "coordinates": [12.34567, -8.76543, 100.5]},
+             "properties": {"name": "tower", "height": 100.5},
+             "id": -3},
+            {"type": "Feature",
+             "geometry": {"type": "LineString",
+                          "coordinates": [[0.00001, -0.00002, 0.0],
+                                          [1.0, 2.0, 0.0]]},
+             "properties": {}},
+        ]}
+    # encode of the decode is a fixpoint (wire-level idempotence)
+    assert codec.decode(codec.encode(doc)) == doc
+
+
+def test_rounding_sharp_edge_js_vs_cxx():
+    """The reference flags lon=119.88281249999999 as a js-vs-cxx
+    rounding sharp edge (tests/test_geobuf.cpp:61-83).  In IEEE-754 the
+    product lon*1e6 is 119882812.49999999 (just BELOW the half), so
+    std::round — and our exact reimplementation — yields ...812; the
+    true semantic divergence between the two runtimes is at exact
+    negative halves: C++ std::round is half-away-from-zero
+    (round(-2.5) = -3) while js Math.round is half-up
+    (Math.round(-2.5) = -2).  Our encoder follows the C++ rule
+    (codec.py round_half_away), and our decoder is value-faithful to
+    whichever int is on the wire."""
+    lon = 119.88281249999999
+    assert lon * 1e6 < 119882812.5           # the product is sub-half
+    assert codec.round_half_away(lon * 1e6) == 119882812
+    # exact halves: C++ half-away-from-zero on both signs
+    assert codec.round_half_away(2.5) == 3
+    assert codec.round_half_away(-2.5) == -3     # js would say -2
+    assert codec.round_half_away(-0.5) == -1     # js would say -0
+    import numpy as np
+    from geoflow import codec_batch
+    got = codec_batch.round_half_away_np(
+        np.array([lon * 1e6, 2.5, -2.5, -0.5]))
+    assert got.tolist() == [119882812, 3, -3, -1]
+    # a js-encoded stream carrying 119882812 must decode to 119.882812
+    g = (b"\x08\x00" + b"\x1a"
+         + bytes([len(_w_zz(119882812) + _w_zz(0))])
+         + _w_zz(119882812) + _w_zz(0))
+    data = b"\x22" if False else b""  # (geometry-typed doc: tag6)
+    data = b"\x32" + bytes([len(g)]) + g
+    doc = codec.decode(data)
+    assert doc["coordinates"][0] == 119.882812

@@ -1077,3 +1077,154 @@ def test_cli_reference_sample1_roundtrip(tmp_path):
     before = pbf.read_bytes()
     r = _run_cli(["normalize_geobuf", str(pbf)])
     assert r.returncode == 0 and pbf.read_bytes() == before
+
+
+def test_cli_lintjson():
+    """lintjson subcommand (reference examples/lintjson.cpp): parse ->
+    pretty dump, stdin/stdout, clean failure on invalid JSON."""
+    r = _run_cli(["lintjson", "-", "-"],
+                 stdin_bytes=b'{"b":1,"a":[1,2]}')
+    assert r.returncode == 0, r.stderr
+    got = r.stdout.decode()
+    assert got == '{\n    "b": 1,\n    "a": [\n        1,\n        2\n    ]\n}'
+    r2 = _run_cli(["lintjson", "-", "-", "--sort-keys"],
+                  stdin_bytes=b'{"b":1,"a":2}')
+    assert r2.returncode == 0
+    assert r2.stdout.decode().index('"a"') < r2.stdout.decode().index('"b"')
+    bad = _run_cli(["lintjson", "-", "-"], stdin_bytes=b"{nope")
+    assert bad.returncode == 1
+    assert b"error:" in bad.stderr
+
+
+def test_cli_geobuf_precision_env(tmp_path):
+    """GEOBUF_PRECISION env sets json2geobuf's default max precision
+    (reference examples/json2geobuf.cpp:10); the --precision flag wins."""
+    import os
+    import subprocess
+    import sys
+    doc = b'{"type":"Point","coordinates":[1.23456789,2.0]}'
+
+    def run(env_p=None, flag=None):
+        env = dict(os.environ)
+        env.pop("GEOBUF_PRECISION", None)
+        if env_p is not None:
+            env["GEOBUF_PRECISION"] = env_p
+        args = [sys.executable, "-m", "geoflow", "json2geobuf", "-", "-"]
+        if flag is not None:
+            args += ["--precision", flag]
+        return subprocess.run(args, input=doc, capture_output=True,
+                              cwd="/root/repo", env=env, timeout=120).stdout
+
+    from geoflow import codec
+    assert run() == codec.encode(doc.decode(), max_precision=10 ** 8)
+    assert run(env_p="3") == codec.encode(doc.decode(),
+                                          max_precision=10 ** 3)
+    # flag beats env
+    assert run(env_p="3", flag="6") == codec.encode(doc.decode(),
+                                                    max_precision=10 ** 6)
+    # malformed env falls back to the default
+    assert run(env_p="junk") == run()
+
+
+def test_set_property_bytes_base64():
+    """bytes property values store as base64 strings — the reference's
+    rapidjson convention (tests/test_geobuf.py:125-147:
+    rapidjson(b"raw bytes")() == "cmF3IGJ5dGVz")."""
+    import base64
+    import json
+    from geoflow import properties
+    t = pa.table({"properties": pa.array(['{"a":1}', "{}"])})
+    out = properties.set_property(t, "blob", b"raw bytes")
+    for row in out["properties"].to_pylist():
+        assert json.loads(row)["blob"] == "cmF3IGJ5dGVz"
+    payload = [b"\x00\x01\xff", bytearray(b"xyz")]
+    out2 = properties.set_property(t, "blob", payload)
+    got = [json.loads(r)["blob"] for r in out2["properties"].to_pylist()]
+    assert [base64.b64decode(g) for g in got] == [bytes(p) for p in payload]
+
+
+def test_embedding_ivf_hot_centroid_chunked(ray_session):
+    """Skew cap (VERDICT r2 #3): with n_centroids=1 EVERY vector lands
+    in one hot bucket; tiny chunk_rows must keep the per-step matmul
+    memory-bounded while producing exactly the unchunked pair set —
+    which with one bucket is the exact all-pairs oracle."""
+    import ray.data
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((60, 16))
+    m = np.vstack([base, base[:10] + 0.01 * rng.standard_normal((10, 16))])
+    t = pa.table({"vec_id": pa.array(range(70), type=pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in m],
+                                        type=pa.list_(pa.float32()))})
+
+    def pairs(chunk):
+        return dedup.embedding_dups_ivf(
+            ray.data.from_arrow(t), threshold=0.9, n_centroids=1,
+            n_assign=1, chunk_rows=chunk).to_pandas()
+
+    small = pairs(7)            # forces 10 chunk steps
+    big = pairs(1 << 20)        # one dense step
+    pd.testing.assert_frame_equal(small, big)
+    exact = dedup.embedding_dups(ray.data.from_arrow(t),
+                                 threshold=0.9).to_pandas()
+    assert set(zip(small["vec_id_a"], small["vec_id_b"])) == \
+        set(zip(exact["vec_id_a"], exact["vec_id_b"]))
+    assert len(small) >= 10
+
+
+def test_connected_components_distributed_vs_unionfind(ray_session):
+    """Distributed min-label propagation == driver union-find on a mix
+    of chains (pointer-jump stress), stars, triangles and isolated
+    pairs (VERDICT r2 #4: identical clusters, no O(nodes) driver
+    structure)."""
+    import ray.data
+    rng = np.random.default_rng(37)
+    edges = []
+    # a 60-node chain (worst case for naive propagation)
+    edges += [(i, i + 1) for i in range(100, 160)]
+    # a star
+    edges += [(500, 500 + i) for i in range(1, 40)]
+    # triangles + random small components
+    edges += [(7, 9), (9, 11), (11, 7)]
+    for base in range(1000, 1200, 10):
+        k = int(rng.integers(2, 5))
+        edges += [(base + rng.integers(0, k), base + rng.integers(0, k))
+                  for _ in range(3)]
+    edges = [(int(a), int(b)) for a, b in edges if a != b]
+    df = pd.DataFrame(edges, columns=["a", "b"]).astype(np.int64)
+
+    got = dedup.connected_components_distributed(
+        ray.data.from_pandas(df), n_buckets=8).to_pandas()
+    got_map = dict(zip(got["node"].astype(int), got["label"].astype(int)))
+
+    # oracle: classic union-find
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want = {n: find(n) for n in nodes}
+    assert got_map == want
+
+
+def test_minhash_distributed_cc_identical(ray_session):
+    """minhash_dedup with the distributed-components path forced
+    (union_find_limit=0) produces bit-identical (doc_id, rep_id) to the
+    driver union-find path."""
+    import ray.data
+    ds = ray.data.from_arrow(_docs_corpus())
+    a = dedup.minhash_dedup(ds, threshold=0.6).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dedup.minhash_dedup(ds, threshold=0.6,
+                            union_find_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    rep = dict(zip(b["doc_id"], b["rep_id"]))
+    assert rep[0] == rep[1] == rep[2] == 0
