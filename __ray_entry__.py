@@ -300,9 +300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_dedup_prefix": dedup.q_dedup_prefix,
         "q_incremental_dedup": dedup.q_incremental_dedup,
-        "q_dedup_minhash": dedup.q_dedup_minhash,
-        "q_dedup_simhash": dedup.q_dedup_simhash,
+        "q_dedup_near": dedup.q_dedup_near,
         "q_dedup_jaccard": dedup.q_dedup_jaccard,
+        "q_connected_components": dedup.q_connected_components,
         "q_embedding_dups": dedup.q_embedding_dups,
         "q_embedding_dups_ivf": dedup.q_embedding_dups_ivf,
         # similarity search
@@ -362,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_prefix": dedup.Q_DEDUP_PREFIX_SQL,
         "q_incremental_dedup": dedup.Q_INCREMENTAL_DEDUP_SQL,
         "q_embedding_dups": dedup.Q_EMBEDDING_DUPS_SQL,
+        "q_connected_components": dedup.Q_CONNECTED_COMPONENTS_SQL,
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,
         "q_media_features": multimodal.Q_MEDIA_SQL,
         "q_media_frames": multimodal.Q_MEDIA_FRAMES_SQL,

@@ -108,7 +108,12 @@ def run_bench() -> dict:
         timed("flagship_sink", flagship_sink)
 
         import __ray_entry__ as entrymod
-        qs = entrymod.queries()
+        from geoflow import dedup as _dedup
+        qs = dict(entrymod.queries())
+        # r1/r2 bench protocol names (now folded into q_dedup_near in
+        # queries()): keep the same timed callables for comparability
+        qs.setdefault("q_dedup_minhash", _dedup.q_dedup_minhash)
+        qs.setdefault("q_dedup_simhash", _dedup.q_dedup_simhash)
         for name in ["q1_pricing_summary", "q3_top_orders",
                      "q_events_window", "q_bucket_join", "q_token_stats",
                      "q_cell_grid", "q_tile_assign", "q_pip_events",
