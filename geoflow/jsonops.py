@@ -374,17 +374,22 @@ def lint_json_batch(batch: pa.Table, column: str = "geojson",
 
 
 def q_json_normalize(sf_dir: str):
-    """Normalization pipeline over derived per-doc GeoJSON strings
-    (rows-only driver check; byte-level oracle in tests/test_ops.py):
-    messy input -> str2geojson2str (M6) and normalize_json at precision 4
-    (M7, codec roundtrip)."""
+    """Normalization + codec-size surfaces over derived per-doc GeoJSON
+    (rows-only driver check; byte-level oracles in tests/test_ops.py
+    and the frozen codec goldens): messy input -> str2geojson2str (M6),
+    normalize_json at precision 4 (M7, codec roundtrip), and the
+    vectorized geobuf point-encode byte size of the same derived
+    coordinates (the former q_geobuf_sizes query, folded in so the
+    driver's 50-entry check cap covers both surfaces)."""
     import ray.data
+    from . import codec_batch
     from .spatial_queries import derive_lnglat
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id"])
 
     def norm(batch: pa.Table) -> pa.Table:
+        import numpy as np
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         lng, lat = derive_lnglat(ids)
         lint, normed = [], []
@@ -394,8 +399,12 @@ def q_json_normalize(sf_dir: str):
                      f'"coordinates":[{lng[i]!r},{lat[i]!r}]}}}}')
             lint.append(str2geojson2str(messy, sort_keys=False))
             normed.append(normalize_json(messy, indent=2, precision=4))
+        enc = codec_batch.encode_points(lng, lat)
+        off = np.diff(np.frombuffer(enc.buffers()[1], dtype=np.int32)[
+            enc.offset:enc.offset + len(enc) + 1]).astype(np.int64)
         return pa.table({"doc_id": batch["doc_id"],
                          "geojson_model": pa.array(lint),
-                         "geojson_norm": pa.array(normed)})
+                         "geojson_norm": pa.array(normed),
+                         "geobuf_nbytes": pa.array(off)})
 
     return docs.map_batches(norm, batch_format="pyarrow").sort("doc_id")

@@ -318,3 +318,107 @@ SELECT doc_id,
        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term ranking (integer-exact score; fully SQL-oracled)
+# ---------------------------------------------------------------------------
+
+def tfidf_topterms(docs_ds, top_n: int = 3):
+    """Top-``top_n`` terms per document by an INTEGER-EXACT tf-idf-style
+    score — distributed in two passes:
+
+    1. document frequencies: per-batch polars tokenization (split on
+       single spaces, DuckDB ``string_split`` semantics) -> per-doc
+       distinct (doc_id, term, tf) rows -> ``grouped_agg`` df counts
+       (hash-bucketed, vectorized combine);
+    2. scoring: the df table is broadcast once (``ray.put``; vocabulary
+       is the small side — at the 100-TB tier swap in a bucketed join
+       on a term hash) and each batch re-tokenizes its docs and ranks
+       terms by ``score_i = tf * n_docs // df`` (floor division on
+       int64 — identical in numpy and DuckDB, so the oracle compares
+       EXACTLY; float idf would hash-drift).
+
+    Ties break by term ascending.  Returns
+    (doc_id, term, tf, df, score_i) ordered like the SQL oracle."""
+    import ray
+
+    from .relational import grouped_agg
+    from .shuffle import collect_pandas, schemaless_empty
+
+    docs_mat = docs_ds.materialize()
+    n_docs = docs_mat.count()
+
+    def doc_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "term": pd.Series(dtype=object),
+                "tf": pd.Series(dtype=np.int64)})
+        df = pl.from_pandas(batch[["doc_id", "text"]])
+        t = (df.with_columns(pl.col("text").str.split(" ").alias("term"))
+             .drop("text").explode("term")
+             .filter(pl.col("term") != "")
+             .group_by(["doc_id", "term"]).len())
+        out = t.to_pandas().rename(columns={"len": "tf"})
+        out["tf"] = out["tf"].astype(np.int64)
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        return out
+
+    tokens = docs_mat.map_batches(doc_tokens, batch_format="pandas")
+    dfs = grouped_agg(tokens, ["term"], {"df": ("term", "size")})
+    df_pd = collect_pandas(dfs)
+    df_ref = ray.put(dict(zip(df_pd["term"],
+                              df_pd["df"].astype(np.int64))))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series(dtype=np.int64),
+            "term": pd.Series(dtype=object),
+            "tf": pd.Series(dtype=np.int64),
+            "df": pd.Series(dtype=np.int64),
+            "score_i": pd.Series(dtype=np.int64)})
+        toks = doc_tokens(batch)
+        if len(toks) == 0:
+            return empty
+        m = ray.get(df_ref)
+        dfv = toks["term"].map(m).to_numpy().astype(np.int64)
+        score_i = toks["tf"].to_numpy() * np.int64(n_docs) // dfv
+        out = toks.assign(df=dfv, score_i=score_i)
+        out = out.sort_values(["doc_id", "score_i", "term"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        rank = out.groupby("doc_id", sort=False).cumcount()
+        out = out[rank.to_numpy() < top_n]
+        return out[["doc_id", "term", "tf", "df", "score_i"]] \
+            .reset_index(drop=True)
+
+    return docs_mat.map_batches(score, batch_format="pandas") \
+        .sort(["doc_id", "score_i", "term"],
+              descending=[False, True, False])
+
+
+def q_tfidf_topterms(sf_dir: str):
+    return tfidf_topterms(_docs(sf_dir))
+
+
+Q_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents) u
+  WHERE t <> '' GROUP BY doc_id, t
+), dfs AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY term
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score_i FROM (
+  SELECT toks.doc_id, toks.term, toks.tf, dfs.df,
+         CAST((toks.tf * n.n_docs) // dfs.df AS BIGINT) AS score_i,
+         ROW_NUMBER() OVER (
+             PARTITION BY toks.doc_id
+             ORDER BY (toks.tf * n.n_docs) // dfs.df DESC,
+                      toks.term) AS rn
+  FROM toks JOIN dfs ON toks.term = dfs.term CROSS JOIN n)
+WHERE rn <= 3 ORDER BY doc_id, score_i DESC, term
+"""

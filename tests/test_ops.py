@@ -1228,3 +1228,57 @@ def test_minhash_distributed_cc_identical(ray_session):
     pd.testing.assert_frame_equal(a, b)
     rep = dict(zip(b["doc_id"], b["rep_id"]))
     assert rep[0] == rep[1] == rep[2] == 0
+
+
+def test_hll_accuracy_vs_exact(ray_session):
+    """HyperLogLog grouped distinct estimate within ~3 sigma of exact
+    (p=12 -> se ~1.6%), merge across many partial batches."""
+    import ray.data
+    from geoflow.relational import hll_count_distinct
+    rng = np.random.default_rng(43)
+    n = 120_000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 3, n).astype(np.int64),
+        "v": rng.integers(0, 50_000, n).astype(np.int64)})
+    ds = ray.data.from_pandas(df).repartition(16)
+    got = hll_count_distinct(ds, ["g"], "v").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    exact = df.groupby("g")["v"].nunique()
+    for _, row in got.iterrows():
+        e = exact[row["g"]]
+        assert abs(row["n_est"] - e) / e < 0.05, (row["n_est"], e)
+    # estimator is deterministic: same input -> same estimate
+    again = hll_count_distinct(ds, ["g"], "v").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_tfidf_matches_pandas_oracle(ray_session):
+    """Integer-exact tf-idf top terms == a direct pandas computation
+    (the SQL oracle runs in the driver gate; this is the in-repo one)."""
+    import ray.data
+    from geoflow.textops import tfidf_topterms
+    texts = ["red fish blue fish", "one fish two fish red",
+             "blue sky", "two two two one"]
+    t = pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                  "text": pa.array(texts)})
+    got = tfidf_topterms(ray.data.from_arrow(t), top_n=2).to_pandas()
+    rows = []
+    tf = {}
+    dfc = {}
+    for d, s in enumerate(texts):
+        toks = [w for w in s.split(" ") if w]
+        for w in set(toks):
+            tf[(d, w)] = toks.count(w)
+            dfc[w] = dfc.get(w, 0) + 1
+    for (d, w), f in tf.items():
+        rows.append((d, w, f, dfc[w], f * 4 // dfc[w]))
+    want = pd.DataFrame(rows, columns=["doc_id", "term", "tf", "df",
+                                       "score_i"])
+    want = want.sort_values(["doc_id", "score_i", "term"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+    want = want[want.groupby("doc_id").cumcount() < 2] \
+        .reset_index(drop=True).astype(
+        {"tf": np.int64, "df": np.int64, "score_i": np.int64})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
