@@ -22,8 +22,9 @@ from typing import Any
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-from geoflow import (dedup, jsonops, multimodal, properties,  # noqa: E402
-                     relational, similarity, spatial_queries, textops)
+from geoflow import (corpus, dedup, jsonops, multimodal,  # noqa: E402
+                     properties, relational, similarity,
+                     spatial_queries, textops)
 
 # pages-table size per sf tier (synthesized deterministically, cached)
 _PAGES_N = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
@@ -166,9 +167,9 @@ def _q_dedup_pages(sf_dir: str):
     return out.sort("lang")
 
 
-def _q_polygon_tiles(sf_dir: str):
-    """Both M17 sides in one query: the raster z8 tile cover per synth
-    polygon AND the vector clip of the polygon to each covering tile
+def _polygon_tile_rows(sf_dir: str):
+    """Both M17 sides: the raster z8 tile cover per synth polygon AND
+    the vector clip of the polygon to each covering tile
     (Sutherland-Hodgman) — one row per (poly, covering tile) with ring/
     vertex counts and the clipped shoelace area in 1e-12 deg^2 units
     (zeros when the cover tile's exact clip is empty).  Rows-only; the
@@ -215,7 +216,7 @@ def _q_polygon_tiles(sf_dir: str):
         .sort(["poly_id", "tile_x", "tile_y"])
 
 
-def _q_tile_blobs(sf_dir: str):
+def _tile_blob_rows(sf_dir: str):
     """Vector-tile assembly (G2): per-tile geobuf FeatureCollection blob
     sizes (rows-only; blob decode oracled in tests/test_joins.py)."""
     import ray
@@ -244,7 +245,50 @@ def _q_tile_blobs(sf_dir: str):
         .sort(["tile_z", "tile_x", "tile_y"])
 
 
+def _q_tile_artifacts(sf_dir: str):
+    """M17 polygon tile cover/clip + G2 vector-tile blob assembly as a
+    tagged union in one driver slot (rows-only; each half's exact
+    oracle lives in pytest — see the two helpers).  Common schema
+    (kind, key1, tile_x, tile_y, n1, n2, n3):
+    kind='polygon_clip' -> key1=poly_id, n1=n_rings, n2=n_vertices,
+    n3=area_pdeg2; kind='tile_blob' -> key1=tile_z, n1=n_features,
+    n2=blob_bytes, n3=0."""
+    import pyarrow as pa
+
+    def tag_poly(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "kind": pa.array(["polygon_clip"] * n),
+            "key1": batch["poly_id"], "tile_x": batch["tile_x"],
+            "tile_y": batch["tile_y"], "n1": batch["n_rings"],
+            "n2": batch["n_vertices"], "n3": batch["area_pdeg2"]})
+
+    def tag_blob(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = batch.num_rows
+        return pa.table({
+            "kind": pa.array(["tile_blob"] * n),
+            "key1": pc.cast(batch["tile_z"], pa.int64()),
+            "tile_x": pc.cast(batch["tile_x"], pa.int64()),
+            "tile_y": pc.cast(batch["tile_y"], pa.int64()),
+            "n1": pc.cast(batch["n_features"], pa.int64()),
+            "n2": pc.cast(batch["blob_bytes"], pa.int64()),
+            "n3": pa.array([0] * n, type=pa.int64())})
+
+    a = _polygon_tile_rows(sf_dir).map_batches(
+        tag_poly, batch_format="pyarrow")
+    b = _tile_blob_rows(sf_dir).map_batches(
+        tag_blob, batch_format="pyarrow")
+    return a.union(b).sort(["kind", "key1", "tile_x", "tile_y"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDERING CONTRACT: the driver value-checks the FIRST 50 entries
+    # only.  All SQL-oracled queries come first (every one of them gets
+    # the full rows+schema+hash check); rows-only queries follow,
+    # ranked by driver-evidence value, so anything past the cap is a
+    # rows-only query that already has a byte/value-level oracle in
+    # pytest and runs in scripts/check_oracles.py.
     return {
         # relational operators (full SQL oracles)
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -261,7 +305,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_join": relational.q_asof_join,
         "q_interval_join": relational.q_interval_join,
         "q_distinct_users": relational.q_distinct_users,
-        "q_hll_users": relational.q_hll_users,
         "q_docs_sample": relational.q_docs_sample,
         "q_value_quantiles": relational.q_value_quantiles,
         "q_grouped_quantiles": relational.q_grouped_quantiles,
@@ -273,23 +316,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprint": textops.q_fingerprint,
         "q_regex_extract": textops.q_regex_extract,
         "q_text_normalize": textops.q_text_normalize,
-        # dedup
+        # corpus-shaping training-data ops (full SQL oracles)
+        "q_repetition_stats": corpus.q_repetition_stats,
+        "q_pack_sequences": corpus.q_pack_sequences,
+        "q_decontaminate": corpus.q_decontaminate,
+        "q_ngram_topk": corpus.q_ngram_topk,
+        "q_redact": corpus.q_redact,
+        # dedup (SQL-oracled subset)
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_dedup_prefix": dedup.q_dedup_prefix,
         "q_incremental_dedup": dedup.q_incremental_dedup,
-        "q_dedup_near": dedup.q_dedup_near,
-        "q_dedup_jaccard": dedup.q_dedup_jaccard,
         "q_connected_components": dedup.q_connected_components,
         "q_embedding_dups": dedup.q_embedding_dups,
-        "q_embedding_dups_ivf": dedup.q_embedding_dups_ivf,
         # similarity search
         "q_ann_topk": similarity.q_ann_topk,
-        "q_ann_approx": similarity.q_ann_approx,
         # multimodal plumbing
         "q_media_features": multimodal.q_media_features,
         "q_media_frames": multimodal.q_media_frames,
-        # JSON normalization / codec utility surface (M3/M5/M6/M7)
-        "q_json_normalize": jsonops.q_json_normalize,
         # property-column surface (M14): typed get + set + del
         "q_properties_project": properties.q_properties_project,
         # spatial operators with exact SQL oracles (derived coordinates)
@@ -298,18 +341,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pip_events": spatial_queries.q_pip_events,
         "q_knn_events": spatial_queries.q_knn_events,
         "q_geobuf_roundtrip": spatial_queries.q_geobuf_roundtrip,
-        # spatial pipeline over synthesized pages (rows-only; pytest
-        # brute-force oracles in tests/test_joins.py)
+        # ---- rows-only from here (pytest holds the exact oracles) ----
+        "q_hll_users": relational.q_hll_users,
+        "q_dedup_near": dedup.q_dedup_near,
+        "q_embedding_dups_ivf": dedup.q_embedding_dups_ivf,
+        "q_ann_approx": similarity.q_ann_approx,
         "q_flagship_tiles": _q_flagship_tiles,
         "q_pip_variants": _q_pip_variants,
         "q_knn_variants": _q_knn_variants,
+        # ---- past the driver's 50-entry cap: rows-only queries whose
+        # exact oracles (byte-level / brute-force) run in pytest and in
+        # the local gate, so truncation loses the least evidence ----
+        "q_dedup_jaccard": dedup.q_dedup_jaccard,
+        "q_json_normalize": jsonops.q_json_normalize,
         "q_dedup_pages": _q_dedup_pages,
-        "q_tile_blobs": _q_tile_blobs,
-        "q_polygon_tiles": _q_polygon_tiles,
-        # 51st entry, deliberately last: the driver checks the first 50
-        # queries; q_winnow is the least lossy to truncate (rows-only
-        # there, byte-exact winnowing oracle in tests/test_ops.py and
-        # the local gate runs all entries)
+        "q_tile_artifacts": _q_tile_artifacts,
         "q_winnow": textops.q_winnow,
     }
 
@@ -345,6 +391,11 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_dups": dedup.Q_EMBEDDING_DUPS_SQL,
         "q_connected_components": dedup.Q_CONNECTED_COMPONENTS_SQL,
         "q_tfidf_topterms": textops.Q_TFIDF_SQL,
+        "q_repetition_stats": corpus.REPETITION_SQL,
+        "q_pack_sequences": corpus.Q_PACK_SQL,
+        "q_decontaminate": corpus.Q_DECONTAMINATE_SQL,
+        "q_ngram_topk": corpus.Q_NGRAM_TOPK_SQL,
+        "q_redact": corpus.Q_REDACT_SQL,
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,
         "q_media_features": multimodal.Q_MEDIA_SQL,
         "q_media_frames": multimodal.Q_MEDIA_FRAMES_SQL,

@@ -139,7 +139,12 @@ def run_bench() -> dict:
                      "q_regex_extract", "q_media_frames",
                      "q_properties_project", "q_incremental_dedup",
                      "q_embedding_dups_ivf", "q_dedup_simhash",
-                     "q_tile_blobs"]:
+                     "q_tile_artifacts",
+                     # round-3 operators
+                     "q_connected_components", "q_tfidf_topterms",
+                     "q_hll_users", "q_repetition_stats",
+                     "q_pack_sequences", "q_decontaminate",
+                     "q_ngram_topk", "q_redact"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data

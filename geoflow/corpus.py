@@ -1,0 +1,488 @@
+"""Corpus-level training-data operators over ``documents``: sequence
+packing (distributed prefix sum), deterministic train/val/test split,
+eval-set n-gram decontamination, global n-gram statistics, Gopher-style
+repetition signals, and PII redaction.
+
+These are the corpus-shaping stages of an LLM data pipeline (the
+reference engine has no equivalent — SURVEY §2's training-data
+extension set).  Every rule is integer/string-exact and mirrored by an
+ANSI-SQL oracle so the driver's value-hash comparison is exact:
+tokenization is single-space split with empties dropped (DuckDB
+``list_filter(string_split(text,' '), x -> x <> '')`` semantics),
+scores/counts are int64, hashes are Fibonacci multiplicative mod 2^32.
+
+Scale notes (100-TB shape):
+- n-gram generation is polars shift/concat_str over exploded tokens —
+  all Rust-side, no per-row Python;
+- the eval-set n-gram table is broadcast once via ``ray.put`` (eval
+  sets are small by definition; at extreme vocabulary swap in a
+  bucketed join on an n-gram hash);
+- ``pack_sequences`` is a two-pass distributed scan: tiny per-bucket
+  sums collect to the driver (n_buckets rows), base offsets broadcast,
+  one order-preserving range-bucket shuffle of the NARROW (doc_id,
+  n_tokens) table — the fat text column never enters the AllToAll.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# Fibonacci multiplicative hash (Knuth): equidistributed on sequential
+# ids, exact in both numpy uint64 and DuckDB BIGINT for doc_id < 2^31
+# (product < 2^63; the engine itself wraps mod 2^64 deterministically
+# beyond that, but the SQL oracle requires the BIGINT-safe domain).
+_FIB = np.uint64(2654435761)
+_M32 = np.uint64(1 << 32)
+TRAIN_END = 3865470566  # floor(0.90 * 2^32)
+VAL_END = 4080218931    # floor(0.95 * 2^32)
+
+_EMAIL_RE = r"[a-z0-9.-]+@[a-z0-9.-]+"
+
+
+def _token_frame(batch: pd.DataFrame):
+    """(doc_id, t) one row per NON-EMPTY single-space token, polars
+    Rust-side; order within doc preserved (explode is stable)."""
+    import polars as pl
+    return (pl.from_pandas(batch[["doc_id", "text"]])
+            .with_columns(pl.col("text").str.split(" "))
+            .explode("text")
+            .filter(pl.col("text") != "")
+            .rename({"text": "t"}))
+
+
+def _ngram_frame(batch: pd.DataFrame, n: int):
+    """(doc_id, ng) one row per word n-gram (space-joined), built from
+    n-1 per-doc shifts + concat_str — no per-row Python."""
+    import polars as pl
+    t = _token_frame(batch)
+    if n > 1:
+        t = t.with_columns([
+            pl.col("t").shift(-i).over("doc_id").alias(f"t{i}")
+            for i in range(1, n)])
+        t = (t.filter(pl.col(f"t{n-1}").is_not_null())
+             .with_columns(pl.concat_str(
+                 [pl.col("t")] + [pl.col(f"t{i}") for i in range(1, n)],
+                 separator=" ").alias("ng")))
+    else:
+        t = t.with_columns(pl.col("t").alias("ng"))
+    return t.select(["doc_id", "ng"])
+
+
+def _empty(cols: dict[str, np.dtype | type]) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=d) for c, d in cols.items()})
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (map-only, fully SQL-oracled)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(docs_ds):
+    """Per-document repetition signals (all int64 so the oracle is
+    exact; take ratios downstream): total tokens, distinct tokens, max
+    term frequency, duplicate-token count.  Documents with zero tokens
+    are absent (same as the SQL GROUP BY).  Map-only — the per-doc
+    aggregation never leaves the batch."""
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"doc_id": np.int64, "n_tokens": np.int64,
+                           "n_distinct": np.int64, "max_tf": np.int64,
+                           "dup_tokens": np.int64})
+        tf = _token_frame(batch).group_by(["doc_id", "t"]).len()
+        agg = (tf.group_by("doc_id")
+               .agg(n_tokens=pl.col("len").sum(),
+                    n_distinct=pl.col("len").count(),
+                    max_tf=pl.col("len").max())
+               .with_columns((pl.col("n_tokens") - pl.col("n_distinct"))
+                             .alias("dup_tokens")))
+        out = agg.to_pandas()
+        return out.astype({c: np.int64 for c in out.columns})
+
+    return docs_ds.map_batches(stats, batch_format="pandas") \
+        .sort("doc_id")
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS t
+        FROM documents) u
+  GROUP BY doc_id, t)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT)            AS n_tokens,
+       CAST(COUNT(*) AS BIGINT)           AS n_distinct,
+       CAST(MAX(tf) AS BIGINT)            AS max_tf,
+       CAST(SUM(tf) - COUNT(*) AS BIGINT) AS dup_tokens
+FROM toks GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: distributed prefix sum + deterministic hash split
+# ---------------------------------------------------------------------------
+
+def hash_columns(ids: np.ndarray):
+    """(h, split) for int64 doc ids: Fibonacci hash mod 2^32, then
+    0.90/0.05/0.05 train/val/test thresholds (fixed int constants, so
+    membership is reproducible across runs, engines and the oracle)."""
+    h = (ids.astype(np.int64).view(np.uint64) * _FIB) % _M32
+    h = h.astype(np.int64)
+    split = np.where(h < TRAIN_END, "train",
+                     np.where(h < VAL_END, "val", "test"))
+    return h, split
+
+
+def pack_sequences(docs_ds, window: int = 2048,
+                   n_buckets: int | None = None):
+    """Greedy-by-running-total sequence packing: order documents by
+    doc_id, take the EXCLUSIVE global prefix sum of their token counts,
+    and assign each doc to context-window bin ``start_offset //
+    window`` (documents contiguous per bin; a global scan, the same
+    primitive as global row numbering).  Also attaches the
+    deterministic train/val/test hash split (``hash_columns``).
+
+    Distributed shape — an exact scan with ONE narrow shuffle:
+    1. map-only tokenize -> (doc_id, n_tokens), materialized (tiny:
+       two int64 columns; the text never travels further);
+    2. ORDER-PRESERVING range buckets over [min, max] doc_id; the
+       per-bucket token sums (n_buckets rows) collect to the driver,
+       whose exclusive cumsum gives each bucket's global base offset —
+       broadcast back via the group fn's closure;
+    3. one co-partition shuffle of the narrow table; per bucket a
+       vectorized sort + cumsum adds the base.
+
+    Returns (doc_id, n_tokens, start_offset, bin, h, split) sorted by
+    doc_id."""
+    import polars as pl
+
+    from .shuffle import collect_pandas, schemaless_empty
+
+    if n_buckets is None:
+        from .relational import _default_buckets
+        n_buckets = _default_buckets()
+
+    def count_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"doc_id": np.int64, "n_tokens": np.int64})
+        t = (_token_frame(batch).group_by("doc_id").len()
+             .rename({"len": "n_tokens"}))
+        # zero-token docs still occupy a (empty) slot in the scan
+        out = (pl.from_pandas(batch[["doc_id"]])
+               .join(t, on="doc_id", how="left")
+               .fill_null(0).to_pandas())
+        return out.astype({"doc_id": np.int64, "n_tokens": np.int64})
+
+    counts = docs_ds.map_batches(count_tokens,
+                                 batch_format="pandas").materialize()
+    mn = counts.min("doc_id")
+    mx = counts.max("doc_id")
+    width = max(1, (int(mx) - int(mn) + n_buckets) // n_buckets)
+
+    def add_rb(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"doc_id": np.int64, "n_tokens": np.int64,
+                           "__rb": np.int64})
+        out = batch.copy()
+        out["__rb"] = (out["doc_id"].to_numpy() - int(mn)) // width
+        return out
+
+    cb = counts.map_batches(add_rb, batch_format="pandas").materialize()
+    from .relational import grouped_agg
+    sums = collect_pandas(
+        grouped_agg(cb, ["__rb"], {"s": ("n_tokens", "sum")}))
+    sums = sums.sort_values("__rb")
+    base = dict(zip(
+        sums["__rb"].to_numpy(),
+        np.concatenate(([0], np.cumsum(sums["s"].to_numpy())[:-1]))
+        .astype(np.int64)))
+
+    def scan_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": np.int64, "n_tokens": np.int64,
+                "start_offset": np.int64, "bin": np.int64,
+                "h": np.int64, "split": object}
+        if len(group) == 0:
+            return _empty(cols)
+        g = group.sort_values("doc_id", kind="mergesort")
+        nt = g["n_tokens"].to_numpy()
+        off = base[int(g["__rb"].iloc[0])] + np.concatenate(
+            ([0], np.cumsum(nt)[:-1])).astype(np.int64)
+        h, split = hash_columns(g["doc_id"].to_numpy())
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": nt,
+            "start_offset": off,
+            "bin": off // np.int64(window),
+            "h": h, "split": split})
+
+    return cb.groupby("__rb").map_groups(scan_bucket,
+                                         batch_format="pandas") \
+        .sort("doc_id")
+
+
+def pack_sql(window: int = 2048) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS BIGINT) AS start_offset
+  FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // {window} AS BIGINT) AS bin,
+       CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h,
+       CASE WHEN (doc_id * 2654435761) % 4294967296 < {TRAIN_END}
+            THEN 'train'
+            WHEN (doc_id * 2654435761) % 4294967296 < {VAL_END}
+            THEN 'val' ELSE 'test' END AS split
+FROM s ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# eval-set n-gram decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(docs_ds, eval_ngrams, n: int = 5):
+    """Flag documents sharing any word ``n``-gram with an eval set —
+    the benchmark-decontamination stage of a training pipeline.
+
+    ``eval_ngrams``: an iterable of n-gram strings (the eval side is
+    small by definition — collected once and broadcast via ``ray.put``;
+    at extreme scale swap in a bucketed join on an n-gram hash).
+
+    Returns (doc_id, n_overlap, contaminated) for EVERY input doc —
+    n_overlap counts DISTINCT overlapping n-grams (int64)."""
+    import ray
+
+    from .shuffle import schemaless_empty
+
+    ev_ref = ray.put(sorted(set(eval_ngrams)))
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"doc_id": np.int64, "n_overlap": np.int64,
+                           "contaminated": bool})
+        ev = pl.Series("ev", ray.get(ev_ref))
+        ng = _ngram_frame(batch, n)
+        hit = (ng.filter(pl.col("ng").is_in(ev))
+               .group_by("doc_id")
+               .agg(n_overlap=pl.col("ng").n_unique()))
+        out = (pl.from_pandas(batch[["doc_id"]])
+               .join(hit, on="doc_id", how="left")
+               .fill_null(0)
+               .with_columns((pl.col("n_overlap") > 0)
+                             .alias("contaminated"))
+               .to_pandas())
+        out["n_overlap"] = out["n_overlap"].astype(np.int64)
+        return out
+
+    return docs_ds.map_batches(flag, batch_format="pandas") \
+        .sort("doc_id")
+
+
+def eval_ngrams_from_docs(docs_ds, n: int = 5, id_mod: int = 97):
+    """Distinct n-grams of the deterministic eval subset
+    (doc_id % id_mod == 0) — the distributed builder for
+    ``decontaminate``'s broadcast set."""
+    import pyarrow as pa
+
+    from .shuffle import collect_pandas
+
+    _EMPTY_NG = pa.table({"ng": pa.array([], type=pa.string())})
+
+    def ngrams(batch: pa.Table) -> pa.Table:
+        # arrow in/out so the frequent 0-eval-doc batches stay schema'd
+        # empties (a 0-row pandas object column trips Ray's block-size
+        # estimator into per-batch log noise)
+        if batch.num_rows == 0:
+            return _EMPTY_NG
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(ids % id_mod == 0))
+        if sel.num_rows == 0:
+            return _EMPTY_NG
+        out = _ngram_frame(sel.to_pandas(), n).select("ng").unique()
+        return pa.table({"ng": pa.array(out["ng"].to_list(),
+                                        type=pa.string())})
+
+    from .relational import grouped_agg
+    distinct = grouped_agg(
+        docs_ds.map_batches(ngrams, batch_format="pyarrow"),
+        ["ng"], {"__n": ("ng", "size")})
+    return collect_pandas(distinct)["ng"].tolist()
+
+
+def decontaminate_sql(n: int = 5, id_mod: int = 97) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+pos AS (
+  SELECT doc_id, ws,
+         unnest(range(1, len(ws) - {n} + 2)) AS i
+  FROM w),
+ng AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ws, i, i + {n} - 1), ' ') AS g
+  FROM pos),
+ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % {id_mod} = 0),
+hits AS (
+  SELECT ng.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM ng JOIN ev ON ng.g = ev.g
+  GROUP BY ng.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# global n-gram statistics (corpus-level top-k)
+# ---------------------------------------------------------------------------
+
+def ngram_topk(docs_ds, n: int = 3, k: int = 20):
+    """Corpus-wide top-``k`` word ``n``-grams by count (ties by n-gram
+    ascending) — the vocabulary/statistics pass of LM data prep.
+    Per-batch generation + partial counts, bucketed exact combine
+    (``grouped_agg``), then the pruned ``topk`` (each block ships at
+    most k rows to the final sort)."""
+    from .relational import grouped_agg, topk
+    from .shuffle import schemaless_empty
+
+    def ngrams(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"ng": object})
+        return _ngram_frame(batch, n).select("ng").to_pandas()
+
+    counts = grouped_agg(
+        docs_ds.map_batches(ngrams, batch_format="pandas"),
+        ["ng"], {"cnt": ("ng", "size")})
+    return topk(counts, ["cnt", "ng"], k, descending=[True, False])
+
+
+def ngram_topk_sql(n: int = 3, k: int = 20) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+pos AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws) - {n} + 2)) AS i FROM w),
+ng AS (
+  SELECT array_to_string(list_slice(ws, i, i + {n} - 1), ' ') AS g
+  FROM pos)
+SELECT g AS ng, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ng GROUP BY g ORDER BY cnt DESC, ng LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrub with exact replacement-count accounting)
+# ---------------------------------------------------------------------------
+
+def redact(docs_ds, pattern: str = _EMAIL_RE,
+           replacement: str = "<EMAIL>"):
+    """Scrub ``pattern`` matches from text (polars Rust-regex
+    ``replace_all`` — semantics chosen to be identical to DuckDB's RE2
+    for character-class patterns like the default email rule) and count
+    redactions per doc.  Returns (doc_id, redacted, n_redacted)."""
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"doc_id": np.int64, "redacted": object,
+                           "n_redacted": np.int64})
+        out = (pl.from_pandas(batch[["doc_id", "text"]])
+               .with_columns(
+                   pl.col("text").str.count_matches(pattern)
+                   .cast(pl.Int64).alias("n_redacted"),
+                   pl.col("text").str.replace_all(pattern, replacement)
+                   .alias("redacted"))
+               .select(["doc_id", "redacted", "n_redacted"])
+               .to_pandas())
+        return out
+
+    return docs_ds.map_batches(scrub, batch_format="pandas") \
+        .sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# query wrappers + oracles
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def q_repetition_stats(sf_dir: str):
+    return repetition_stats(_docs(sf_dir))
+
+
+def q_pack_sequences(sf_dir: str):
+    """Distributed prefix-sum packing at window=512 + hash split."""
+    return pack_sequences(_docs(sf_dir), window=512)
+
+
+Q_PACK_SQL = pack_sql(window=512)
+
+
+def q_decontaminate(sf_dir: str):
+    docs = _docs(sf_dir)
+    ev = eval_ngrams_from_docs(docs, n=5, id_mod=97)
+    return decontaminate(docs, ev, n=5)
+
+
+Q_DECONTAMINATE_SQL = decontaminate_sql(n=5, id_mod=97)
+
+
+def q_ngram_topk(sf_dir: str):
+    return ngram_topk(_docs(sf_dir), n=3, k=20)
+
+
+Q_NGRAM_TOPK_SQL = ngram_topk_sql(n=3, k=20)
+
+
+def q_redact(sf_dir: str):
+    """Redaction over text with a deterministic injected address so the
+    scrub provably fires on every row (the synth corpus has no real
+    PII), mirrored exactly in the oracle."""
+    import ray.data
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["text"] = (out["text"] + " contact: user-"
+                       + out["doc_id"].astype(str) + "@example.com")
+        return out
+
+    docs = _docs(sf_dir).map_batches(inject, batch_format="pandas")
+    return redact(docs)
+
+
+Q_REDACT_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact: user-' || CAST(doc_id AS VARCHAR)
+              || '@example.com' AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(text, '[a-z0-9.-]+@[a-z0-9.-]+', '<EMAIL>', 'g')
+           AS redacted,
+       CAST(len(regexp_extract_all(text, '[a-z0-9.-]+@[a-z0-9.-]+'))
+            AS BIGINT) AS n_redacted
+FROM d ORDER BY doc_id
+"""

@@ -1282,3 +1282,111 @@ def test_tfidf_matches_pandas_oracle(ray_session):
         .reset_index(drop=True).astype(
         {"tf": np.int64, "df": np.int64, "score_i": np.int64})
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+# -- corpus-shaping training-data ops (geoflow/corpus.py) -------------------
+
+
+def _corpus_ds(texts, start_id=0, parts=4):
+    import ray.data
+    t = pa.table({"doc_id": pa.array(range(start_id,
+                                           start_id + len(texts)),
+                                     type=pa.int64()),
+                  "text": pa.array(texts)})
+    return ray.data.from_arrow(t).repartition(parts)
+
+
+def test_repetition_stats_matches_pandas(ray_session):
+    from geoflow.corpus import repetition_stats
+    texts = ["a b a a c", "x x x x", "one two three", "  spaced   out "]
+    got = repetition_stats(_corpus_ds(texts)).to_pandas()
+    rows = []
+    for d, s in enumerate(texts):
+        toks = [w for w in s.split(" ") if w]
+        if not toks:
+            continue
+        from collections import Counter
+        c = Counter(toks)
+        rows.append((d, len(toks), len(c), max(c.values()),
+                     len(toks) - len(c)))
+    want = pd.DataFrame(rows, columns=["doc_id", "n_tokens",
+                                       "n_distinct", "max_tf",
+                                       "dup_tokens"]).astype(np.int64)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_pack_sequences_exact_global_scan(ray_session):
+    """The distributed prefix sum equals the single-machine cumsum on
+    NON-CONTIGUOUS doc ids across many partitions; bins respect the
+    window; the hash split matches the documented constants."""
+    import ray.data
+    from geoflow.corpus import (TRAIN_END, VAL_END, hash_columns,
+                                pack_sequences)
+    rng = np.random.default_rng(7)
+    ids = np.sort(rng.choice(100_000, size=400, replace=False)) \
+        .astype(np.int64)
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 40, 400)]
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(16)
+    got = pack_sequences(ds, window=64, n_buckets=8).to_pandas()
+    assert list(got["doc_id"]) == list(ids)
+    nt = np.asarray([len(s.split()) for s in texts], dtype=np.int64)
+    off = np.concatenate(([0], np.cumsum(nt)[:-1]))
+    assert np.array_equal(got["n_tokens"].to_numpy(), nt)
+    assert np.array_equal(got["start_offset"].to_numpy(), off)
+    assert np.array_equal(got["bin"].to_numpy(), off // 64)
+    h, split = hash_columns(ids)
+    assert np.array_equal(got["h"].to_numpy(), h)
+    assert list(got["split"]) == list(split)
+    # threshold semantics
+    assert set(np.unique(split)) <= {"train", "val", "test"}
+    assert (h[split == "train"] < TRAIN_END).all()
+    assert ((h[split == "val"] >= TRAIN_END)
+            & (h[split == "val"] < VAL_END)).all()
+    assert (h[split == "test"] >= VAL_END).all()
+
+
+def test_decontaminate_flags_exact_overlaps(ray_session):
+    from geoflow.corpus import decontaminate, eval_ngrams_from_docs
+    # doc 0 is the eval doc (id 0 % 97 == 0); doc 1 shares a 3-gram,
+    # doc 2 shares only a 2-gram (not flagged), doc 3 disjoint
+    texts = ["the quick brown fox jumps",
+             "lazy the quick brown cat",
+             "quick brown wolves run far",
+             "completely different words here"]
+    ds = _corpus_ds(texts)
+    ev = eval_ngrams_from_docs(ds, n=3, id_mod=97)
+    assert "the quick brown" in ev and len(ev) == 3
+    got = decontaminate(ds, ev, n=3).to_pandas()
+    assert list(got["doc_id"]) == [0, 1, 2, 3]
+    assert list(got["contaminated"]) == [True, True, False, False]
+    assert list(got["n_overlap"]) == [3, 1, 0, 0]
+
+
+def test_ngram_topk_matches_counter(ray_session):
+    from collections import Counter
+    from geoflow.corpus import ngram_topk
+    rng = np.random.default_rng(11)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(50)]
+    got = ngram_topk(_corpus_ds(texts, parts=8), n=2, k=10).to_pandas()
+    c = Counter()
+    for s in texts:
+        w = s.split()
+        for i in range(len(w) - 1):
+            c[" ".join(w[i:i + 2])] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert got["cnt"].dtype == np.int64
+
+
+def test_redact_scrubs_and_counts(ray_session):
+    from geoflow.corpus import redact
+    texts = ["mail me at bob@example.com or alice@test.org ok",
+             "no pii here",
+             "x a.b-c@d.e y"]
+    got = redact(_corpus_ds(texts)).to_pandas()
+    assert list(got["n_redacted"]) == [2, 0, 1]
+    assert got["redacted"][0] == "mail me at <EMAIL> or <EMAIL> ok"
+    assert got["redacted"][1] == "no pii here"
+    assert got["redacted"][2] == "x <EMAIL> y"
