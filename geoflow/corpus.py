@@ -168,12 +168,14 @@ def pack_sequences(docs_ds, window: int = 2048,
     def count_tokens(batch: pd.DataFrame) -> pd.DataFrame:
         if schemaless_empty(batch) or len(batch) == 0:
             return _empty({"doc_id": np.int64, "n_tokens": np.int64})
-        t = (_token_frame(batch).group_by("doc_id").len()
-             .rename({"len": "n_tokens"}))
-        # zero-token docs still occupy a (empty) slot in the scan
-        out = (pl.from_pandas(batch[["doc_id"]])
-               .join(t, on="doc_id", how="left")
-               .fill_null(0).to_pandas())
+        # count of maximal non-space runs == count of non-empty
+        # single-space split segments — same tokens as _token_frame but
+        # without exploding a row per token (2 GB text -> this regex
+        # count is the whole pass)
+        out = (pl.from_pandas(batch[["doc_id", "text"]])
+               .with_columns(pl.col("text").str.count_matches("[^ ]+")
+                             .cast(pl.Int64).alias("n_tokens"))
+               .select(["doc_id", "n_tokens"]).to_pandas())
         return out.astype({"doc_id": np.int64, "n_tokens": np.int64})
 
     counts = docs_ds.map_batches(count_tokens,
