@@ -275,7 +275,9 @@ def decontaminate(docs_ds, eval_ngrams, n: int = 5):
         if schemaless_empty(batch) or len(batch) == 0:
             return _empty({"doc_id": np.int64, "n_overlap": np.int64,
                            "contaminated": bool})
-        ev = pl.Series("ev", ray.get(ev_ref))
+        from .shuffle import cached_get
+        ev = cached_get(ev_ref,
+                        build=lambda v: pl.Series("ev", v))
         ng = _ngram_frame(batch, n)
         hit = (ng.filter(pl.col("ng").is_in(ev))
                .group_by("doc_id")

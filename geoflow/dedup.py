@@ -275,7 +275,8 @@ def verify_pairs_distributed(docs_ds, pairs_ds, threshold: float,
     need_ref = ray.put(need_map)
 
     def emit_texts(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(need_ref)
+        from .shuffle import cached_get
+        m = cached_get(need_ref)
         # vectorized candidate filter FIRST — the python loop below only
         # touches the (small) candidate subset, never the whole corpus
         cand = batch[batch["doc_id"].isin(m)]
@@ -425,7 +426,8 @@ def verify_pairs_by_signature(docs_ds, pairs_ds, threshold: float,
             "a": pd.Series(dtype=np.int64),
             "b": pd.Series(dtype=np.int64),
             "__side": pd.Series(dtype=np.int8)})
-        m = ray.get(need_ref)
+        from .shuffle import cached_get
+        m = cached_get(need_ref)
         cand = batch[batch["doc_id"].isin(m)]
         if len(cand) == 0:
             return empty
@@ -873,7 +875,8 @@ def _assign_reps(docs_ds, verified_pairs):
     map_ref = ray.put(rep_map)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(map_ref)
+        from .shuffle import cached_get
+        m = cached_get(map_ref)
         ids = batch["doc_id"].astype(np.int64)
         return pd.DataFrame({
             "doc_id": ids,
@@ -1232,7 +1235,8 @@ def embedding_dups_ivf(emb_ds, threshold: float = 0.45,
     cents_ref = ray.put(cents)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(cents_ref)
+        from .shuffle import cached_get
+        c = cached_get(cents_ref)
         v = _normalize(np.stack(batch["embedding"].to_numpy())
                        .astype(np.float64))
         ids = batch["vec_id"].to_numpy().astype(np.int64)

@@ -41,7 +41,8 @@ def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "inner"):
     ref = ray.put(small_df)
 
     def join(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(ray.get(ref), on=on, how=how)
+        from .shuffle import cached_get
+        return batch.merge(cached_get(ref), on=on, how=how)
 
     return big_ds.map_batches(join, batch_format="pandas")
 
@@ -199,7 +200,8 @@ def adaptive_semijoin(big_ds, keys_ds, on: str,
         ref = ray.put(keys)
 
         def semi(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[batch[on].isin(ray.get(ref))]
+            from .shuffle import cached_get
+            return batch[batch[on].isin(cached_get(ref))]
 
         return big_ds.map_batches(semi, batch_format="pandas")
     # distinct key-only build side (hash-bucket partials + vectorized
@@ -245,7 +247,8 @@ def adaptive_lookup_join(big_ds, right_ds, on: str,
         ref = ray.put(right_pd)
 
         def join(batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(ray.get(ref), on=on, how="inner")
+            from .shuffle import cached_get
+            return batch.merge(cached_get(ref), on=on, how="inner")
 
         return big_ds.map_batches(join, batch_format="pandas")
     return bucketed_hash_join(big_ds, right_mat, on,
@@ -500,7 +503,8 @@ def asof_join_bucketed(left_ds, right_pd: pd.DataFrame, key: str,
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) == 0:
             return group.drop(columns=["__b"])
-        right = ray.get(right_ref).get(int(group["__b"].iloc[0]))
+        from .shuffle import cached_get
+        right = cached_get(right_ref).get(int(group["__b"].iloc[0]))
         g = group.drop(columns=["__b"]).sort_values(
             left_time, kind="mergesort")
         if right is None or len(right) == 0:

@@ -85,6 +85,27 @@ def schemaless_empty(batch) -> bool:
     return len(batch) == 0 and len(batch.columns) == 0
 
 
+_GET_CACHE: dict = {}
+
+
+def cached_get(ref, build=None):
+    """Per-worker cached ``ray.get``: plasma zero-copies numpy buffers,
+    but dict/list/set/DataFrame broadcasts are RE-DESERIALIZED on every
+    ``ray.get`` — in a per-batch map fn that cost repeats per batch.
+    Cache the deserialized value (optionally transformed once by
+    ``build``) in a module-level dict keyed by the ObjectRef, the same
+    pattern as ``pip._INDEX_CACHE``.  Bounded by the number of distinct
+    broadcast objects a worker ever sees (a handful per pipeline).
+    Callers must treat the returned object as IMMUTABLE — it is shared
+    across all batches on the worker."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _GET_CACHE:
+        import ray
+        v = ray.get(ref)
+        _GET_CACHE[key] = build(v) if build is not None else v
+    return _GET_CACHE[key]
+
+
 def collect_pandas(ds):
     """Robust driver-side collect for SMALL datasets downstream of a
     pandas-format groupby: Ray's AllToAll can emit schemaless empty

@@ -109,8 +109,9 @@ def ann_lsh_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
     probes_ref = ray.put(probe_arr)
 
     def bucket_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        pl = ray.get(planes_ref)
-        pr = ray.get(probes_ref)
+        from .shuffle import cached_get
+        pl = cached_get(planes_ref)
+        pr = cached_get(probes_ref)
         m = _normalize(np.stack(batch["embedding"].to_numpy())
                        .astype(np.float64))
         sig = lsh_signatures(m, pl)
@@ -159,7 +160,8 @@ def ann_ivf_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
     cents_ref = ray.put((cents, probe_set))
 
     def bucket_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        c, probes = ray.get(cents_ref)
+        from .shuffle import cached_get
+        c, probes = cached_get(cents_ref)
         m = _normalize(np.stack(batch["embedding"].to_numpy())
                        .astype(np.float64))
         assign = np.argmax(m @ c.T, axis=1)

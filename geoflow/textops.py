@@ -382,7 +382,8 @@ def tfidf_topterms(docs_ds, top_n: int = 3):
         toks = doc_tokens(batch)
         if len(toks) == 0:
             return empty
-        m = ray.get(df_ref)
+        from .shuffle import cached_get
+        m = cached_get(df_ref)
         dfv = toks["term"].map(m).to_numpy().astype(np.int64)
         score_i = toks["tf"].to_numpy() * np.int64(n_docs) // dfv
         out = toks.assign(df=dfv, score_i=score_i)
