@@ -22,8 +22,8 @@ from typing import Any
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-from geoflow import (corpus, dedup, jsonops, multimodal,  # noqa: E402
-                     properties, relational, similarity,
+from geoflow import (corpus, dedup, jsonops, lines,  # noqa: E402
+                     multimodal, properties, relational, similarity,
                      spatial_queries, textops)
 
 # pages-table size per sf tier (synthesized deterministically, cached)
@@ -322,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decontaminate": corpus.q_decontaminate,
         "q_ngram_topk": corpus.q_ngram_topk,
         "q_redact": corpus.q_redact,
+        "q_line_dedup": lines.q_line_dedup,
+        "q_c4_filter": lines.q_c4_filter,
         # dedup (SQL-oracled subset)
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_dedup_prefix": dedup.q_dedup_prefix,
@@ -396,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
         "q_decontaminate": corpus.Q_DECONTAMINATE_SQL,
         "q_ngram_topk": corpus.Q_NGRAM_TOPK_SQL,
         "q_redact": corpus.Q_REDACT_SQL,
+        "q_line_dedup": lines.Q_LINE_DEDUP_SQL,
+        "q_c4_filter": lines.Q_C4_FILTER_SQL,
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,
         "q_media_features": multimodal.Q_MEDIA_SQL,
         "q_media_frames": multimodal.Q_MEDIA_FRAMES_SQL,

@@ -1,0 +1,93 @@
+"""Line-level corpus ops: global line dedup + C4-style filter."""
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from geoflow import lines
+
+
+def _docs_ds(texts: list[str]):
+    return ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts}))
+
+
+def _brute_line_dedup(texts, sep="\n"):
+    seen = {}
+    for d, t in enumerate(texts):
+        for p, line in enumerate(t.split(sep), start=1):
+            seen.setdefault(line, (d, p))
+    kept = {}
+    for line, (d, p) in seen.items():
+        kept.setdefault(d, []).append((p, line))
+    out = {}
+    for d, pl_ in kept.items():
+        pl_.sort()
+        out[d] = (sep.join(line for _p, line in pl_), len(pl_))
+    return out
+
+
+def test_line_dedup_matches_bruteforce(ray_session):
+    texts = ["intro.\nshared banner\nbody one",
+             "shared banner\nbody two\nintro.",
+             "body two\nunique tail",
+             "intro.\nshared banner"]   # fully-duplicate doc vanishes
+    res = lines.line_dedup(_docs_ds(texts), n_buckets=3).to_pandas()
+    want = _brute_line_dedup(texts)
+    assert set(res["doc_id"]) == set(want)
+    assert 3 not in set(res["doc_id"])  # all its lines seen earlier
+    for _, r in res.iterrows():
+        w_text, w_n = want[r["doc_id"]]
+        assert r["text_dedup"] == w_text
+        assert r["n_lines_kept"] == w_n
+    assert res["n_lines_kept"].dtype == np.int64
+
+
+def test_line_dedup_empty_and_same_doc_dup(ray_session):
+    # empty text = one empty line; the second empty doc vanishes.
+    # an intra-doc duplicate keeps only the earlier position.
+    texts = ["", "", "a\na\nb"]
+    res = lines.line_dedup(_docs_ds(texts), n_buckets=2).to_pandas()
+    got = {r["doc_id"]: (r["text_dedup"], r["n_lines_kept"])
+           for _, r in res.iterrows()}
+    assert got == {0: ("", 1), 2: ("a\nb", 2)}
+
+
+def test_c4_filter_rules(ray_session):
+    texts = [
+        # doc 0: 2 good lines + 1 no-terminal + 1 too-short -> kept
+        "one two three.\nno terminal here\nhi.\nfour five six ok!",
+        # doc 1: only 1 good line -> dropped by min_lines=2
+        "alpha beta gamma.\nshort.",
+        # doc 2: bad substring -> dropped outright
+        "one two three.\nfour five six ok!\nBADWORD inside",
+        # doc 3: trimmed terminal + question mark -> kept
+        "  seven eight nine.  \nten eleven twelve?",
+    ]
+    res = lines.c4_filter(
+        _docs_ds(texts), min_words=3, min_lines=2,
+        terminal=(".", "!", "?"),
+        bad_substrings=("BADWORD",)).to_pandas()
+    got = {r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_dropped"])
+           for _, r in res.iterrows()}
+    assert got == {
+        0: ("one two three.\nfour five six ok!", 2, 2),
+        3: ("seven eight nine.\nten eleven twelve?", 2, 0)}
+    assert res["n_kept"].dtype == np.int64
+
+
+def test_line_ops_sql_parity(ray_session):
+    """End-to-end engine-vs-DuckDB parity on the wrapper queries at
+    sf0.001 (the local gate runs these too; pinned here so a refactor
+    of either side fails fast in pytest)."""
+    import duckdb
+    sf = "/root/testdata/sf0.001"
+    for fn, sql in [(lines.q_line_dedup, lines.Q_LINE_DEDUP_SQL),
+                    (lines.q_c4_filter, lines.Q_C4_FILTER_SQL)]:
+        got = fn(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf}/documents.parquet'")
+        want = con.execute(sql).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
