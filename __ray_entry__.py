@@ -22,7 +22,7 @@ from typing import Any
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-from geoflow import (corpus, dedup, jsonops, lines,  # noqa: E402
+from geoflow import (cluster, corpus, dedup, jsonops, lines,  # noqa: E402
                      multimodal, properties, relational, similarity,
                      spatial_queries, textops)
 
@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact oracles (byte-level / brute-force) run in pytest and in
         # the local gate, so truncation loses the least evidence ----
         "q_dedup_jaccard": dedup.q_dedup_jaccard,
+        "q_kmeans": cluster.q_kmeans,
         "q_json_normalize": jsonops.q_json_normalize,
         "q_dedup_pages": _q_dedup_pages,
         "q_tile_artifacts": _q_tile_artifacts,
