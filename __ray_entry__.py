@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decontaminate": corpus.q_decontaminate,
         "q_ngram_topk": corpus.q_ngram_topk,
         "q_redact": corpus.q_redact,
+        "q_shuffle_shards": corpus.q_shuffle_shards,
         "q_line_dedup": lines.q_line_dedup,
         "q_c4_filter": lines.q_c4_filter,
         # dedup (SQL-oracled subset)
@@ -344,11 +345,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_events": spatial_queries.q_knn_events,
         "q_geobuf_roundtrip": spatial_queries.q_geobuf_roundtrip,
         # ---- rows-only from here (pytest holds the exact oracles) ----
+        "q_flagship_tiles": _q_flagship_tiles,
         "q_hll_users": relational.q_hll_users,
         "q_dedup_near": dedup.q_dedup_near,
         "q_embedding_dups_ivf": dedup.q_embedding_dups_ivf,
         "q_ann_approx": similarity.q_ann_approx,
-        "q_flagship_tiles": _q_flagship_tiles,
         "q_pip_variants": _q_pip_variants,
         "q_knn_variants": _q_knn_variants,
         # ---- past the driver's 50-entry cap: rows-only queries whose
@@ -399,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "q_decontaminate": corpus.Q_DECONTAMINATE_SQL,
         "q_ngram_topk": corpus.Q_NGRAM_TOPK_SQL,
         "q_redact": corpus.Q_REDACT_SQL,
+        "q_shuffle_shards": corpus.Q_SHUFFLE_SHARDS_SQL,
         "q_line_dedup": lines.Q_LINE_DEDUP_SQL,
         "q_c4_filter": lines.Q_C4_FILTER_SQL,
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,

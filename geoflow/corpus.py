@@ -424,6 +424,155 @@ def redact(docs_ds, pattern: str = _EMAIL_RE,
 
 
 # ---------------------------------------------------------------------------
+# deterministic global shuffle + sharding (training-order materialization)
+# ---------------------------------------------------------------------------
+
+_SEED_ODD = np.uint64(2246822519)  # odd xxhash prime; seed perturbs h
+
+
+def shuffle_hash(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Seeded Fibonacci hash mod 2^32 — the shuffle sort key.  Same
+    convention as ``hash_columns`` (exactly reproducible in the SQL
+    oracle with int64 arithmetic for the testdata id range)."""
+    h = (ids.astype(np.int64).view(np.uint64) * _FIB
+         + np.uint64(seed) * _SEED_ODD) % _M32
+    return h.astype(np.int64)
+
+
+def global_shuffle_shards(docs_ds, n_shards: int = 16, seed: int = 0,
+                          id_col: str = "doc_id",
+                          n_buckets: int | None = None):
+    """Deterministic global shuffle for training-data ordering: rank
+    every document by the seeded hash ``(shuffle_hash(id), id)`` and
+    deal ranks round-robin into ``n_shards`` balanced shards (sizes
+    differ by at most 1).  Seeded + exact, so the epoch order is
+    reproducible across runs, engines and cluster sizes — unlike
+    ``Dataset.random_shuffle`` which is neither deterministic nor
+    rank-addressable.
+
+    Distributed shape — the same exact-scan primitive as
+    ``pack_sequences``, but bucketing on the HASH (uniform in
+    [0, 2^32), so range buckets are balanced by construction even when
+    ids are clustered):
+    1. map-only (id, h, __rb) on the narrow id projection;
+    2. per-bucket counts (``grouped_agg``, n_buckets rows) -> driver
+       exclusive cumsum -> per-bucket base rank;
+    3. ONE co-partition shuffle of the narrow table; per bucket a
+       vectorized sort by (h, id) + arange + base.
+
+    Returns (id, h, shuffle_rank, shard) sorted by id."""
+    from .relational import grouped_agg
+    from .shuffle import collect_pandas, schemaless_empty
+
+    if n_buckets is None:
+        from .relational import _default_buckets
+        n_buckets = _default_buckets()
+    width = (int(_M32) + n_buckets - 1) // n_buckets
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({id_col: np.int64, "h": np.int64,
+                           "__rb": np.int64})
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        h = shuffle_hash(ids, seed)
+        return pd.DataFrame({id_col: ids, "h": h, "__rb": h // width})
+
+    narrow = (docs_ds.select_columns([id_col])
+              .map_batches(keyed, batch_format="pandas").materialize())
+    counts = collect_pandas(
+        grouped_agg(narrow, ["__rb"], {"n": ("h", "size")}))
+    counts = counts.sort_values("__rb")
+    base = dict(zip(
+        counts["__rb"].to_numpy(),
+        np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1]))
+        .astype(np.int64)))
+
+    def rank_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cols = {id_col: np.int64, "h": np.int64,
+                "shuffle_rank": np.int64, "shard": np.int64}
+        if len(group) == 0 or id_col not in group.columns:
+            return _empty(cols)
+        g = group.sort_values(["h", id_col], kind="mergesort")
+        rank = base[int(g["__rb"].iloc[0])] + np.arange(
+            len(g), dtype=np.int64)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "h": g["h"].to_numpy(),
+            "shuffle_rank": rank,
+            "shard": rank % np.int64(n_shards)})
+
+    return narrow.groupby("__rb").map_groups(
+        rank_bucket, batch_format="pandas").sort(id_col)
+
+
+def write_shards(docs_ds, out_dir: str, n_shards: int = 16,
+                 seed: int = 0, id_col: str = "doc_id",
+                 n_buckets: int | None = None):
+    """Physically materialize the shuffled corpus as ``n_shards``
+    resumable parquet shard directories (``checkpoint.checkpointed_write``
+    layout: manifest per shard, rerun skips finished shards).
+
+    No O(N) driver state: the narrow pass computes only per-hash-bucket
+    COUNTS (n_buckets rows to the driver -> exclusive cumsum -> base
+    ranks, broadcast in the group fn's closure); shards are then
+    derived INLINE per bucket in the fat pass (sort by (h, id) +
+    arange + base).  Two fat exchanges total — the (h-bucket)
+    co-partition that makes ranks computable and the sink's
+    shard-partition exchange — which is the honest price of a physical
+    global shuffle (every row changes owner by design)."""
+    from . import checkpoint
+    from .relational import grouped_agg
+    from .shuffle import (collect_pandas, decode_for_shuffle,
+                          schemaless_empty)
+
+    if n_buckets is None:
+        from .relational import _default_buckets
+        n_buckets = _default_buckets()
+    width = (int(_M32) + n_buckets - 1) // n_buckets
+
+    def count_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"__rb": np.int64})
+        h = shuffle_hash(batch[id_col].to_numpy().astype(np.int64), seed)
+        return pd.DataFrame({"__rb": h // width})
+
+    counts = collect_pandas(grouped_agg(
+        docs_ds.select_columns([id_col])
+               .map_batches(count_keys, batch_format="pandas"),
+        ["__rb"], {"n": ("__rb", "size")})).sort_values("__rb")
+    base = dict(zip(
+        counts["__rb"].to_numpy(),
+        np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1]))
+        .astype(np.int64)))
+
+    def add_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        out = batch.copy()
+        h = shuffle_hash(out[id_col].to_numpy().astype(np.int64), seed)
+        out["__h"] = h
+        out["__rb"] = h // width
+        return out
+
+    def shard_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0 or id_col not in group.columns:
+            return group
+        g = group.sort_values(["__h", id_col], kind="mergesort")
+        rank = base[int(g["__rb"].iloc[0])] + np.arange(
+            len(g), dtype=np.int64)
+        g = g.drop(columns=["__h", "__rb"])
+        g["shard"] = rank % np.int64(n_shards)
+        return g
+
+    tagged = (docs_ds.map_batches(add_keys, batch_format="pandas")
+              .map_batches(decode_for_shuffle, batch_format="pyarrow")
+              .groupby("__rb").map_groups(shard_bucket,
+                                          batch_format="pandas"))
+    return checkpoint.checkpointed_write(tagged, out_dir,
+                                         partition_col="shard")
+
+
+# ---------------------------------------------------------------------------
 # query wrappers + oracles
 # ---------------------------------------------------------------------------
 
@@ -475,6 +624,32 @@ def q_redact(sf_dir: str):
 
     docs = _docs(sf_dir).map_batches(inject, batch_format="pandas")
     return redact(docs)
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global training shuffle: seeded hash rank +
+    round-robin shard assignment over the documents table."""
+    import ray.data
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return global_shuffle_shards(ds, n_shards=16, seed=7)
+
+
+Q_SHUFFLE_SHARDS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761 + 7 * 2246822519) % 4294967296
+              AS BIGINT) AS h
+  FROM documents),
+r AS (
+  SELECT doc_id, h,
+         CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+             AS shuffle_rank
+  FROM t)
+SELECT doc_id, h, shuffle_rank,
+       CAST(shuffle_rank % 16 AS BIGINT) AS shard
+FROM r ORDER BY doc_id
+"""
 
 
 Q_REDACT_SQL = """

@@ -1390,3 +1390,51 @@ def test_redact_scrubs_and_counts(ray_session):
     assert got["redacted"][0] == "mail me at <EMAIL> or <EMAIL> ok"
     assert got["redacted"][1] == "no pii here"
     assert got["redacted"][2] == "x <EMAIL> y"
+
+
+def test_global_shuffle_shards_exact_and_balanced(ray_session):
+    """Distributed rank scan == single-machine argsort on scattered,
+    non-contiguous ids; round-robin shards balanced within 1."""
+    import ray.data
+    from geoflow.corpus import global_shuffle_shards, shuffle_hash
+    rng = np.random.default_rng(11)
+    ids = rng.choice(1_000_000, size=700, replace=False).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    ds = ray.data.from_arrow(t).repartition(16)
+    got = global_shuffle_shards(ds, n_shards=8, seed=3,
+                                n_buckets=8).to_pandas()
+    h = shuffle_hash(ids, 3)
+    order = np.lexsort((ids, h))
+    rank = np.empty(len(ids), dtype=np.int64)
+    rank[order] = np.arange(len(ids))
+    want = pd.DataFrame({"doc_id": ids, "h": h, "shuffle_rank": rank,
+                         "shard": rank % 8}).sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True), want)
+    sizes = got.groupby("shard").size()
+    assert len(sizes) == 8 and sizes.max() - sizes.min() <= 1
+
+
+def test_write_shards_roundtrip_and_resume(ray_session, tmp_path):
+    """Physical shard sink: read-back == input rows, shard dirs match
+    the assignment op, rerun writes nothing (resume-by-skip)."""
+    import ray.data
+    from geoflow import checkpoint
+    from geoflow.corpus import global_shuffle_shards, write_shards
+    ids = np.arange(100, 400, dtype=np.int64)
+    texts = [f"doc {i} body" for i in ids]
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = str(tmp_path / "shards")
+    s1 = write_shards(ds, out, n_shards=5, seed=1, n_buckets=4)
+    assert s1["rows"] == 300 and s1["written_this_run"] == 300
+    back = checkpoint.read_checkpoint(out).to_pandas()
+    assert sorted(back["doc_id"]) == list(ids)
+    assert dict(zip(back["doc_id"], back["text"])) == dict(zip(ids, texts))
+    want = global_shuffle_shards(ray.data.from_arrow(t), n_shards=5,
+                                 seed=1, n_buckets=4).to_pandas()
+    got_map = dict(zip(back["doc_id"], back["shard"]))
+    assert got_map == dict(zip(want["doc_id"], want["shard"]))
+    s2 = write_shards(ds, out, n_shards=5, seed=1, n_buckets=4)
+    assert s2["written_this_run"] == 0 and s2["rows"] == 300
