@@ -22,9 +22,9 @@ from typing import Any
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-from geoflow import (cluster, corpus, dedup, jsonops, lines,  # noqa: E402
-                     multimodal, properties, relational, similarity,
-                     spatial_queries, textops)
+from geoflow import (cluster, corpus, curate, dedup,  # noqa: E402
+                     jsonops, lines, multimodal, properties, relational,
+                     similarity, spatial_queries, textops)
 
 # pages-table size per sf tier (synthesized deterministically, cached)
 _PAGES_N = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact oracles (byte-level / brute-force) run in pytest and in
         # the local gate, so truncation loses the least evidence ----
         "q_dedup_jaccard": dedup.q_dedup_jaccard,
+        "q_curate": curate.q_curate,
         "q_kmeans": cluster.q_kmeans,
         "q_json_normalize": jsonops.q_json_normalize,
         "q_dedup_pages": _q_dedup_pages,

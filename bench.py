@@ -144,7 +144,10 @@ def run_bench() -> dict:
                      "q_connected_components", "q_tfidf_topterms",
                      "q_hll_users", "q_repetition_stats",
                      "q_pack_sequences", "q_decontaminate",
-                     "q_ngram_topk", "q_redact"]:
+                     "q_ngram_topk", "q_redact",
+                     # round-3 late additions
+                     "q_line_dedup", "q_c4_filter", "q_kmeans",
+                     "q_shuffle_shards", "q_curate"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data

@@ -194,9 +194,14 @@ def adaptive_semijoin(big_ds, keys_ds, on: str,
     joining (ADVICE r2: plan choice must not change results)."""
     import ray
 
+    from .shuffle import collect_pandas
+
     keys_mat = keys_ds.materialize()  # build side only — never big_ds
     if keys_mat.count() <= broadcast_limit:
-        keys = set(keys_mat.to_pandas()[on].astype(np.int64))
+        # collect_pandas, not to_pandas: a keys_ds downstream of a
+        # groupby can carry schemaless empty blocks that break plain
+        # concat schema resolution
+        keys = set(collect_pandas(keys_mat)[on].astype(np.int64))
         ref = ray.put(keys)
 
         def semi(batch: pd.DataFrame) -> pd.DataFrame:
