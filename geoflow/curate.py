@@ -23,6 +23,8 @@ column itself is only ever exchanged by the optional shard sink.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pandas as pd
 
@@ -76,6 +78,13 @@ def curate(docs_ds, *, min_words: int = 3, min_lines: int = 2,
     from .relational import adaptive_lookup_join, adaptive_semijoin
 
     funnel: dict[str, int] = {"input": docs_ds.count()}
+    timings: dict[str, float] = {}
+    _t = time.time()
+
+    def _lap(stage: str) -> None:
+        nonlocal _t
+        timings[stage] = round(time.time() - _t, 2)
+        _t = time.time()
 
     # Stage order is RefinedWeb's: document-level dedup (exact, then
     # fuzzy) BEFORE line-level boilerplate removal — global
@@ -92,11 +101,13 @@ def curate(docs_ds, *, min_words: int = 3, min_lines: int = 2,
         .select_columns([id_col, "text_clean"]),
         "text_clean", text_col).materialize()
     funnel["c4"] = c4.count()
+    _lap("c4")
 
     # 2. exact dedup: keep the min-id document per distinct text
     exact_ids = _exact_survivor_ids(c4, id_col, text_col)
     exact = adaptive_semijoin(c4, exact_ids, on=id_col).materialize()
     funnel["exact_dedup"] = exact.count()
+    _lap("exact_dedup")
 
     # 3. MinHash near-dedup: keep cluster representatives only
     assign = dedup.minhash_dedup(exact, threshold=minhash_threshold,
@@ -113,6 +124,7 @@ def curate(docs_ds, *, min_words: int = 3, min_lines: int = 2,
         .select_columns([id_col, "text_dedup"]),
         "text_dedup", text_col).materialize()
     funnel["near_line_dedup"] = near.count()
+    _lap("minhash_line_dedup")
 
     # 5. sequence packing + deterministic split over the survivors;
     #    pack_sequences works on the narrow token-count table — join
@@ -122,12 +134,20 @@ def curate(docs_ds, *, min_words: int = 3, min_lines: int = 2,
     funnel["curated"] = funnel["near_line_dedup"]  # lookup join is 1:1
 
     if out_dir is not None:
+        # materialize first: write_shards consumes its input twice
+        # (narrow bucket-count pass + fat pass) and the pack + lookup
+        # join lineage would re-execute on the second consumption
+        # (probe-then-consume rule)
+        curated = curated.materialize()
+        _lap("pack")
         summary = corpus.write_shards(curated, out_dir,
                                       n_shards=n_shards, seed=seed,
                                       id_col=id_col)
+        _lap("shard_sink")
         funnel["shards_written"] = int(summary["rows"])
         funnel["shard_partitions"] = int(summary["partitions"])
 
+    funnel["stage_sec"] = timings
     return curated, funnel
 
 
