@@ -23,8 +23,8 @@ from typing import Any
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from geoflow import (cluster, corpus, curate, dedup,  # noqa: E402
-                     jsonops, lines, multimodal, properties, relational,
-                     similarity, spatial_queries, textops)
+                     graph, jsonops, lines, multimodal, properties,
+                     relational, similarity, spatial_queries, textops)
 
 # pages-table size per sf tier (synthesized deterministically, cached)
 _PAGES_N = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
@@ -331,6 +331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_incremental_dedup": dedup.q_incremental_dedup,
         "q_connected_components": dedup.q_connected_components,
         "q_embedding_dups": dedup.q_embedding_dups,
+        # graph analysis (full SQL oracle, unrolled fixed-point CTEs)
+        "q_pagerank": graph.q_pagerank,
         # similarity search
         "q_ann_topk": similarity.q_ann_topk,
         # multimodal plumbing
@@ -395,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "q_incremental_dedup": dedup.Q_INCREMENTAL_DEDUP_SQL,
         "q_embedding_dups": dedup.Q_EMBEDDING_DUPS_SQL,
         "q_connected_components": dedup.Q_CONNECTED_COMPONENTS_SQL,
+        "q_pagerank": graph.Q_PAGERANK_SQL,
         "q_tfidf_topterms": textops.Q_TFIDF_SQL,
         "q_repetition_stats": corpus.REPETITION_SQL,
         "q_pack_sequences": corpus.Q_PACK_SQL,

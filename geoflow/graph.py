@@ -1,0 +1,214 @@
+"""Distributed PageRank over an edge table — the link-graph analysis
+stage of a web-corpus pipeline (rank pages by citation structure to
+weight/filter training data; the reference engine has no graph ops —
+SURVEY §2's training-data extension set, same family as
+``dedup.connected_components_distributed``).
+
+Determinism contract (what makes the DuckDB oracle EXACT): ranks are
+int64 fixed-point (``scale`` = 1e12 of total probability mass) and
+every update uses only integer division/multiplication/addition —
+
+    r0(v)     = scale // n
+    contrib(u)= r(u) // outdeg(u)
+    r'(v)     = ((100 - d) * (scale // n)) // 100
+                + (d * SUM_{u->v} contrib(u)) // 100
+
+Integer sums commute (FP sums don't — CLAUDE.md invariant), so the
+result is bit-identical regardless of batch boundaries, bucket count,
+worker count, or the oracle's serial evaluation order.  Bounds: every
+rank <= scale = 1e12, so ``d * SUM`` <= 85e12 << 2^63.
+
+Ray shape (BSP, 100-TB):
+- out-degrees: one ``grouped_agg`` over the edge table (combiner ->
+  n_buckets shuffle), attached to edges ONCE via the adaptive lookup
+  join; the degree-annotated edge table is materialized and reused by
+  every iteration.
+- per iteration: ranks (node-sized, narrow) join back to edges —
+  broadcast via ``ray.put`` below ``BROADCAST_LIMIT`` rows, else the
+  co-partitioned bucketed join; per-edge contributions are partially
+  aggregated per batch inside ``grouped_agg``'s combiner, so the
+  AllToAll moves node-sized partials, never edge-sized rows.
+- each iteration's rank table is materialized (node-sized) so the
+  next round's lineage starts from object-store blocks instead of
+  re-executing all previous rounds.
+On a multi-node cluster the same plan holds: the edge table is the
+only big operand and it is shuffled at most once per round (not at
+all on the broadcast path); a production deployment would pin edge
+buckets in actor state to skip even that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SCALE = 10**12
+
+
+def pagerank(edges_ds, iters: int = 4, damping_pct: int = 85,
+             scale: int = SCALE, n_buckets: int | None = None):
+    """PageRank over a DIRECTED edge Dataset with int64 columns
+    (``src``, ``dst``); for an undirected graph pass both directions.
+    Nodes are the distinct ``src`` values (an undirected graph's node
+    set exactly; isolated nodes have no rank mass by definition).
+    Returns a Dataset (node:int64, rank_fp:int64), unsorted.
+    """
+    from .relational import adaptive_lookup_join, grouped_agg
+    from .shuffle import schemaless_empty
+
+    deg = grouped_agg(edges_ds, ["src"],
+                      {"deg": ("src", "size")},
+                      n_buckets=n_buckets).materialize()
+    n = deg.count()
+    if n == 0:
+        import pyarrow as pa
+        import ray.data
+        # from_arrow (not from_pandas): Ray keeps an Arrow empty
+        # block's schema but drops a pandas one's
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], type=pa.int64()),
+             "rank_fp": pa.array([], type=pa.int64())}))
+    r0 = scale // n
+    base = ((100 - damping_pct) * r0) // 100
+
+    # degree-annotated edges: built once, reused every round
+    edges_deg = adaptive_lookup_join(edges_ds, deg,
+                                     on="src").materialize()
+
+    def init(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch):
+            return batch
+        return pd.DataFrame({
+            "src": batch["src"].to_numpy().astype(np.int64),
+            "r": np.full(len(batch), r0, dtype=np.int64)})
+
+    ranks = deg.map_batches(init, batch_format="pandas").materialize()
+
+    def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch):
+            return batch
+        c = (batch["r"].to_numpy().astype(np.int64)
+             // batch["deg"].to_numpy().astype(np.int64))
+        return pd.DataFrame({
+            "dst": batch["dst"].to_numpy().astype(np.int64), "c": c})
+
+    def renew(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch):
+            return batch
+        s = batch["s"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "src": batch["dst"].to_numpy().astype(np.int64),
+            "r": base + (damping_pct * s) // 100})
+
+    for _ in range(iters):
+        joined = adaptive_lookup_join(edges_deg, ranks, on="src")
+        contribs = joined.map_batches(contrib, batch_format="pandas")
+        summed = grouped_agg(contribs, ["dst"], {"s": ("c", "sum")},
+                             n_buckets=n_buckets)
+        ranks = summed.map_batches(renew,
+                                   batch_format="pandas").materialize()
+
+    def out(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch):
+            return batch
+        return pd.DataFrame({
+            "node": batch["src"].to_numpy().astype(np.int64),
+            "rank_fp": batch["r"].to_numpy().astype(np.int64)})
+
+    return ranks.map_batches(out, batch_format="pandas")
+
+
+def pagerank_reference(edges: np.ndarray, iters: int = 4,
+                       damping_pct: int = 85,
+                       scale: int = SCALE) -> dict[int, int]:
+    """Serial integer reference (pytest oracle): dict node -> rank_fp."""
+    src, dst = edges[:, 0], edges[:, 1]
+    nodes = np.unique(src)
+    n = len(nodes)
+    deg = {int(u): int((src == u).sum()) for u in nodes}
+    r0 = scale // n
+    base = ((100 - damping_pct) * r0) // 100
+    r = {int(u): r0 for u in nodes}
+    for _ in range(iters):
+        s: dict[int, int] = {int(u): 0 for u in nodes}
+        for u, v in edges:
+            s[int(v)] += r[int(u)] // deg[int(u)]
+        r = {u: base + (damping_pct * s[u]) // 100 for u in r}
+    return r
+
+
+# ---------------------------------------------------------------------------
+# driver query: PageRank of the embedding-similarity graph
+# ---------------------------------------------------------------------------
+
+PR_THRESHOLD = 0.3
+PR_ITERS = 4
+
+
+def q_pagerank(sf_dir: str):
+    """PageRank over the same similarity graph as
+    ``q_connected_components`` (edges = exact cosine pairs >= 0.3,
+    both directions): (node, rank_fp) — full SQL oracle with the
+    iterations unrolled as chained CTEs."""
+    import ray.data
+
+    from .dedup import embedding_dups
+    from .shuffle import schemaless_empty
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    pairs = embedding_dups(emb, threshold=PR_THRESHOLD)
+
+    def both_ways(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch):
+            return pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                 "dst": pd.Series(dtype=np.int64)})
+        a = batch["vec_id_a"].to_numpy().astype(np.int64)
+        b = batch["vec_id_b"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"src": np.concatenate([a, b]),
+                             "dst": np.concatenate([b, a])})
+
+    edges = pairs.map_batches(both_ways, batch_format="pandas")
+    return pagerank(edges, iters=PR_ITERS).sort("node")
+
+
+def _pagerank_sql(iters: int = PR_ITERS, damping_pct: int = 85,
+                  scale: int = SCALE,
+                  threshold: float = PR_THRESHOLD) -> str:
+    """Unrolled fixed-point PageRank in DuckDB (integer `//` division
+    mirrors numpy's; SUM(BIGINT)->HUGEINT stays exact, cast at the
+    end)."""
+    head = f"""
+WITH e0 AS (
+  SELECT a.vec_id AS s, b.vec_id AS d
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= {threshold}
+), dedges AS (
+  SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0
+), deg AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM dedges GROUP BY s
+), nn AS (SELECT COUNT(*) AS c FROM deg
+), it0 AS (
+  SELECT s AS node, {scale} // (SELECT c FROM nn) AS r FROM deg
+)"""
+    step = """, it{i} AS (
+  SELECT e.d AS node,
+         (({cd}) * ({scale} // (SELECT c FROM nn))) // 100
+         + ({d} * SUM(r.r // g.deg)) // 100 AS r
+  FROM dedges e
+  JOIN it{p} r ON r.node = e.s
+  JOIN deg g ON g.s = e.s
+  GROUP BY e.d
+)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(step.format(i=i, p=i - 1, d=damping_pct,
+                                 cd=100 - damping_pct, scale=scale))
+    parts.append(f"""
+SELECT node, CAST(r AS BIGINT) AS rank_fp
+FROM it{iters} ORDER BY node""")
+    return "".join(parts)
+
+
+Q_PAGERANK_SQL = _pagerank_sql()

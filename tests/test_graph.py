@@ -1,0 +1,75 @@
+"""Distributed PageRank (geoflow.graph) vs the serial integer
+reference — bit-exact regardless of block layout / bucket count."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from geoflow import graph
+
+
+def _random_graph(n_nodes: int, n_edges: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    e = rng.integers(0, n_nodes, size=(n_edges, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    # undirected: both directions, so node set == distinct src
+    return np.concatenate([e, e[:, ::-1]])
+
+
+def _run(edges: np.ndarray, **kw) -> pd.DataFrame:
+    df = pd.DataFrame({"src": edges[:, 0].astype(np.int64),
+                       "dst": edges[:, 1].astype(np.int64)})
+    ds = ray.data.from_pandas(df)
+    out = graph.pagerank(ds, **kw).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def test_pagerank_matches_serial_reference(ray_session):
+    edges = _random_graph(200, 800, seed=7)
+    got = _run(edges)
+    ref = graph.pagerank_reference(edges)
+    assert list(got["node"]) == sorted(ref)
+    for node, rank in zip(got["node"], got["rank_fp"]):
+        assert rank == ref[int(node)], node
+    # rank mass stays within rounding slack of the fixed-point scale
+    assert abs(int(got["rank_fp"].sum()) - graph.SCALE) < len(ref) * 100
+
+
+def test_pagerank_bit_identical_across_layouts(ray_session):
+    edges = _random_graph(150, 500, seed=11)
+    base = _run(edges)
+    df = pd.DataFrame({"src": edges[:, 0].astype(np.int64),
+                       "dst": edges[:, 1].astype(np.int64)})
+    # different block boundaries + different bucket count
+    parts = [ray.data.from_pandas(df.iloc[i::5].reset_index(drop=True))
+             for i in range(5)]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    alt = graph.pagerank(ds, n_buckets=7).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, alt)
+
+
+def test_pagerank_star_graph_ranks_center_highest(ray_session):
+    # star: center 0 <-> leaves 1..20; center must dominate
+    leaves = np.arange(1, 21)
+    e = np.concatenate([np.stack([np.zeros_like(leaves), leaves], 1),
+                        np.stack([leaves, np.zeros_like(leaves)], 1)])
+    got = _run(e).set_index("node")["rank_fp"]
+    assert got.loc[0] > got.drop(0).max() * 5
+    ref = graph.pagerank_reference(e)
+    assert int(got.loc[0]) == ref[0]
+
+
+def test_pagerank_empty_graph(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "src": pd.Series(dtype=np.int64),
+        "dst": pd.Series(dtype=np.int64)}))
+    out = graph.pagerank(ds)
+    assert out.count() == 0
+    # Ray's to_pandas drops columns on zero-block datasets; the
+    # dataset-level schema is the contract
+    assert out.schema().names == ["node", "rank_fp"]
