@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shuffle_shards": corpus.q_shuffle_shards,
         "q_line_dedup": lines.q_line_dedup,
         "q_c4_filter": lines.q_c4_filter,
+        "q_dedup_spans": lines.q_dedup_spans,
         # dedup (SQL-oracled subset)
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_dedup_prefix": dedup.q_dedup_prefix,
@@ -407,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "q_shuffle_shards": corpus.Q_SHUFFLE_SHARDS_SQL,
         "q_line_dedup": lines.Q_LINE_DEDUP_SQL,
         "q_c4_filter": lines.Q_C4_FILTER_SQL,
+        "q_dedup_spans": lines.Q_DEDUP_SPANS_SQL,
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,
         "q_media_features": multimodal.Q_MEDIA_SQL,
         "q_media_frames": multimodal.Q_MEDIA_FRAMES_SQL,

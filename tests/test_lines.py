@@ -91,3 +91,58 @@ def test_line_ops_sql_parity(ray_session):
                     f"'{sf}/documents.parquet'")
         want = con.execute(sql).df()
         pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span removal
+# ---------------------------------------------------------------------------
+
+def test_dedup_spans_handcrafted(ray_session):
+    # "a b c d e" appears in docs 0 and 1 -> its 5 tokens are removed
+    # from both; doc 2 shares no 3-gram; doc 3 too short for windows
+    texts = ["a b c d e x y z",
+             "p q a b c d e r",
+             "unrelated words entirely here now",
+             "a b"]
+    res = lines.dedup_spans(_docs_ds(texts), k=5, min_count=2,
+                            n_buckets=3).to_pandas()
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+           for _, r in res.iterrows()}
+    assert got[0] == (8, 5, "x y z")
+    assert got[1] == (8, 5, "p q r")
+    assert got[2] == (5, 0, "unrelated words entirely here now")
+    assert got[3] == (2, 0, "a b")
+    assert res["n_tokens"].dtype == np.int64
+    assert res["n_removed"].dtype == np.int64
+
+
+def test_dedup_spans_within_doc_repeat(ray_session):
+    # the same 5-gram twice WITHIN one doc also counts as duplicated
+    texts = ["m n o p q gap m n o p q tail"]
+    res = lines.dedup_spans(_docs_ds(texts), k=5,
+                            min_count=2).to_pandas()
+    assert res.loc[0, "clean_text"] == "gap tail"
+    assert res.loc[0, "n_removed"] == 10
+
+
+def test_dedup_spans_fully_duplicated_doc_empties(ray_session):
+    texts = ["w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5"]
+    res = lines.dedup_spans(_docs_ds(texts), k=5,
+                            min_count=2).to_pandas()
+    assert list(res["clean_text"]) == ["", ""]
+    assert list(res["n_removed"]) == [5, 5]
+
+
+def test_dedup_spans_shuffle_path_identical(ray_session):
+    """broadcast_limit=0 forces the string-bucket co-partition
+    semijoin; results must be bit-identical to the broadcast path and
+    int columns must keep their dtype through the padded union."""
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    a = lines.dedup_spans(docs, k=5, min_count=2).to_pandas()
+    b = lines.dedup_spans(docs, k=5, min_count=2,
+                          broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert a["doc_id"].dtype == np.int64
+    assert a["n_removed"].sum() > 0  # the corpus has duplicated spans
