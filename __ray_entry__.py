@@ -22,9 +22,10 @@ from typing import Any
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-from geoflow import (cluster, corpus, curate, dedup,  # noqa: E402
-                     graph, jsonops, lines, multimodal, properties,
-                     relational, similarity, spatial_queries, textops)
+from geoflow import (classify, cluster, corpus, curate,  # noqa: E402
+                     dedup, graph, jsonops, lines, multimodal,
+                     properties, relational, similarity,
+                     spatial_queries, textops)
 
 # pages-table size per sf tier (synthesized deterministically, cached)
 _PAGES_N = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
@@ -326,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_line_dedup": lines.q_line_dedup,
         "q_c4_filter": lines.q_c4_filter,
         "q_dedup_spans": lines.q_dedup_spans,
+        "q_nb_classifier": classify.q_nb_classifier,
         # dedup (SQL-oracled subset)
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_dedup_prefix": dedup.q_dedup_prefix,
@@ -409,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         "q_line_dedup": lines.Q_LINE_DEDUP_SQL,
         "q_c4_filter": lines.Q_C4_FILTER_SQL,
         "q_dedup_spans": lines.Q_DEDUP_SPANS_SQL,
+        "q_nb_classifier": classify.Q_NB_CLASSIFIER_SQL,
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,
         "q_media_features": multimodal.Q_MEDIA_SQL,
         "q_media_frames": multimodal.Q_MEDIA_FRAMES_SQL,

@@ -1,0 +1,255 @@
+"""Distributed multinomial Naive Bayes over ``documents`` — the
+model-based quality/language classifier stage of an LLM data pipeline
+(fastText-style corpus filtering, reimplemented as an exactly
+reproducible count model; no reference-engine equivalent — SURVEY §2's
+training-data extension set).
+
+Training is pure distributed counting (``grouped_agg`` combiner
+shuffles — per-(class, token) counts, per-class token totals, document
+priors, vocabulary size), so the fitted model is exact and
+order-independent.  Scoring is fixed-point: every log-probability is
+``floor(ln(a/b) * 1e6 + 0.5)`` with ``a``, ``b`` exact integers —
+Python's ``math.log`` and DuckDB's ``ln`` are the same libm call on
+the same double, so the DuckDB oracle reproduces scores bit-for-bit
+(verified empirically over 20k random rationals), and integer score
+sums commute (CLAUDE.md invariant: never compare FP sums).
+
+Laplace smoothing: p(t|c) = (count(t,c) + 1) / (total_c + V);
+unseen-token mass handled via the per-class offset ``lp0 = fp(ln(1 /
+(total_c + V)))`` so a document's score is
+``prior_fp + n_tokens * lp0 + sum tf * (lp_fp - lp0)`` — only tokens
+PRESENT in the model for a class contribute a delta, which keeps the
+broadcast table sparse.
+
+Ray shape (100-TB):
+- training: three ``grouped_agg`` passes over the token stream (the
+  combiner pre-aggregates per batch, the AllToAlls move (class, token)
+  partials, never token occurrences).
+- the fitted model is (V x L) rows + L scalars — broadcast once via
+  ``ray.put`` and read through the per-worker ``cached_get``; scoring
+  is a single stateless ``map_batches`` (per-batch polars tf + one
+  vectorized merge/pivot).  If V x L outgrew a worker heap, scoring
+  becomes a bucketed join on token hash + a (doc, class) grouped_agg —
+  the same primitives, noted not built.
+- tokenization parity: single-space split, empties dropped
+  (``corpus._token_frame`` convention shared by every text op).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+FP = 1_000_000
+
+
+def _fp_log(num: np.ndarray | int, den: np.ndarray | int) -> np.ndarray:
+    """floor(ln(num/den) * 1e6 + 0.5) as int64 — elementwise
+    ``math.log`` (libm, == DuckDB ``ln``), not numpy's SIMD log."""
+    num = np.atleast_1d(np.asarray(num, dtype=np.float64))
+    den = np.atleast_1d(np.asarray(den, dtype=np.float64))
+    if den.shape[0] == 1 and num.shape[0] > 1:
+        den = np.broadcast_to(den, num.shape)
+    out = np.empty(num.shape[0], dtype=np.int64)
+    for idx in range(num.shape[0]):
+        out[idx] = math.floor(
+            math.log(num[idx] / den[idx]) * FP + 0.5)
+    return out
+
+
+class NBModel:
+    """Fitted model: ``delta`` (t, lang, dfp) sparse table,
+    ``classes`` DataFrame (lang, prior_fp, lp0_fp)."""
+
+    def __init__(self, delta: pd.DataFrame, classes: pd.DataFrame):
+        self.delta = delta
+        self.classes = classes
+
+
+def nb_train(docs_ds, label_col: str = "lang",
+             text_col: str = "text", id_col: str = "doc_id",
+             n_buckets: int | None = None) -> NBModel:
+    """Fit multinomial NB distributed; the returned model is exact
+    (pure integer counts + fixed-point logs of integer ratios)."""
+    from .relational import grouped_agg
+    from .shuffle import collect_pandas, schemaless_empty
+
+    def tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({
+                "lang": pd.Series(dtype=object),
+                "t": pd.Series(dtype=object)})
+        return (pl.from_pandas(batch[[label_col, text_col]])
+                .rename({label_col: "lang", text_col: "t"})
+                .with_columns(pl.col("t").str.split(" "))
+                .explode("t")
+                .filter(pl.col("t") != "")
+                .to_pandas())
+
+    tok = docs_ds.map_batches(tokens, batch_format="pandas")
+    ct = grouped_agg(tok, ["lang", "t"], {"c": ("t", "size")},
+                     n_buckets=n_buckets).materialize()
+    ct_pd = collect_pandas(ct)
+    ct_pd["c"] = ct_pd["c"].astype(np.int64)
+
+    # per-class totals and vocabulary from the (small) count table —
+    # it is already the collect target for the broadcast model
+    tot = ct_pd.groupby("lang", as_index=False)["c"].sum() \
+        .rename(columns={"c": "tl"})
+    vocab = int(ct_pd["t"].nunique())
+
+    prior = collect_pandas(grouped_agg(
+        docs_ds, [label_col], {"n_docs": (label_col, "size")},
+        n_buckets=n_buckets))
+    prior = prior.rename(columns={label_col: "lang"})
+    n_total = int(prior["n_docs"].sum())
+
+    classes = tot.merge(prior, on="lang").sort_values("lang") \
+        .reset_index(drop=True)
+    den = classes["tl"].to_numpy().astype(np.int64) + vocab
+    classes["lp0_fp"] = _fp_log(np.ones(len(classes)), den)
+    classes["prior_fp"] = _fp_log(
+        classes["n_docs"].to_numpy().astype(np.int64), n_total)
+
+    delta = ct_pd.merge(classes[["lang", "lp0_fp"]], on="lang")
+    dden = delta["lang"].map(
+        dict(zip(classes["lang"], den))).to_numpy().astype(np.int64)
+    delta["dfp"] = _fp_log(delta["c"].to_numpy() + 1, dden) \
+        - delta["lp0_fp"].to_numpy()
+    return NBModel(delta[["t", "lang", "dfp"]].reset_index(drop=True),
+                   classes[["lang", "prior_fp", "lp0_fp"]])
+
+
+def nb_predict(docs_ds, model: NBModel, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Score + argmax per document (ties -> smallest class label).
+    Returns (doc_id, pred_lang, score_fp), unsorted.  Stateless
+    map-only stage; the model ships once via ``ray.put``."""
+    import ray
+
+    from .shuffle import schemaless_empty
+
+    ref = ray.put((model.delta, model.classes))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        from .shuffle import cached_get
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "pred_lang": pd.Series(dtype=object),
+                "score_fp": pd.Series(dtype=np.int64)})
+        delta, classes = cached_get(ref)
+        tf = (pl.from_pandas(batch[[id_col, text_col]])
+              .rename({id_col: "doc_id", text_col: "t"})
+              .with_columns(pl.col("t").str.split(" "))
+              .explode("t")
+              .filter(pl.col("t") != "")
+              .group_by(["doc_id", "t"]).len()
+              .rename({"len": "tf"})
+              .to_pandas())
+        ntok = tf.groupby("doc_id")["tf"].sum()
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        n_tokens = pd.Series(ids).map(ntok).fillna(0) \
+            .to_numpy().astype(np.int64)
+
+        langs = classes["lang"].tolist()
+        # (n_docs, n_classes) base scores, then sparse contributions
+        base = (classes["prior_fp"].to_numpy()[None, :]
+                + n_tokens[:, None]
+                * classes["lp0_fp"].to_numpy()[None, :])
+        contrib = tf.merge(delta, on="t", how="inner")
+        if len(contrib):
+            contrib["s"] = contrib["tf"].astype(np.int64) \
+                * contrib["dfp"].astype(np.int64)
+            piv = contrib.pivot_table(index="doc_id", columns="lang",
+                                      values="s", aggfunc="sum",
+                                      fill_value=0)
+            piv = piv.reindex(index=ids, columns=langs,
+                              fill_value=0).fillna(0)
+            base = base + piv.to_numpy().astype(np.int64)
+        best = base.argmax(axis=1)  # first max -> smallest lang (sorted)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "pred_lang": np.asarray(langs, dtype=object)[best],
+            "score_fp": base[np.arange(len(ids)), best]})
+
+    return docs_ds.map_batches(score, batch_format="pandas")
+
+
+def q_nb_classifier(sf_dir: str):
+    """Train on the full documents table (label = ``lang``), score the
+    same table — (doc_id, pred_lang, score_fp) with a full fixed-point
+    SQL oracle replicating both training counts and scoring."""
+    import ray.data
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    model = nb_train(docs)
+    return nb_predict(docs, model).sort("doc_id")
+
+
+Q_NB_CLASSIFIER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS t
+  FROM documents
+), tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, t
+), doctok AS (
+  SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, SUM(tf) AS n FROM tf GROUP BY doc_id) s
+  USING (doc_id)
+), ct AS (
+  SELECT d.lang, k.t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks k JOIN documents d USING (doc_id)
+  GROUP BY d.lang, k.t
+), tot AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS tl FROM ct GROUP BY lang
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM toks
+), cls AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+), lp0 AS (
+  SELECT t.lang,
+         CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(t.tl + vb.v AS DOUBLE))
+                    * {FP} + 0.5) AS BIGINT) AS lp0
+  FROM tot t, vocab vb
+), priors AS (
+  SELECT c.lang,
+         CAST(floor(ln(CAST(c.n_docs AS DOUBLE) /
+                       CAST((SELECT SUM(n_docs) FROM cls) AS DOUBLE))
+                    * {FP} + 0.5) AS BIGINT) AS pfp
+  FROM cls c
+), delta AS (
+  SELECT ct.lang, ct.t,
+         CAST(floor(ln(CAST(ct.c + 1 AS DOUBLE) /
+                       CAST(t.tl + vb.v AS DOUBLE))
+                    * {FP} + 0.5) AS BIGINT) - l0.lp0 AS dfp
+  FROM ct JOIN tot t USING (lang) JOIN lp0 l0 USING (lang), vocab vb
+), contrib AS (
+  SELECT f.doc_id, d.lang, CAST(SUM(f.tf * d.dfp) AS BIGINT) AS s
+  FROM tf f JOIN delta d ON d.t = f.t
+  GROUP BY f.doc_id, d.lang
+), sc AS (
+  SELECT dt.doc_id, p.lang,
+         p.pfp + dt.n_tokens * l0.lp0 + COALESCE(c.s, 0) AS score
+  FROM doctok dt
+  CROSS JOIN priors p
+  JOIN lp0 l0 ON l0.lang = p.lang
+  LEFT JOIN contrib c ON c.doc_id = dt.doc_id AND c.lang = p.lang
+), ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM sc
+)
+SELECT doc_id, lang AS pred_lang, CAST(score AS BIGINT) AS score_fp
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
