@@ -147,7 +147,10 @@ def run_bench() -> dict:
                      "q_ngram_topk", "q_redact",
                      # round-3 late additions
                      "q_line_dedup", "q_c4_filter", "q_kmeans",
-                     "q_shuffle_shards", "q_curate"]:
+                     "q_shuffle_shards", "q_curate",
+                     # round-3 final additions
+                     "q_pagerank", "q_dedup_spans",
+                     "q_nb_classifier"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data
