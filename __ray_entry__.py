@@ -23,7 +23,7 @@ from typing import Any
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from geoflow import (classify, cluster, corpus, curate,  # noqa: E402
-                     dedup, graph, jsonops, lines, multimodal,
+                     dedup, dsir, graph, jsonops, lines, multimodal,
                      properties, relational, similarity,
                      spatial_queries, textops)
 
@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_c4_filter": lines.q_c4_filter,
         "q_dedup_spans": lines.q_dedup_spans,
         "q_nb_classifier": classify.q_nb_classifier,
+        "q_dsir_weights": dsir.q_dsir_weights,
         # dedup (SQL-oracled subset)
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_dedup_prefix": dedup.q_dedup_prefix,
@@ -415,6 +416,7 @@ def oracle_sql() -> dict[str, str]:
         "q_c4_filter": lines.Q_C4_FILTER_SQL,
         "q_dedup_spans": lines.Q_DEDUP_SPANS_SQL,
         "q_nb_classifier": classify.Q_NB_CLASSIFIER_SQL,
+        "q_dsir_weights": dsir.Q_DSIR_WEIGHTS_SQL,
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,
         "q_media_features": multimodal.Q_MEDIA_SQL,
         "q_media_frames": multimodal.Q_MEDIA_FRAMES_SQL,

@@ -1,0 +1,60 @@
+"""DSIR importance weighting (geoflow.dsir)."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from geoflow import dsir
+
+
+def _ds(df):
+    return ray.data.from_pandas(df)
+
+
+def test_dsir_ranks_target_like_docs_higher(ray_session):
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["alpha beta gamma", "alpha alpha beta",
+                 "beta gamma alpha",
+                 "xray yankee zulu", "zulu zulu xray",
+                 "yankee xray zulu"],
+        "lang": ["t", "t", "t", "o", "o", "o"]})
+    target = docs[docs["lang"] == "t"].reset_index(drop=True)
+    w = dsir.dsir_weights(_ds(docs), _ds(target)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    tw = w.loc[:2, "weight_fp"].to_numpy()
+    ow = w.loc[3:, "weight_fp"].to_numpy()
+    assert tw.min() > ow.max()
+    assert w["weight_fp"].dtype == np.int64
+
+
+def test_dsir_bit_identical_across_layouts(ray_session):
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    tgt = docs[docs["lang"] == "en"].reset_index(drop=True)
+    a = dsir.dsir_weights(_ds(docs), _ds(tgt)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    parts = [_ds(docs.iloc[i::4].reset_index(drop=True))
+             for i in range(4)]
+    b_ds = parts[0]
+    for p in parts[1:]:
+        b_ds = b_ds.union(p)
+    b = dsir.dsir_weights(b_ds, _ds(tgt), n_buckets=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_dsir_select_exact_topm(ray_session):
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    tgt = docs[docs["lang"] == "en"].reset_index(drop=True)
+    w = dsir.dsir_weights(_ds(docs), _ds(tgt))
+    out = dsir.dsir_select(w, 25).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert int(out["selected"].sum()) == 25
+    # selection = deterministic top-m by (weight desc, doc_id asc)
+    ranked = out.sort_values(["weight_fp", "doc_id"],
+                             ascending=[False, True]).head(25)
+    assert set(ranked["doc_id"]) == set(out.loc[out["selected"],
+                                                "doc_id"])
