@@ -39,8 +39,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     import ray
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
-             logging_level="ERROR")
+    import os
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("GATE_CPUS", "8")),
+             include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
