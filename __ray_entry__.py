@@ -22,9 +22,9 @@ from typing import Any
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-from geoflow import (classify, cluster, corpus, curate,  # noqa: E402
-                     dedup, dsir, graph, jsonops, lines, multimodal,
-                     properties, relational, similarity,
+from geoflow import (bpe, classify, cluster, corpus,  # noqa: E402
+                     curate, dedup, dsir, graph, jsonops, lines,
+                     multimodal, properties, relational, similarity,
                      spatial_queries, textops)
 
 # pages-table size per sf tier (synthesized deterministically, cached)
@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_flagship_tiles": _q_flagship_tiles,
         "q_curate": curate.q_curate,
         "q_kmeans": cluster.q_kmeans,
+        "q_bpe": bpe.q_bpe,
         "q_dedup_near": dedup.q_dedup_near,
         # ---- past the driver's 50-entry cap: rows-only queries whose
         # exact oracles (byte-level / brute-force) run in pytest and in
