@@ -44,16 +44,15 @@ _BUCKET_CACHE: dict[int, dict[str, int]] = {}
 
 
 def _buckets_of(tokens: pd.Series, n_feat: int) -> np.ndarray:
+    """md5 runs only for tokens the worker has never seen; the
+    occurrence-level fan-out is one vectorized ``Series.map``."""
     cache = _BUCKET_CACHE.setdefault(n_feat, {})
-    out = np.empty(len(tokens), dtype=np.int64)
-    for i, t in enumerate(tokens):
-        b = cache.get(t)
-        if b is None:
-            b = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8],
-                    16) % n_feat
-            cache[t] = b
-        out[i] = b
-    return out
+    for t in pd.unique(tokens):
+        if t not in cache:
+            cache[t] = int(
+                hashlib.md5(t.encode("utf-8")).hexdigest()[:8],
+                16) % n_feat
+    return tokens.map(cache).to_numpy().astype(np.int64)
 
 
 def _token_buckets(batch: pd.DataFrame, n_feat: int,
