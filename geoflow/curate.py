@@ -64,7 +64,9 @@ def curate(docs_ds, *, min_words: int = 3, min_lines: int = 2,
            minhash_threshold: float = 0.7, verify: str = "signature",
            window: int = 2048, id_col: str = "doc_id",
            text_col: str = "text", out_dir: str | None = None,
-           n_shards: int = 16, seed: int = 0):
+           n_shards: int = 16, seed: int = 0,
+           span_k: int | None = None, span_min_count: int = 2,
+           dsir_target=None, dsir_top_m: int | None = None):
     """Run the full curation funnel.  Returns ``(curated_ds, funnel)``:
     ``curated_ds`` has (doc_id, text, n_tokens, start_offset, bin, h,
     split) — packing metadata attached to every surviving document —
@@ -126,12 +128,55 @@ def curate(docs_ds, *, min_words: int = 3, min_lines: int = 2,
     funnel["near_line_dedup"] = near.count()
     _lap("minhash_line_dedup")
 
+    # 4b. optional duplicated-span removal (Lee-et-al substring dedup):
+    #     replace text with the span-clean form, drop docs that lose
+    #     every token
+    if span_k is not None:
+        sp = lines.dedup_spans(near, k=span_k,
+                               min_count=span_min_count,
+                               id_col=id_col, text_col=text_col)
+
+        def survivors(batch: pd.DataFrame) -> pd.DataFrame:
+            from .shuffle import schemaless_empty
+            if schemaless_empty(batch) or len(batch) == 0:
+                return pd.DataFrame({
+                    id_col: pd.Series(dtype=np.int64),
+                    text_col: pd.Series(dtype=object)})
+            keep = batch["n_tokens"] > batch["n_removed"]
+            out = batch.loc[keep, ["doc_id", "clean_text"]]
+            return out.rename(columns={"doc_id": id_col,
+                                       "clean_text": text_col})
+
+        near = sp.map_batches(survivors,
+                              batch_format="pandas").materialize()
+        funnel["span_dedup"] = near.count()
+        _lap("span_dedup")
+
+    # 4c. optional DSIR importance selection against a target slice
+    if dsir_target is not None and dsir_top_m:
+        from . import dsir as dsir_mod
+        w = dsir_mod.dsir_weights(near, dsir_target,
+                                  id_col=id_col, text_col=text_col)
+        sel = dsir_mod.dsir_select(w, dsir_top_m)
+        ids = sel.map_batches(
+            lambda b: b.loc[b["selected"], ["doc_id"]]
+            if len(b.columns) else b,
+            batch_format="pandas")
+        near = adaptive_semijoin(near, _rename(ids, "doc_id", id_col)
+                                 if id_col != "doc_id" else ids,
+                                 on=id_col).materialize()
+        funnel["dsir_select"] = near.count()
+        _lap("dsir_select")
+
     # 5. sequence packing + deterministic split over the survivors;
     #    pack_sequences works on the narrow token-count table — join
     #    its per-doc metadata back onto the surviving text
     packed = corpus.pack_sequences(near, window=window)
     curated = adaptive_lookup_join(near, packed, on=id_col)
-    funnel["curated"] = funnel["near_line_dedup"]  # lookup join is 1:1
+    # lookup join is 1:1 with the last surviving stage
+    funnel["curated"] = funnel.get(
+        "dsir_select", funnel.get("span_dedup",
+                                  funnel["near_line_dedup"]))
 
     if out_dir is not None:
         # materialize first: write_shards consumes its input twice

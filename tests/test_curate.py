@@ -91,3 +91,41 @@ def test_q_curate_stable_on_testdata(ray_session):
     assert np.array_equal(
         out["start_offset"].to_numpy(),
         np.concatenate(([0], np.cumsum(nt)[:-1])))
+
+
+def test_curate_optional_span_and_dsir_stages(ray_session):
+    """span_k removes cross-doc duplicated 5-grams that LINE dedup
+    cannot see (the shared phrase sits inside otherwise-distinct
+    lines); dsir_top_m then keeps exactly m docs."""
+    import ray.data
+    t = _corpus().to_pandas()
+    shared = "shared span tokens appear here exactly"
+    extra = pd.DataFrame({
+        "doc_id": np.array([400, 401], dtype=np.int64),
+        "text": [f"prefixa {shared} suffixa unique words one.",
+                 f"prefixb {shared} suffixb unique words two."]})
+    ds = ray.data.from_pandas(pd.concat([t, extra],
+                                        ignore_index=True)) \
+        .repartition(5)
+    target = ray.data.from_pandas(t[t["doc_id"] < 20])
+
+    out, funnel = curate.curate(
+        ds, min_words=4, min_lines=1, window=32,
+        terminal=(".", "!", "?"), minhash_threshold=0.5,
+        span_k=5, dsir_target=target, dsir_top_m=10)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert "span_dedup" in funnel and "dsir_select" in funnel
+    assert funnel["dsir_select"] == 10 == len(df)
+    assert funnel["curated"] == 10
+
+    # drive the span stage in isolation to assert the shared phrase
+    # was removed while the distinct parts survived
+    out2, funnel2 = curate.curate(
+        ds, min_words=4, min_lines=1, window=32,
+        terminal=(".", "!", "?"), minhash_threshold=0.5, span_k=5)
+    df2 = out2.to_pandas()
+    d400 = df2.loc[df2["doc_id"] == 400, "text"].iloc[0]
+    assert "span tokens appear" not in d400
+    assert "prefixa" in d400 and "suffixa" in d400
+    assert funnel2["span_dedup"] <= funnel2["near_line_dedup"]
