@@ -91,8 +91,8 @@ def nb_train(docs_ds, label_col: str = "lang",
 
     tok = docs_ds.map_batches(tokens, batch_format="pandas")
     ct = grouped_agg(tok, ["lang", "t"], {"c": ("t", "size")},
-                     n_buckets=n_buckets).materialize()
-    ct_pd = collect_pandas(ct)
+                     n_buckets=n_buckets)
+    ct_pd = collect_pandas(ct)  # single consumer: collect directly
     ct_pd["c"] = ct_pd["c"].astype(np.int64)
 
     # per-class totals and vocabulary from the (small) count table —

@@ -98,18 +98,17 @@ def _bucket_counts(ds, n_feat: int, id_col: str, text_col: str,
 
 def _fp_log_ratio(c_target: np.ndarray, c_raw: np.ndarray,
                   n_feat: int) -> np.ndarray:
-    """Per-bucket fixed-point Laplace-smoothed log importance ratio."""
-    import math
+    """Per-bucket fixed-point Laplace-smoothed log importance ratio
+    (``classify._fp_log`` is the single fixed-point-log authority:
+    double-cast-then-divide, exactly DuckDB's CAST AS DOUBLE / )."""
+    from .classify import _fp_log
     tt = int(c_target.sum())
     tr = int(c_raw.sum())
-    lr = np.empty(n_feat, dtype=np.int64)
-    for b in range(n_feat):
-        lt = math.floor(math.log(
-            (int(c_target[b]) + 1) / (tt + n_feat)) * FP + 0.5)
-        lraw = math.floor(math.log(
-            (int(c_raw[b]) + 1) / (tr + n_feat)) * FP + 0.5)
-        lr[b] = lt - lraw
-    return lr
+    lt = _fp_log(c_target + 1,
+                 np.full(n_feat, tt + n_feat, dtype=np.int64))
+    lraw = _fp_log(c_raw + 1,
+                   np.full(n_feat, tr + n_feat, dtype=np.int64))
+    return lt - lraw
 
 
 def dsir_weights(raw_ds, target_ds, n_feat: int = N_FEAT,
@@ -156,6 +155,10 @@ def dsir_select(weights_ds, m: int):
     from .relational import topk
     from .shuffle import collect_pandas, schemaless_empty
 
+    # probe-then-consume: the topk collect and the flag map both
+    # consume weights_ds — materialize the narrow table once so the
+    # full scoring pass doesn't run twice
+    weights_ds = weights_ds.materialize()
     top = collect_pandas(
         topk(weights_ds, ["weight_fp", "doc_id"], m,
              descending=[True, False]))

@@ -49,13 +49,22 @@ def pagerank(edges_ds, iters: int = 4, damping_pct: int = 85,
              scale: int = SCALE, n_buckets: int | None = None):
     """PageRank over a DIRECTED edge Dataset with int64 columns
     (``src``, ``dst``); for an undirected graph pass both directions.
-    Nodes are the distinct ``src`` values (an undirected graph's node
-    set exactly; isolated nodes have no rank mass by definition).
-    Returns a Dataset (node:int64, rank_fp:int64), unsorted.
+    Ranked nodes are the distinct ``src`` values (nodes WITH
+    out-edges — an undirected graph's node set exactly).  On a
+    directed graph, mass flowing to pure sinks (dst-only nodes) leaks
+    each round, the standard un-redistributed dangling-node behavior;
+    nodes with out-edges but no in-edges correctly keep the teleport
+    base rank every round.  Returns (node:int64, rank_fp:int64),
+    unsorted.
     """
     from .relational import adaptive_lookup_join, grouped_agg
     from .shuffle import schemaless_empty
 
+    # materialize once: edges feed both the degree pass and the
+    # degree-annotation join (probe-then-consume rule — an
+    # unmaterialized caller lineage, e.g. q_pagerank's all-pairs
+    # similarity scan, would otherwise execute twice)
+    edges_ds = edges_ds.materialize()
     deg = grouped_agg(edges_ds, ["src"],
                       {"deg": ("src", "size")},
                       n_buckets=n_buckets).materialize()
@@ -100,10 +109,40 @@ def pagerank(edges_ds, iters: int = 4, damping_pct: int = 85,
             "src": batch["dst"].to_numpy().astype(np.int64),
             "r": base + (damping_pct * s) // 100})
 
+    # setup (once, not per round): directed-graph hygiene —
+    # (a) edges into pure sinks (dst has no out-edges) can never
+    #     propagate further; drop them from the contribution stream
+    #     so round outputs are exactly the ranked node set (their
+    #     mass still divided the source's outdeg: the documented
+    #     dangling leak);
+    # (b) a zero contribution row per ranked node keeps nodes with no
+    #     in-edges present in every round instead of silently
+    #     dropping out of round N+1's join.
+    # Both are no-ops on symmetrized (undirected) graphs.
+    from .relational import adaptive_semijoin
+
+    ranked_as_dst = deg.map_batches(
+        lambda b: b if schemaless_empty(b)
+        else pd.DataFrame({"dst": b["src"].to_numpy()
+                           .astype(np.int64)}),
+        batch_format="pandas")
+    edges_live = adaptive_semijoin(edges_deg, ranked_as_dst,
+                                   on="dst").materialize()
+
+    def zero_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch):
+            return batch
+        return pd.DataFrame({
+            "dst": batch["src"].to_numpy().astype(np.int64),
+            "c": np.zeros(len(batch), dtype=np.int64)})
+
+    zeros = deg.map_batches(zero_rows, batch_format="pandas")
+
     for _ in range(iters):
-        joined = adaptive_lookup_join(edges_deg, ranks, on="src")
+        joined = adaptive_lookup_join(edges_live, ranks, on="src")
         contribs = joined.map_batches(contrib, batch_format="pandas")
-        summed = grouped_agg(contribs, ["dst"], {"s": ("c", "sum")},
+        summed = grouped_agg(contribs.union(zeros), ["dst"],
+                             {"s": ("c", "sum")},
                              n_buckets=n_buckets)
         ranks = summed.map_batches(renew,
                                    batch_format="pandas").materialize()
@@ -132,7 +171,8 @@ def pagerank_reference(edges: np.ndarray, iters: int = 4,
     for _ in range(iters):
         s: dict[int, int] = {int(u): 0 for u in nodes}
         for u, v in edges:
-            s[int(v)] += r[int(u)] // deg[int(u)]
+            if int(v) in s:  # mass into pure sinks leaks (matches op)
+                s[int(v)] += r[int(u)] // deg[int(u)]
         r = {u: base + (damping_pct * s[u]) // 100 for u in r}
     return r
 

@@ -478,8 +478,12 @@ def dedup_spans(docs_ds, k: int = 5, min_count: int = 2,
                         "clean_text"]))
         return out.to_pandas()
 
+    # NO trailing sort: the rebuild exchange is the only one that
+    # moves document text and it must stay the only one (sorting here
+    # would shuffle every clean_text a second time — callers that
+    # need deterministic order sort the result themselves)
     return unioned.groupby("__b").map_groups(
-        rebuild, batch_format="pyarrow").sort("doc_id")
+        rebuild, batch_format="pyarrow")
 
 
 def _span_semijoin_shuffle(wins, dupw, n_buckets: int):
@@ -541,7 +545,8 @@ def q_dedup_spans(sf_dir: str):
     import ray.data
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    return dedup_spans(docs, k=SPAN_K, min_count=SPAN_MIN_COUNT)
+    return dedup_spans(docs, k=SPAN_K,
+                       min_count=SPAN_MIN_COUNT).sort("doc_id")
 
 
 def dedup_spans_sql(k: int = SPAN_K,

@@ -127,9 +127,11 @@ def main():
     small = ray.data.range(10_000).map_batches(
         lambda b: synth_docs(pd.DataFrame({"id": b["id"]})),
         batch_format="pandas").materialize()
-    a = lines.dedup_spans(small, k=5, min_count=2).to_pandas()
+    a = lines.dedup_spans(small, k=5, min_count=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
     b = lines.dedup_spans(small, k=5, min_count=2,
-                          broadcast_limit=0).to_pandas()
+                          broadcast_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     print("dedup_spans: shuffle semijoin path bit-identical at 10k")
 

@@ -64,6 +64,23 @@ def test_pagerank_star_graph_ranks_center_highest(ray_session):
     assert int(got.loc[0]) == ref[0]
 
 
+def test_pagerank_directed_graph_semantics(ray_session):
+    """Directed graphs: a source-only node (3) keeps the teleport
+    base every round instead of vanishing; edges into a pure sink
+    (4) leak mass; the serial reference agrees exactly."""
+    e = np.array([[1, 2], [2, 1], [3, 1], [1, 4]], dtype=np.int64)
+    got = _run(e)
+    ref = graph.pagerank_reference(e)
+    assert sorted(got["node"]) == sorted(ref) == [1, 2, 3]
+    for node, rank in zip(got["node"], got["rank_fp"]):
+        assert rank == ref[int(node)], node
+    g = got.set_index("node")["rank_fp"]
+    n, scale = 3, graph.SCALE
+    base = (15 * (scale // n)) // 100
+    assert g.loc[3] == base          # no in-edges -> teleport only
+    assert g.loc[1] > g.loc[3]
+
+
 def test_pagerank_empty_graph(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({
         "src": pd.Series(dtype=np.int64),

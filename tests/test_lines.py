@@ -128,7 +128,8 @@ def test_dedup_spans_within_doc_repeat(ray_session):
 def test_dedup_spans_fully_duplicated_doc_empties(ray_session):
     texts = ["w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5"]
     res = lines.dedup_spans(_docs_ds(texts), k=5,
-                            min_count=2).to_pandas()
+                            min_count=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
     assert list(res["clean_text"]) == ["", ""]
     assert list(res["n_removed"]) == [5, 5]
 
@@ -140,9 +141,11 @@ def test_dedup_spans_shuffle_path_identical(ray_session):
     sf = "/root/testdata/sf0.001"
     docs = ray.data.read_parquet(f"{sf}/documents.parquet",
                                  columns=["doc_id", "text"])
-    a = lines.dedup_spans(docs, k=5, min_count=2).to_pandas()
+    a = lines.dedup_spans(docs, k=5, min_count=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
     b = lines.dedup_spans(docs, k=5, min_count=2,
-                          broadcast_limit=0).to_pandas()
+                          broadcast_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert a["doc_id"].dtype == np.int64
     assert a["n_removed"].sum() > 0  # the corpus has duplicated spans
