@@ -545,11 +545,17 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, num_perm: int = 64,
         # compute signatures ONCE (materialized): banding and the
         # verify stage both derive from the same signature table
         # instead of shingling the corpus twice
-        def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        def sig_rows(batch: pd.DataFrame) -> pa.Table:
+            # typed Arrow binary (not a pandas object column): Ray
+            # can size the materialized blocks exactly — object
+            # columns make its estimator log per-empty-block errors
+            # and guess sizes
             sigs = hasher.signatures(list(batch["text"]))
-            return pd.DataFrame({
-                "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
-                "sig": [s.tobytes() for s in sigs]})
+            return pa.table({
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy().astype(np.int64)),
+                "sig": pa.array([s.tobytes() for s in sigs],
+                                type=pa.binary())})
 
         sigs_ds = docs_ds.map_batches(
             sig_rows, batch_format="pandas").materialize()
