@@ -72,3 +72,15 @@ def test_nb_empty_text_and_tiebreak(ray_session):
     assert list(out["pred_lang"][:2]) == ["aa", "aa"]
     # empty doc: score = prior only, must not crash; aa prior wins
     assert out.loc[2, "pred_lang"] == "aa"
+
+
+def test_nb_single_class_corpus(ray_session):
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["a b", "b c", ""],
+        "lang": ["only", "only", "only"]})
+    model = classify.nb_train(ray.data.from_pandas(docs))
+    out = classify.nb_predict(ray.data.from_pandas(docs), model) \
+        .to_pandas()
+    assert set(out["pred_lang"]) == {"only"}
+    assert len(out) == 3

@@ -90,3 +90,13 @@ def test_pagerank_empty_graph(ray_session):
     # Ray's to_pandas drops columns on zero-block datasets; the
     # dataset-level schema is the contract
     assert out.schema().names == ["node", "rank_fp"]
+
+
+def test_pagerank_self_loops_and_parallel_edges(ray_session):
+    """Self-loops feed their own rank; parallel edges count in both
+    outdeg and contributions — reference agrees exactly."""
+    e = np.array([[1, 1], [1, 2], [1, 2], [2, 1]], dtype=np.int64)
+    got = _run(e)
+    ref = graph.pagerank_reference(e)
+    assert {int(n): int(r) for n, r in
+            zip(got["node"], got["rank_fp"])} == ref

@@ -149,3 +149,13 @@ def test_dedup_spans_shuffle_path_identical(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert a["doc_id"].dtype == np.int64
     assert a["n_removed"].sum() > 0  # the corpus has duplicated spans
+
+
+def test_dedup_spans_space_only_and_empty_docs(ray_session):
+    texts = ["   ", "", "a b c d e", "a b c d e"]
+    res = lines.dedup_spans(_docs_ds(texts), k=5,
+                            min_count=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(res["n_tokens"]) == [0, 0, 5, 5]
+    assert list(res["n_removed"]) == [0, 0, 5, 5]
+    assert list(res["clean_text"]) == ["", "", "", ""]
