@@ -150,7 +150,8 @@ def run_bench() -> dict:
                      "q_shuffle_shards", "q_curate",
                      # round-3 final additions
                      "q_pagerank", "q_dedup_spans",
-                     "q_nb_classifier", "q_dsir_weights", "q_bpe"]:
+                     "q_nb_classifier", "q_dsir_weights", "q_bpe",
+                     "q_featurize"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data

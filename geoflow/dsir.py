@@ -243,3 +243,63 @@ WITH toks AS (
 SELECT doc_id, weight_fp, rn <= {DSIR_TOP_M} AS selected
 FROM rk ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# hashed bag-of-words featurizer (text -> sparse feature rows)
+# ---------------------------------------------------------------------------
+
+def hashed_bow(docs_ds, n_feat: int = N_FEAT,
+               id_col: str = "doc_id", text_col: str = "text",
+               n_buckets: int | None = None):
+    """Sparse hashed-unigram features in long format: one row per
+    (doc_id, dim) with the occurrence count — the deterministic
+    text-vectorization stage feeding k-means / ANN / classifier
+    consumers.  Same md5 bucket hash as DSIR (DuckDB-parity), exact
+    integer counts; per-batch combiner then one ``grouped_agg``
+    exchange of (doc_id, dim) partials.  Unsorted."""
+    from .relational import grouped_agg
+    from .shuffle import schemaless_empty
+
+    def feats(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "dim": pd.Series(dtype=np.int64),
+                "value": pd.Series(dtype=np.int64)})
+        tb = _token_buckets(batch, n_feat, id_col, text_col)
+        out = tb.groupby(["doc_id", "b"], as_index=False).size()
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy().astype(np.int64),
+            "dim": out["b"].to_numpy().astype(np.int64),
+            "value": out["size"].to_numpy().astype(np.int64)})
+
+    return grouped_agg(docs_ds.map_batches(feats,
+                                           batch_format="pandas"),
+                       ["doc_id", "dim"], {"value": ("value", "sum")},
+                       n_buckets=n_buckets)
+
+
+def q_featurize(sf_dir: str):
+    """Hashed-BOW long-format features over ``documents`` — full SQL
+    oracle (md5 bucket hash + grouped counts)."""
+    import ray.data
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return hashed_bow(docs).sort(["doc_id", "dim"])
+
+
+Q_FEATURIZE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS t
+  FROM documents
+), tb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+           % {N_FEAT} AS dim
+  FROM toks
+)
+SELECT doc_id, dim, CAST(COUNT(*) AS BIGINT) AS value
+FROM tb GROUP BY doc_id, dim ORDER BY doc_id, dim
+"""

@@ -58,3 +58,29 @@ def test_dsir_select_exact_topm(ray_session):
                              ascending=[False, True]).head(25)
     assert set(ranked["doc_id"]) == set(out.loc[out["selected"],
                                                 "doc_id"])
+
+
+def test_hashed_bow_exact_and_layout_invariant(ray_session):
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1], dtype=np.int64),
+        "text": ["x x y", ""]})
+    out = dsir.hashed_bow(_ds(docs)).to_pandas() \
+        .sort_values(["doc_id", "dim"]).reset_index(drop=True)
+    # doc 0: two distinct tokens -> <=2 dims, counts sum to 3;
+    # doc 1: empty -> no rows
+    assert set(out["doc_id"]) == {0}
+    assert int(out["value"].sum()) == 3
+    assert out["value"].dtype == np.int64
+
+    big = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                          columns=["doc_id", "text"])
+    a = dsir.hashed_bow(_ds(big)).to_pandas() \
+        .sort_values(["doc_id", "dim"]).reset_index(drop=True)
+    parts = [_ds(big.iloc[i::3].reset_index(drop=True))
+             for i in range(3)]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    b = dsir.hashed_bow(ds, n_buckets=7).to_pandas() \
+        .sort_values(["doc_id", "dim"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
