@@ -51,10 +51,20 @@ def _merge_pieces(pieces: list[str], a: str, b: str) -> list[str]:
 
 def bpe_train(docs_ds, n_merges: int = 10, min_freq: int = 2,
               text_col: str = "text",
-              n_buckets: int | None = None) -> pd.DataFrame:
+              n_buckets: int | None = None,
+              local_limit: int = 500_000) -> pd.DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
     (rank:int64, left, right) — stops early when no pair reaches
-    ``min_freq``."""
+    ``min_freq``.
+
+    Adaptive merge loop: the corpus-scale work (tokenize + word
+    count) is always distributed; the per-round loop runs LOCALLY on
+    the collected (word, freq) table when the vocabulary fits
+    (<= ``local_limit`` rows — a 500k-word vocab is a few tens of MB)
+    and distributed (combiner pair-count exchange + distributed topk
+    argmax per round) above it.  Both paths share the argmax
+    tie-break (count desc, left asc, right asc), so results are
+    bit-identical — tested by forcing ``local_limit=0``."""
     from .relational import grouped_agg, topk
     from .shuffle import collect_pandas, schemaless_empty
 
@@ -89,6 +99,13 @@ def bpe_train(docs_ds, n_merges: int = 10, min_freq: int = 2,
 
     table = vocab.map_batches(to_pieces,
                               batch_format="pandas").materialize()
+
+    if table.count() <= local_limit:
+        from .shuffle import collect_pandas
+        vt = collect_pandas(table)
+        return _local_merge_loop(list(vt["pieces"]),
+                                 vt["freq"].to_numpy().astype(np.int64),
+                                 n_merges, min_freq)
 
     def pair_counts(batch: pd.DataFrame) -> pd.DataFrame:
         from collections import Counter
@@ -134,6 +151,34 @@ def bpe_train(docs_ds, n_merges: int = 10, min_freq: int = 2,
         table = table.map_batches(apply,
                                   batch_format="pandas").materialize()
 
+    return pd.DataFrame({
+        "rank": np.arange(len(merges), dtype=np.int64),
+        "left": [m[0] for m in merges],
+        "right": [m[1] for m in merges]})
+
+
+def _local_merge_loop(pieces_list: list[list[str]],
+                      freqs: np.ndarray, n_merges: int,
+                      min_freq: int) -> pd.DataFrame:
+    """Serial merge loop over a collected vocab table — identical
+    argmax tie-break to the distributed path."""
+    from collections import Counter
+    pieces_list = [list(p) for p in pieces_list]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for pieces, f in zip(pieces_list, freqs):
+            f = int(f)
+            for pair in zip(pieces, pieces[1:]):
+                pc[pair] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        pieces_list = [_merge_pieces(p, a, b) for p in pieces_list]
     return pd.DataFrame({
         "rank": np.arange(len(merges), dtype=np.int64),
         "left": [m[0] for m in merges],

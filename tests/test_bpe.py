@@ -38,6 +38,10 @@ def test_bpe_on_corpus_layout_invariant(ray_session):
     pd.testing.assert_frame_equal(a, b)
     want = bpe.bpe_reference(list(docs["text"]), n_merges=6)
     assert list(zip(a["left"], a["right"])) == want
+    # forced fully-distributed merge loop: bit-identical to the
+    # local-collect fast path
+    c = bpe.bpe_train(ds, n_merges=6, n_buckets=5, local_limit=0)
+    pd.testing.assert_frame_equal(a, c)
 
 
 def test_bpe_early_stop_when_no_pair_repeats(ray_session):
