@@ -46,7 +46,8 @@ SCALE = 10**12
 
 
 def pagerank(edges_ds, iters: int = 4, damping_pct: int = 85,
-             scale: int = SCALE, n_buckets: int | None = None):
+             scale: int = SCALE, n_buckets: int | None = None,
+             local_limit: int = 200_000):
     """PageRank over a DIRECTED edge Dataset with int64 columns
     (``src``, ``dst``); for an undirected graph pass both directions.
     Ranked nodes are the distinct ``src`` values (nodes WITH
@@ -129,6 +130,18 @@ def pagerank(edges_ds, iters: int = 4, damping_pct: int = 85,
     edges_live = adaptive_semijoin(edges_deg, ranked_as_dst,
                                    on="dst").materialize()
 
+    # adaptive rounds (the BPE local_limit pattern): on a small graph
+    # the BSP round latency dwarfs the math — collect the annotated
+    # edge table once and run the identical integer recurrence in
+    # numpy (int64 ops commute; bit-identical to the distributed
+    # path, tested by forcing local_limit=0).  The distributed path
+    # below is the scale path.
+    if edges_live.count() <= local_limit:
+        from .shuffle import collect_pandas
+        e = collect_pandas(edges_live)
+        d = collect_pandas(deg)
+        return _local_rounds(e, d, n, iters, damping_pct, scale)
+
     def zero_rows(batch: pd.DataFrame) -> pd.DataFrame:
         if schemaless_empty(batch):
             return batch
@@ -155,6 +168,31 @@ def pagerank(edges_ds, iters: int = 4, damping_pct: int = 85,
             "rank_fp": batch["r"].to_numpy().astype(np.int64)})
 
     return ranks.map_batches(out, batch_format="pandas")
+
+
+def _local_rounds(e: pd.DataFrame, d: pd.DataFrame, n: int,
+                  iters: int, damping_pct: int, scale: int):
+    """Collected-edge-table rounds: the same int64 recurrence as the
+    distributed path (node set = all out-degree nodes, sink-destined
+    edges already dropped)."""
+    import pyarrow as pa
+    import ray.data
+
+    nodes = np.sort(d["src"].to_numpy().astype(np.int64))
+    src_idx = np.searchsorted(nodes, e["src"].to_numpy()
+                              .astype(np.int64))
+    dst_idx = np.searchsorted(nodes, e["dst"].to_numpy()
+                              .astype(np.int64))
+    edeg = e["deg"].to_numpy().astype(np.int64)
+    r0 = scale // n
+    base = ((100 - damping_pct) * r0) // 100
+    r = np.full(n, r0, dtype=np.int64)
+    for _ in range(iters):
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, dst_idx, r[src_idx] // edeg)
+        r = base + (damping_pct * s) // 100
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes), "rank_fp": pa.array(r)}))
 
 
 def pagerank_reference(edges: np.ndarray, iters: int = 4,

@@ -51,6 +51,12 @@ def test_pagerank_bit_identical_across_layouts(ray_session):
     alt = graph.pagerank(ds, n_buckets=7).to_pandas() \
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(base, alt)
+    # forced fully-distributed BSP rounds: bit-identical to the
+    # local-collect fast path
+    dist = graph.pagerank(ds, n_buckets=7,
+                          local_limit=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, dist)
 
 
 def test_pagerank_star_graph_ranks_center_highest(ray_session):
