@@ -423,3 +423,194 @@ SELECT doc_id, term, tf, df, score_i FROM (
   FROM toks JOIN dfs ON toks.term = dfs.term CROSS JOIN n)
 WHERE rn <= 3 ORDER BY doc_id, score_i DESC, term
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson-Sparck Jones / Okapi)
+# ---------------------------------------------------------------------------
+
+BM25_K = 20
+BM25_TERMS = ("key", "value", "table")
+
+
+def bm25_topk(docs_ds, terms: tuple[str, ...], k: int = BM25_K,
+              id_col: str = "doc_id", text_col: str = "text",
+              n_buckets: int | None = None):
+    """Okapi BM25 top-k retrieval (k1 = 1.2, b = 0.75) with EXACT
+    integer scores, so the DuckDB oracle matches bit-for-bit.
+
+    Derivation of the integer form: with k1 = 6/5, b = 3/4 and
+    avgdl = T/N (T = corpus tokens, N = docs), the tf saturation
+    tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl) equals
+    22*tf*T / (10*tf*T + 3*T + 9*dl*N) — a ratio of exact integers —
+    and idf is the Lucene BM25 form ln(1 + (N-df+.5)/(df+.5)) =
+    ln((2N+2)/(2df+1)), a rational for the shared fixed-point log
+    (`classify._fp_log`).  The +1 keeps idf STRICTLY POSITIVE, which
+    is load-bearing for exactness: Python ``//`` floors while DuckDB
+    ``//`` truncates, so parity holds only for non-negative
+    numerators (observed: the classic idf goes negative for terms in
+    more than half the corpus and every score diverged).
+    Per-term contribution = (idf_fp * 22*tf*T) // den computed in
+    arbitrary-precision Python ints (the product can pass 2^63;
+    DuckDB mirrors it in HUGEINT), summed per doc.
+
+    Shape: corpus stats (N, T, per-term df) are three combiner
+    ``grouped_agg``/count passes with the token stream PRE-FILTERED
+    to the query terms — the AllToAlls move per-term partials only;
+    scoring is one stateless map pass with the tiny idf table
+    broadcast; ``topk`` prunes to <= k rows per block.  The Python-int
+    loop in scoring is bounded by (docs-in-batch x |terms|) matches.
+    """
+    import ray
+
+    from .relational import grouped_agg, topk
+    from .shuffle import cached_get, collect_pandas, schemaless_empty
+
+    from .classify import _fp_log
+
+    term_set = frozenset(terms)
+
+    def term_tf(batch: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "term": pd.Series(dtype=object),
+                "tf": pd.Series(dtype=np.int64),
+                "dl": pd.Series(dtype=np.int64)})
+        t = (pl.from_pandas(batch[[id_col, text_col]])
+             .rename({id_col: "doc_id", text_col: "t"})
+             .with_columns(pl.col("t").str.split(" "))
+             .explode("t")
+             .filter(pl.col("t") != ""))
+        dl = t.group_by("doc_id").len().rename({"len": "dl"})
+        tf = (t.filter(pl.col("t").is_in(list(term_set)))
+              .group_by(["doc_id", "t"]).len()
+              .rename({"t": "term", "len": "tf"})
+              .join(dl, on="doc_id"))
+        out = tf.to_pandas()
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy().astype(np.int64),
+            "term": out["term"].astype(object),
+            "tf": out["tf"].to_numpy().astype(np.int64),
+            "dl": out["dl"].to_numpy().astype(np.int64)})
+
+    def corpus_stats(batch: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"n": pd.Series(dtype=np.int64),
+                                 "t": pd.Series(dtype=np.int64)})
+        tok = (pl.from_pandas(batch[[text_col]])
+               .with_columns(pl.col(text_col).str.split(" "))
+               .explode(text_col)
+               .filter(pl.col(text_col) != "").height)
+        return pd.DataFrame({"n": [np.int64(len(batch))],
+                             "t": [np.int64(tok)]})
+
+    stats = collect_pandas(
+        docs_ds.map_batches(corpus_stats, batch_format="pandas"))
+    n_docs = int(stats["n"].sum())
+    t_total = int(stats["t"].sum())
+
+    tf_ds = docs_ds.map_batches(term_tf,
+                                batch_format="pandas").materialize()
+    df_pd = collect_pandas(grouped_agg(
+        tf_ds, ["term"], {"df": ("term", "size")},
+        n_buckets=n_buckets))
+    # df must count DISTINCT docs — term_tf emits one row per
+    # (doc, term), so size == distinct docs
+    idf = {}
+    if len(df_pd):
+        dfs = df_pd["df"].to_numpy().astype(np.int64)
+        fp = _fp_log(np.full(len(dfs), 2 * n_docs + 2,
+                             dtype=np.int64), 2 * dfs + 1)
+        idf = dict(zip(df_pd["term"], (int(x) for x in fp)))
+    idf_ref = ray.put(idf)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "score_fp": pd.Series(dtype=np.int64)})
+        idf_d = cached_get(idf_ref)
+        contrib: dict[int, int] = {}
+        for d, term, tf, dl in zip(batch["doc_id"], batch["term"],
+                                   batch["tf"], batch["dl"]):
+            i = idf_d.get(term)
+            if i is None:
+                continue
+            tf = int(tf)
+            dl = int(dl)
+            num = i * 22 * tf * t_total
+            den = (10 * tf * t_total + 3 * t_total
+                   + 9 * dl * n_docs)
+            contrib[int(d)] = contrib.get(int(d), 0) + num // den
+        return pd.DataFrame({
+            "doc_id": np.fromiter(contrib.keys(), dtype=np.int64,
+                                  count=len(contrib)),
+            "score_fp": np.fromiter(contrib.values(), dtype=np.int64,
+                                    count=len(contrib))})
+
+    # per-batch contributions are PARTIAL (a doc's term rows can
+    # split across block boundaries): combine per doc before top-k —
+    # integer sums commute, so the result is exact
+    scored = grouped_agg(
+        tf_ds.map_batches(score, batch_format="pandas"),
+        ["doc_id"], {"score_fp": ("score_fp", "sum")},
+        n_buckets=n_buckets)
+    return topk(scored, ["score_fp", "doc_id"], k,
+                descending=[True, False])
+
+
+def q_bm25(sf_dir: str):
+    """BM25 top-20 for the fixed query terms over ``documents`` —
+    full integer-exact SQL oracle (HUGEINT arithmetic mirrors the
+    Python-int products)."""
+    return bm25_topk(_docs(sf_dir), BM25_TERMS).sort("doc_id")
+
+
+def _bm25_sql(terms: tuple[str, ...] = BM25_TERMS,
+              k: int = BM25_K) -> str:
+    tl = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS t
+  FROM documents
+), st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM toks
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+  FROM toks GROUP BY doc_id
+), df AS (
+  SELECT t AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks WHERE t IN ({tl}) GROUP BY t
+), idf AS (
+  SELECT term,
+         CAST(floor(ln(CAST(2 * (SELECT n FROM st) + 2 AS DOUBLE) /
+                       CAST(2 * df + 1 AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS idf_fp
+  FROM df
+), tf AS (
+  SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE t IN ({tl}) GROUP BY doc_id, t
+), contrib AS (
+  SELECT tf.doc_id,
+         CAST((CAST(idf.idf_fp AS HUGEINT) * 22 * tf.tf
+               * (SELECT t FROM tot))
+              // (10 * tf.tf * (SELECT t FROM tot)
+                  + 3 * (SELECT t FROM tot)
+                  + 9 * dl.dl * (SELECT n FROM st)) AS BIGINT) AS c
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+), sc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_fp
+  FROM contrib GROUP BY doc_id
+), top AS (
+  SELECT doc_id, score_fp FROM sc
+  ORDER BY score_fp DESC, doc_id ASC LIMIT {k}
+)
+SELECT doc_id, score_fp FROM top ORDER BY doc_id
+"""
+
+
+Q_BM25_SQL = _bm25_sql()

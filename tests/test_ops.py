@@ -1478,3 +1478,68 @@ def test_weighted_sample_bias_and_layout(ray_session):
     with pytest.raises(Exception):
         corpus.weighted_sample(ray.data.from_pandas(bad), "w",
                                1).to_pandas()
+
+
+def test_bm25_matches_bruteforce(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geoflow import textops
+
+    texts = ["key value store", "table of key facts and key notes",
+             "value value value", "nothing relevant here",
+             "key table value key"]
+    docs = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                         "text": texts})
+    terms = ("key", "value", "table")
+    got = textops.bm25_topk(ray.data.from_pandas(docs), terms,
+                            k=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # brute force with the identical integer formulation
+    toks = [t.split() for t in texts]
+    n, t_total = len(texts), sum(len(x) for x in toks)
+    want: dict[int, int] = {}
+    for term in terms:
+        df = sum(term in x for x in toks)
+        if df == 0:
+            continue
+        idf = math.floor(
+            math.log((2 * n + 2) / (2 * df + 1)) * 1e6 + 0.5)
+        for d, x in enumerate(toks):
+            tf = x.count(term)
+            if tf:
+                num = idf * 22 * tf * t_total
+                den = (10 * tf * t_total + 3 * t_total
+                       + 9 * len(x) * n)
+                want[d] = want.get(d, 0) + num // den
+    want_top = dict(sorted(want.items(),
+                           key=lambda kv: (-kv[1], kv[0]))[:5])
+    assert dict(zip(got["doc_id"], got["score_fp"])) == want_top
+    # doc 3 has no query terms -> absent
+    assert 3 not in set(got["doc_id"])
+
+
+def test_bm25_layout_invariant(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from geoflow import textops
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    a = textops.bm25_topk(ray.data.from_pandas(docs),
+                          textops.BM25_TERMS).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    parts = [ray.data.from_pandas(docs.iloc[i::4].reset_index(drop=True))
+             for i in range(4)]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    b = textops.bm25_topk(ds, textops.BM25_TERMS,
+                          n_buckets=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
