@@ -159,3 +159,37 @@ def test_dedup_spans_space_only_and_empty_docs(ray_session):
     assert list(res["n_tokens"]) == [0, 0, 5, 5]
     assert list(res["n_removed"]) == [0, 0, 5, 5]
     assert list(res["clean_text"]) == ["", "", "", ""]
+
+
+def test_dedup_spans_random_bruteforce_parity(ray_session):
+    """Randomized corpora from a tiny alphabet (heavy window
+    collisions) vs a pure-Python reference."""
+    def brute(texts, k, min_count):
+        from collections import Counter
+        toks = [[t for t in s.split(" ") if t] for s in texts]
+        wc = Counter()
+        for ts in toks:
+            for i in range(len(ts) - k + 1):
+                wc[tuple(ts[i:i + k])] += 1
+        rows = []
+        for d, ts in enumerate(toks):
+            cov = set()
+            for i in range(len(ts) - k + 1):
+                if wc[tuple(ts[i:i + k])] >= min_count:
+                    cov.update(range(i, i + k))
+            kept = [t for j, t in enumerate(ts) if j not in cov]
+            rows.append((d, len(ts), len(cov), " ".join(kept)))
+        return rows
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        texts = [" ".join(rng.choice(list("abcdefgh"),
+                                     rng.integers(0, 15)))
+                 for _ in range(30)]
+        res = lines.dedup_spans(_docs_ds(texts), k=3, min_count=2,
+                                n_buckets=4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        want = brute(texts, 3, 2)
+        got = list(zip(res["doc_id"], res["n_tokens"],
+                       res["n_removed"], res["clean_text"]))
+        assert got == want, f"seed {seed}"
