@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": relational.q13_customer_distribution,
         "q_weighted_sample": corpus.q_weighted_sample,
         "q_bm25": textops.q_bm25,
+        "q_triangles": graph.q_triangles,
         # ---- rows-only from here (pytest holds the exact oracles);
         # 46 SQL-oracled entries precede, so the 4 below complete the
         # driver's 50-entry check window — ranked by evidence value
@@ -429,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": relational.Q13_SQL,
         "q_weighted_sample": corpus.Q_WEIGHTED_SAMPLE_SQL,
         "q_bm25": textops.Q_BM25_SQL,
+        "q_triangles": graph.Q_TRIANGLES_SQL,
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,
         "q_media_features": multimodal.Q_MEDIA_SQL,
         "q_media_frames": multimodal.Q_MEDIA_FRAMES_SQL,

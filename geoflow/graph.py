@@ -290,3 +290,149 @@ FROM it{iters} ORDER BY node""")
 
 
 Q_PAGERANK_SQL = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+def triangle_counts(edges_ds, n_buckets: int | None = None):
+    """Per-node triangle counts over a CANONICAL undirected edge
+    Dataset (``a`` < ``b``, int64, node ids < 2^31).  Returns
+    (node:int64, n_tri:int64) for nodes in >= 1 triangle, unsorted.
+
+    Algorithm (middle-node wedge join, each triangle a < b < c counted
+    exactly once at its middle node b):
+    1. explode each edge into (mid=b, lo=a) and (mid=a, hi=b) rows;
+    2. wedges = ``bucketed_hash_join`` of the lo and hi streams on
+       ``mid`` — one co-partition exchange, per-bucket vectorized
+       merge (a, mid, c) with a < mid < c;
+    3. close the triangle: pack (a, c) into one int64 key and
+       ``adaptive_semijoin`` the wedge stream against the edge-key
+       set (broadcast under the limit, Bloom + co-partition above);
+    4. per-node counts: explode each triangle to 3 rows and
+       ``grouped_agg``.
+    Skew note: wedge fan-out at a hot middle node is O(deg_lo x
+    deg_hi); the classic mitigation (orient edges low-degree ->
+    high-degree so every fan-out is O(sqrt(E))) drops in as a
+    re-keying of step 1 — not needed at the tested densities.
+    """
+    import pyarrow as pa
+
+    from .relational import (adaptive_semijoin, bucketed_hash_join,
+                             grouped_agg)
+    from .shuffle import schemaless_empty
+
+    def lo_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"mid": pd.Series(dtype=np.int64),
+                                 "a": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({
+            "mid": batch["b"].to_numpy().astype(np.int64),
+            "a": batch["a"].to_numpy().astype(np.int64)})
+
+    def hi_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"mid": pd.Series(dtype=np.int64),
+                                 "c": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({
+            "mid": batch["a"].to_numpy().astype(np.int64),
+            "c": batch["b"].to_numpy().astype(np.int64)})
+
+    lo = edges_ds.map_batches(lo_rows, batch_format="pandas")
+    hi = edges_ds.map_batches(hi_rows, batch_format="pandas")
+    lo_schema = pa.schema([("mid", pa.int64()), ("a", pa.int64())])
+    hi_schema = pa.schema([("mid", pa.int64()), ("c", pa.int64())])
+    wedges = bucketed_hash_join(lo, hi, on="mid",
+                                n_buckets=n_buckets or 32,
+                                schemas=(lo_schema, hi_schema))
+
+    def key_wedges(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"key": pd.Series(dtype=np.int64),
+                                 "mid": pd.Series(dtype=np.int64),
+                                 "a": pd.Series(dtype=np.int64),
+                                 "c": pd.Series(dtype=np.int64)})
+        a = batch["a"].to_numpy().astype(np.int64)
+        c = batch["c"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "key": (a << np.int64(32)) | c,
+            "mid": batch["mid"].to_numpy().astype(np.int64),
+            "a": a, "c": c})
+
+    def key_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"key": pd.Series(dtype=np.int64)})
+        a = batch["a"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"key": (a << np.int64(32)) | b})
+
+    tris = adaptive_semijoin(
+        wedges.map_batches(key_wedges, batch_format="pandas"),
+        edges_ds.map_batches(key_edges, batch_format="pandas"),
+        on="key")
+
+    def per_node(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "one": pd.Series(dtype=np.int64)})
+        nodes = np.concatenate([
+            batch["a"].to_numpy().astype(np.int64),
+            batch["mid"].to_numpy().astype(np.int64),
+            batch["c"].to_numpy().astype(np.int64)])
+        return pd.DataFrame({
+            "node": nodes, "one": np.ones(len(nodes),
+                                          dtype=np.int64)})
+
+    counted = grouped_agg(
+        tris.map_batches(per_node, batch_format="pandas"),
+        ["node"], {"n_tri": ("one", "sum")}, n_buckets=n_buckets)
+    return counted
+
+
+def q_triangles(sf_dir: str):
+    """Per-node triangle counts of the embedding-similarity graph
+    (same edges as q_connected_components / q_pagerank) — full SQL
+    oracle (three-way self-join)."""
+    import ray.data
+
+    from .dedup import embedding_dups
+    from .shuffle import schemaless_empty
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    pairs = embedding_dups(emb, threshold=PR_THRESHOLD)
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch):
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({
+            "a": batch["vec_id_a"].to_numpy().astype(np.int64),
+            "b": batch["vec_id_b"].to_numpy().astype(np.int64)})
+
+    edges = pairs.map_batches(canon,
+                              batch_format="pandas").materialize()
+    return triangle_counts(edges).sort("node")
+
+
+Q_TRIANGLES_SQL = f"""
+WITH e AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+        >= {PR_THRESHOLD}
+), t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), n AS (
+  SELECT x AS node FROM t
+  UNION ALL SELECT y FROM t
+  UNION ALL SELECT z FROM t
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM n GROUP BY node ORDER BY node
+"""

@@ -106,3 +106,38 @@ def test_pagerank_self_loops_and_parallel_edges(ray_session):
     ref = graph.pagerank_reference(e)
     assert {int(n): int(r) for n, r in
             zip(got["node"], got["rank_fp"])} == ref
+
+
+def _brute_triangles(edges):
+    """Per-node triangle counts, pure python."""
+    es = {tuple(e) for e in edges}
+    nodes = sorted({x for e in es for x in e})
+    adj = {v: set() for v in nodes}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    cnt = {v: 0 for v in nodes}
+    for a, b in es:
+        for c in adj[a] & adj[b]:
+            if a < b < c:
+                cnt[a] += 1
+                cnt[b] += 1
+                cnt[c] += 1
+    return {v: c for v, c in cnt.items() if c}
+
+
+def test_triangle_counts_random_graph(ray_session):
+    rng = np.random.default_rng(3)
+    e = rng.integers(0, 40, size=(150, 2))
+    e = np.unique(np.sort(e[e[:, 0] != e[:, 1]], axis=1), axis=0)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"a": e[:, 0].astype(np.int64),
+         "b": e[:, 1].astype(np.int64)}))
+    got = graph.triangle_counts(ds).to_pandas()
+    want = _brute_triangles(e)
+    assert dict(zip(got["node"], got["n_tri"])) == want
+    assert sum(want.values()) > 0  # graph dense enough to matter
+    # layout invariance
+    alt = graph.triangle_counts(ds.repartition(5),
+                                n_buckets=7).to_pandas()
+    assert dict(zip(alt["node"], alt["n_tri"])) == want
