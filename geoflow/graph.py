@@ -136,7 +136,10 @@ def pagerank(edges_ds, iters: int = 4, damping_pct: int = 85,
     # numpy (int64 ops commute; bit-identical to the distributed
     # path, tested by forcing local_limit=0).  The distributed path
     # below is the scale path.
-    if edges_live.count() <= local_limit:
+    # gate on BOTH collected tables: on sink-heavy directed graphs
+    # the live-edge count can be tiny while deg (one row per
+    # out-degree node) is huge
+    if max(edges_live.count(), n) <= local_limit:
         from .shuffle import collect_pandas
         e = collect_pandas(edges_live)
         d = collect_pandas(deg)
@@ -323,6 +326,11 @@ def triangle_counts(edges_ds, n_buckets: int | None = None):
                              grouped_agg)
     from .shuffle import schemaless_empty
 
+    # three independent lineages (lo, hi, key_edges) consume the edge
+    # table — materialize once here, not at every call site
+    # (probe-then-consume rule)
+    edges_ds = edges_ds.materialize()
+
     def lo_rows(batch: pd.DataFrame) -> pd.DataFrame:
         if schemaless_empty(batch) or len(batch) == 0:
             return pd.DataFrame({"mid": pd.Series(dtype=np.int64),
@@ -411,8 +419,7 @@ def q_triangles(sf_dir: str):
             "a": batch["vec_id_a"].to_numpy().astype(np.int64),
             "b": batch["vec_id_b"].to_numpy().astype(np.int64)})
 
-    edges = pairs.map_batches(canon,
-                              batch_format="pandas").materialize()
+    edges = pairs.map_batches(canon, batch_format="pandas")
     return triangle_counts(edges).sort("node")
 
 

@@ -106,15 +106,25 @@ def bucketed_hash_join(left_ds, right_ds, on: str, n_buckets: int = 32,
             .select([on] + [c for c in lcols if c != on]).to_pandas()
         right = block.filter(pc.equal(side, 1)) \
             .select([on] + rcols).to_pandas()
-        out = left.merge(right, on=on, how=how)
-        if fill:
-            # unmatched left rows put NaN into right payload columns
-            # (pandas widens ints to float64); fill and restore the
-            # declared Arrow dtype so the join stays int-exact
-            for c, v in fill.items():
-                out[c] = out[c].fillna(v)
-                if pa.types.is_integer(rtypes[c]):
-                    out[c] = out[c].astype(np.int64)
+        if how == "left" and fill is not None:
+            # NEVER let pandas widen through NaN: a left merge with
+            # one unmatched row converts the whole right payload to
+            # float64, corrupting ints >= 2^53 even on MATCHED rows.
+            # Instead: inner merge (dtypes preserved) + unmatched
+            # left rows with the fill constants in the right
+            # payload's DECLARED dtype.
+            matched = left.merge(right, on=on, how="inner")
+            un = left[~left[on].isin(right[on])]
+            if len(un):
+                un = un.copy()
+                for c in rcols:
+                    dt = rtypes[c].to_pandas_dtype()
+                    un[c] = np.full(len(un), fill[c], dtype=dt)
+                out = pd.concat([matched, un], ignore_index=True)
+            else:
+                out = matched
+        else:
+            out = left.merge(right, on=on, how=how)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return unioned.groupby("__b").map_groups(join_bucket,
@@ -281,21 +291,38 @@ def left_lookup_join(big_ds, right_ds, on: str, fill: dict,
     the co-partitioned bucketed join with per-bucket fill."""
     import ray
 
+    from .shuffle import collect_pandas, schemaless_empty
+
     right_mat = right_ds.materialize()  # build side only
     if right_mat.count() <= broadcast_limit:
-        right_pd = right_mat.to_pandas()
-        int_cols = {c for c in fill
-                    if pd.api.types.is_integer_dtype(right_pd[c])}
+        # collect_pandas, not to_pandas: build sides downstream of a
+        # groupby can carry schemaless empty blocks
+        right_pd = collect_pandas(right_mat)
+        payload = [c for c in right_pd.columns if c != on]
+        missing = [c for c in payload if c not in fill]
+        if missing:
+            raise ValueError(
+                f"fill must cover every right payload column; "
+                f"missing {missing}")
+        dtypes = {c: right_pd[c].dtype for c in payload}
         ref = ray.put(right_pd)
 
         def join(batch: pd.DataFrame) -> pd.DataFrame:
             from .shuffle import cached_get
-            out = batch.merge(cached_get(ref), on=on, how="left")
-            for c, v in fill.items():
-                out[c] = out[c].fillna(v)
-                if c in int_cols:
-                    out[c] = out[c].astype(np.int64)
-            return out
+            if schemaless_empty(batch) or len(batch) == 0:
+                return batch
+            right = cached_get(ref)
+            # inner merge + filled unmatched rows: dtypes never pass
+            # through NaN/float64 (ints >= 2^53 stay exact)
+            matched = batch.merge(right, on=on, how="inner")
+            un = batch[~batch[on].isin(right[on])]
+            if len(un):
+                un = un.copy()
+                for c in payload:
+                    un[c] = np.full(len(un), fill[c],
+                                    dtype=dtypes[c])
+                return pd.concat([matched, un], ignore_index=True)
+            return matched
 
         return big_ds.map_batches(join, batch_format="pandas")
     return bucketed_hash_join(big_ds, right_mat, on,

@@ -471,13 +471,19 @@ def bm25_topk(docs_ds, terms: tuple[str, ...], k: int = BM25_K,
     term_set = frozenset(terms)
 
     def term_tf(batch: pd.DataFrame) -> pd.DataFrame:
+        """ONE corpus pass emits tagged rows: kind=0 — one per-batch
+        corpus-stats partial (tf = docs, dl = tokens); kind=1 — the
+        (doc, term, tf, dl) matches.  Folding stats into this pass
+        halves the corpus tokenization (review finding)."""
         import polars as pl
+        empty = pd.DataFrame({
+            "kind": pd.Series(dtype=np.int8),
+            "doc_id": pd.Series(dtype=np.int64),
+            "term": pd.Series(dtype=object),
+            "tf": pd.Series(dtype=np.int64),
+            "dl": pd.Series(dtype=np.int64)})
         if schemaless_empty(batch) or len(batch) == 0:
-            return pd.DataFrame({
-                "doc_id": pd.Series(dtype=np.int64),
-                "term": pd.Series(dtype=object),
-                "tf": pd.Series(dtype=np.int64),
-                "dl": pd.Series(dtype=np.int64)})
+            return empty
         t = (pl.from_pandas(batch[[id_col, text_col]])
              .rename({id_col: "doc_id", text_col: "t"})
              .with_columns(pl.col("t").str.split(" "))
@@ -489,31 +495,31 @@ def bm25_topk(docs_ds, terms: tuple[str, ...], k: int = BM25_K,
               .rename({"t": "term", "len": "tf"})
               .join(dl, on="doc_id"))
         out = tf.to_pandas()
-        return pd.DataFrame({
+        rows = pd.DataFrame({
+            "kind": np.ones(len(out), dtype=np.int8),
             "doc_id": out["doc_id"].to_numpy().astype(np.int64),
             "term": out["term"].astype(object),
             "tf": out["tf"].to_numpy().astype(np.int64),
             "dl": out["dl"].to_numpy().astype(np.int64)})
+        stat = pd.DataFrame({
+            "kind": np.array([0], dtype=np.int8),
+            "doc_id": np.array([-1], dtype=np.int64),
+            "term": np.array([""], dtype=object),
+            "tf": np.array([len(batch)], dtype=np.int64),
+            "dl": np.array([int(t.height)], dtype=np.int64)})
+        return pd.concat([stat, rows], ignore_index=True)
 
-    def corpus_stats(batch: pd.DataFrame) -> pd.DataFrame:
-        import polars as pl
-        if schemaless_empty(batch) or len(batch) == 0:
-            return pd.DataFrame({"n": pd.Series(dtype=np.int64),
-                                 "t": pd.Series(dtype=np.int64)})
-        tok = (pl.from_pandas(batch[[text_col]])
-               .with_columns(pl.col(text_col).str.split(" "))
-               .explode(text_col)
-               .filter(pl.col(text_col) != "").height)
-        return pd.DataFrame({"n": [np.int64(len(batch))],
-                             "t": [np.int64(tok)]})
+    tagged = docs_ds.map_batches(term_tf,
+                                 batch_format="pandas").materialize()
+    stats = collect_pandas(tagged.map_batches(
+        lambda b: b[b["kind"] == 0][["tf", "dl"]],
+        batch_format="pandas"))
+    n_docs = int(stats["tf"].sum())
+    t_total = int(stats["dl"].sum())
 
-    stats = collect_pandas(
-        docs_ds.map_batches(corpus_stats, batch_format="pandas"))
-    n_docs = int(stats["n"].sum())
-    t_total = int(stats["t"].sum())
-
-    tf_ds = docs_ds.map_batches(term_tf,
-                                batch_format="pandas").materialize()
+    tf_ds = tagged.map_batches(
+        lambda b: b[b["kind"] == 1][["doc_id", "term", "tf", "dl"]],
+        batch_format="pandas")
     df_pd = collect_pandas(grouped_agg(
         tf_ds, ["term"], {"df": ("term", "size")},
         n_buckets=n_buckets))

@@ -481,9 +481,13 @@ def test_left_lookup_join_paths_and_zero_fill(ray_session):
     left = ray.data.from_pandas(pd.DataFrame({
         "k": np.array([1, 2, 3, 4], dtype=np.int64),
         "big": np.array([2**60, 2, 3, 4], dtype=np.int64)}))
+    # right payload carries 2^53+1: if the join ever widens through
+    # float64 (pandas left-merge NaN), the MATCHED value comes back
+    # off by one — the reviewer repro
+    sentinel = 2**53 + 1
     right = ray.data.from_pandas(pd.DataFrame({
         "k": np.array([2, 4], dtype=np.int64),
-        "v": np.array([20, 40], dtype=np.int64)}))
+        "v": np.array([sentinel, 40], dtype=np.int64)}))
 
     for bl in (relational.BROADCAST_LIMIT, 0):
         out = relational.left_lookup_join(
@@ -491,6 +495,11 @@ def test_left_lookup_join_paths_and_zero_fill(ray_session):
             broadcast_limit=bl).to_pandas() \
             .sort_values("k").reset_index(drop=True)
         assert list(out["k"]) == [1, 2, 3, 4]
-        assert list(out["v"]) == [0, 20, 0, 40]
+        assert list(out["v"]) == [0, sentinel, 0, 40]
         assert out["v"].dtype == np.int64
         assert out.loc[0, "big"] == 2**60  # left ints untouched
+
+    import pytest
+    with pytest.raises(ValueError, match="fill must cover"):
+        relational.left_lookup_join(left, right, on="k",
+                                    fill={}).to_pandas()
