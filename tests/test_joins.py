@@ -503,3 +503,28 @@ def test_left_lookup_join_paths_and_zero_fill(ray_session):
     with pytest.raises(ValueError, match="fill must cover"):
         relational.left_lookup_join(left, right, on="k",
                                     fill={}).to_pandas()
+
+
+def test_left_join_bucketed_preserves_declared_int32(ray_session):
+    """Shuffle-path left join restores the DECLARED Arrow dtype of a
+    narrow int payload (not a blanket int64), per bucket, matched and
+    unmatched alike."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from geoflow import relational
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 4], type=pa.int64()),
+        "v32": pa.array([7, 8], type=pa.int32())}))
+    out = relational.bucketed_hash_join(
+        left, right, on="k", n_buckets=3, how="left",
+        fill={"v32": 0}).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == [1, 2, 3, 4, 5, 6]
+    assert list(out["v32"]) == [0, 7, 0, 8, 0, 0]
+    assert out["v32"].dtype == np.int32
