@@ -299,80 +299,177 @@ Q_PAGERANK_SQL = _pagerank_sql()
 # triangle counting
 # ---------------------------------------------------------------------------
 
-def triangle_counts(edges_ds, n_buckets: int | None = None):
-    """Per-node triangle counts over a CANONICAL undirected edge
-    Dataset (``a`` < ``b``, int64, node ids < 2^31).  Returns
-    (node:int64, n_tri:int64) for nodes in >= 1 triangle, unsorted.
+def _check_node_ids(*arrays: np.ndarray) -> None:
+    """Pair-key packing ``(u << 32) | w`` needs 0 <= id < 2^31; ids
+    outside that range would silently collide or go negative, so fail
+    loudly instead (ADVICE r3).  One vectorized min/max per batch."""
+    for arr in arrays:
+        if arr.size and (arr.min() < 0 or arr.max() >= (1 << 31)):
+            raise ValueError(
+                "triangle_counts requires node ids in [0, 2^31); got "
+                f"range [{arr.min()}, {arr.max()}]")
 
-    Algorithm (middle-node wedge join, each triangle a < b < c counted
-    exactly once at its middle node b):
-    1. explode each edge into (mid=b, lo=a) and (mid=a, hi=b) rows;
-    2. wedges = ``bucketed_hash_join`` of the lo and hi streams on
-       ``mid`` — one co-partition exchange, per-bucket vectorized
-       merge (a, mid, c) with a < mid < c;
-    3. close the triangle: pack (a, c) into one int64 key and
-       ``adaptive_semijoin`` the wedge stream against the edge-key
-       set (broadcast under the limit, Bloom + co-partition above);
-    4. per-node counts: explode each triangle to 3 rows and
-       ``grouped_agg``.
-    Skew note: wedge fan-out at a hot middle node is O(deg_lo x
-    deg_hi); the classic mitigation (orient edges low-degree ->
-    high-degree so every fan-out is O(sqrt(E))) drops in as a
-    re-keying of step 1 — not needed at the tested densities.
+
+def oriented_wedges(edges_ds, n_buckets: int = 32):
+    """Degree-oriented wedge stream for triangle counting.
+
+    Orients every canonical edge (a < b) from its (degree, id)-smaller
+    endpoint to the larger, then joins the directed out-edge stream
+    with itself on the pivot — so a node's wedge fan-out is
+    C(outdeg, 2) with outdeg <= O(sqrt(E)) on ANY graph (the classic
+    orientation bound), instead of O(deg_lo x deg_hi) at a hub middle
+    node.  On a power-law web link graph this is the difference
+    between O(E^1.5) total wedges and a quadratic blow-up at the hubs
+    (VERDICT r3 #1).
+
+    Returns a Dataset of (pivot, u, w) rows with u < w by node id —
+    u, w are the pivot's two out-neighbors, so the closing edge to
+    test is exactly the canonical edge (u, w).  ``edges_ds`` must be
+    materialized by the caller (it is consumed by two lineages here:
+    the degree pass and the join pass).
     """
     import pyarrow as pa
 
-    from .relational import (adaptive_semijoin, bucketed_hash_join,
+    from .relational import (adaptive_lookup_join, bucketed_hash_join,
                              grouped_agg)
     from .shuffle import schemaless_empty
 
-    # three independent lineages (lo, hi, key_edges) consume the edge
-    # table — materialize once here, not at every call site
-    # (probe-then-consume rule)
+    def node_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64)})
+        a = batch["a"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        _check_node_ids(a, b)
+        return pd.DataFrame({"node": np.concatenate([a, b])})
+
+    deg = grouped_agg(
+        edges_ds.map_batches(node_rows, batch_format="pandas"),
+        ["node"], {"deg": ("node", "size")}, n_buckets=n_buckets)
+
+    def rename(mapping: dict[str, str], out_types: dict[str, np.dtype]):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            if schemaless_empty(batch) or len(batch) == 0:
+                return pd.DataFrame({c: pd.Series(dtype=t)
+                                     for c, t in out_types.items()})
+            return batch.rename(columns=mapping)[list(out_types)]
+        return fn
+
+    # the degree table is node-sized and narrow: broadcast under the
+    # limit, co-partitioned bucketed join above it (adaptive)
+    deg = deg.materialize()
+    deg_a = deg.map_batches(
+        rename({"node": "a", "deg": "deg_a"},
+               {"a": np.int64, "deg_a": np.int64}),
+        batch_format="pandas")
+    deg_b = deg.map_batches(
+        rename({"node": "b", "deg": "deg_b"},
+               {"b": np.int64, "deg_b": np.int64}),
+        batch_format="pandas")
+    e_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    dega_schema = pa.schema([("a", pa.int64()), ("deg_a", pa.int64())])
+    with_a = adaptive_lookup_join(edges_ds, deg_a, on="a",
+                                  n_buckets=n_buckets,
+                                  schemas=(e_schema, dega_schema))
+    ea_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                           ("deg_a", pa.int64())])
+    degb_schema = pa.schema([("b", pa.int64()), ("deg_b", pa.int64())])
+    with_ab = adaptive_lookup_join(with_a, deg_b, on="b",
+                                   n_buckets=n_buckets,
+                                   schemas=(ea_schema, degb_schema))
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                 "dst": pd.Series(dtype=np.int64)})
+        a = batch["a"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        da = batch["deg_a"].to_numpy().astype(np.int64)
+        db = batch["deg_b"].to_numpy().astype(np.int64)
+        # total order (deg, id): ties resolve to the smaller id, and
+        # a < b canonically, so a wins ties
+        swap = da > db
+        return pd.DataFrame({"src": np.where(swap, b, a),
+                             "dst": np.where(swap, a, b)})
+
+    # the directed table feeds both sides of the wedge self-join —
+    # materialize once (probe-then-consume rule)
+    directed = with_ab.map_batches(orient,
+                                   batch_format="pandas").materialize()
+    d1 = directed.map_batches(
+        rename({"dst": "u"}, {"src": np.int64, "u": np.int64}),
+        batch_format="pandas")
+    d2 = directed.map_batches(
+        rename({"dst": "w"}, {"src": np.int64, "w": np.int64}),
+        batch_format="pandas")
+    d1_schema = pa.schema([("src", pa.int64()), ("u", pa.int64())])
+    d2_schema = pa.schema([("src", pa.int64()), ("w", pa.int64())])
+    pairs = bucketed_hash_join(d1, d2, on="src",
+                               n_buckets=n_buckets,
+                               schemas=(d1_schema, d2_schema))
+
+    def half(batch: pd.DataFrame) -> pd.DataFrame:
+        # keep each unordered out-pair once, id-ordered so the pair key
+        # matches the canonical (a < b) edge key
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"pivot": pd.Series(dtype=np.int64),
+                                 "u": pd.Series(dtype=np.int64),
+                                 "w": pd.Series(dtype=np.int64)})
+        u = batch["u"].to_numpy().astype(np.int64)
+        w = batch["w"].to_numpy().astype(np.int64)
+        keep = u < w
+        return pd.DataFrame({
+            "pivot": batch["src"].to_numpy().astype(np.int64)[keep],
+            "u": u[keep], "w": w[keep]})
+
+    return pairs.map_batches(half, batch_format="pandas")
+
+
+def triangle_counts(edges_ds, n_buckets: int | None = None):
+    """Per-node triangle counts over a CANONICAL undirected edge
+    Dataset (``a`` < ``b``, int64, node ids in [0, 2^31) — validated).
+    Returns (node:int64, n_tri:int64) for nodes in >= 1 triangle,
+    unsorted.
+
+    Algorithm (degree-oriented pivot join; each triangle counted
+    exactly once at its (degree, id)-minimum vertex):
+    1. wedges = ``oriented_wedges``: orient every edge low-degree ->
+       high-degree, self-join the out-edge stream on the pivot —
+       per-node fan-out bounded by C(outdeg, 2), outdeg <= O(sqrt(E))
+       on any graph (skew-proof; VERDICT r3 #1);
+    2. close the triangle: pack the id-ordered out-pair (u, w) into
+       one int64 key and ``adaptive_semijoin`` the wedge stream
+       against the edge-key set (broadcast under the limit, Bloom +
+       co-partition above);
+    3. per-node counts: explode each triangle to 3 rows and
+       ``grouped_agg``.
+    """
+    from .relational import adaptive_semijoin, grouped_agg
+    from .shuffle import schemaless_empty
+
+    # consumed by the degree pass, the orient join and key_edges —
+    # materialize once here, not at every call site
     edges_ds = edges_ds.materialize()
-
-    def lo_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        if schemaless_empty(batch) or len(batch) == 0:
-            return pd.DataFrame({"mid": pd.Series(dtype=np.int64),
-                                 "a": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({
-            "mid": batch["b"].to_numpy().astype(np.int64),
-            "a": batch["a"].to_numpy().astype(np.int64)})
-
-    def hi_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        if schemaless_empty(batch) or len(batch) == 0:
-            return pd.DataFrame({"mid": pd.Series(dtype=np.int64),
-                                 "c": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({
-            "mid": batch["a"].to_numpy().astype(np.int64),
-            "c": batch["b"].to_numpy().astype(np.int64)})
-
-    lo = edges_ds.map_batches(lo_rows, batch_format="pandas")
-    hi = edges_ds.map_batches(hi_rows, batch_format="pandas")
-    lo_schema = pa.schema([("mid", pa.int64()), ("a", pa.int64())])
-    hi_schema = pa.schema([("mid", pa.int64()), ("c", pa.int64())])
-    wedges = bucketed_hash_join(lo, hi, on="mid",
-                                n_buckets=n_buckets or 32,
-                                schemas=(lo_schema, hi_schema))
+    wedges = oriented_wedges(edges_ds, n_buckets=n_buckets or 32)
 
     def key_wedges(batch: pd.DataFrame) -> pd.DataFrame:
         if schemaless_empty(batch) or len(batch) == 0:
             return pd.DataFrame({"key": pd.Series(dtype=np.int64),
-                                 "mid": pd.Series(dtype=np.int64),
-                                 "a": pd.Series(dtype=np.int64),
-                                 "c": pd.Series(dtype=np.int64)})
-        a = batch["a"].to_numpy().astype(np.int64)
-        c = batch["c"].to_numpy().astype(np.int64)
+                                 "pivot": pd.Series(dtype=np.int64),
+                                 "u": pd.Series(dtype=np.int64),
+                                 "w": pd.Series(dtype=np.int64)})
+        u = batch["u"].to_numpy().astype(np.int64)
+        w = batch["w"].to_numpy().astype(np.int64)
         return pd.DataFrame({
-            "key": (a << np.int64(32)) | c,
-            "mid": batch["mid"].to_numpy().astype(np.int64),
-            "a": a, "c": c})
+            "key": (u << np.int64(32)) | w,
+            "pivot": batch["pivot"].to_numpy().astype(np.int64),
+            "u": u, "w": w})
 
     def key_edges(batch: pd.DataFrame) -> pd.DataFrame:
         if schemaless_empty(batch) or len(batch) == 0:
             return pd.DataFrame({"key": pd.Series(dtype=np.int64)})
         a = batch["a"].to_numpy().astype(np.int64)
         b = batch["b"].to_numpy().astype(np.int64)
+        _check_node_ids(a, b)
         return pd.DataFrame({"key": (a << np.int64(32)) | b})
 
     tris = adaptive_semijoin(
@@ -385,9 +482,9 @@ def triangle_counts(edges_ds, n_buckets: int | None = None):
             return pd.DataFrame({"node": pd.Series(dtype=np.int64),
                                  "one": pd.Series(dtype=np.int64)})
         nodes = np.concatenate([
-            batch["a"].to_numpy().astype(np.int64),
-            batch["mid"].to_numpy().astype(np.int64),
-            batch["c"].to_numpy().astype(np.int64)])
+            batch["pivot"].to_numpy().astype(np.int64),
+            batch["u"].to_numpy().astype(np.int64),
+            batch["w"].to_numpy().astype(np.int64)])
         return pd.DataFrame({
             "node": nodes, "one": np.ones(len(nodes),
                                           dtype=np.int64)})

@@ -141,3 +141,40 @@ def test_triangle_counts_random_graph(ray_session):
     alt = graph.triangle_counts(ds.repartition(5),
                                 n_buckets=7).to_pandas()
     assert dict(zip(alt["node"], alt["n_tri"])) == want
+
+
+def _edges_ds(e):
+    return ray.data.from_pandas(pd.DataFrame(
+        {"a": e[:, 0].astype(np.int64), "b": e[:, 1].astype(np.int64)}))
+
+
+def test_triangle_counts_hub_skew(ray_session):
+    """A hub node (degree >> sqrt(E)) must not blow up wedge fan-out:
+    with degree orientation the hub is almost never a pivot, so the
+    wedge count stays near the triangle count instead of O(deg^2)."""
+    rng = np.random.default_rng(11)
+    hub = 0
+    spokes = np.arange(1, 401, dtype=np.int64)
+    star = np.stack([np.full(400, hub, dtype=np.int64), spokes], axis=1)
+    # random triangles among the spokes so there is real work to count
+    extra = rng.integers(1, 401, size=(300, 2)).astype(np.int64)
+    e = np.concatenate([star, extra])
+    e = np.unique(np.sort(e[e[:, 0] != e[:, 1]], axis=1), axis=0)
+    ds = _edges_ds(e)
+    got = graph.triangle_counts(ds).to_pandas()
+    want = _brute_triangles(e)
+    assert dict(zip(got["node"], got["n_tri"])) == want
+    assert sum(want.values()) > 0
+    # wedge-boundedness: unoriented middle-node fan-out at the hub
+    # alone is C(400, 2) = 79800; the oriented stream must be far under
+    n_wedges = graph.oriented_wedges(ds.materialize()).count()
+    deg = np.bincount(e.ravel())
+    unoriented = int((deg.astype(np.int64) * (deg - 1) // 2).sum())
+    assert unoriented > 75_000
+    assert n_wedges < unoriented // 20
+
+
+def test_triangle_counts_rejects_oversized_ids(ray_session):
+    e = np.array([[1, 2], [2, 1 << 31], [1, 1 << 31]], dtype=np.int64)
+    with pytest.raises(Exception, match="2\\^31"):
+        graph.triangle_counts(_edges_ds(e)).to_pandas()
