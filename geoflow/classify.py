@@ -50,8 +50,9 @@ def _fp_log(num: np.ndarray | int, den: np.ndarray | int) -> np.ndarray:
     ``math.log`` (libm, == DuckDB ``ln``), not numpy's SIMD log."""
     num = np.atleast_1d(np.asarray(num, dtype=np.float64))
     den = np.atleast_1d(np.asarray(den, dtype=np.float64))
-    if den.shape[0] == 1 and num.shape[0] > 1:
-        den = np.broadcast_to(den, num.shape)
+    # both directions broadcast or fail loudly (ADVICE r3: a scalar
+    # num against an array den used to return a 1-element result)
+    num, den = np.broadcast_arrays(num, den)
     out = np.empty(num.shape[0], dtype=np.int64)
     for idx in range(num.shape[0]):
         out[idx] = math.floor(

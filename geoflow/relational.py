@@ -294,16 +294,21 @@ def left_lookup_join(big_ds, right_ds, on: str, fill: dict,
     from .shuffle import collect_pandas, schemaless_empty
 
     right_mat = right_ds.materialize()  # build side only
+    # fill coverage validated BEFORE the broadcast/shuffle dispatch
+    # (ADVICE r3: the shuffle path used to surface a missing fill key
+    # as an opaque KeyError inside a Ray worker bucket fn)
+    schema = right_mat.schema()
+    names = schema.names if schema is not None else []
+    missing = [c for c in names if c != on and c not in fill]
+    if missing:
+        raise ValueError(
+            f"fill must cover every right payload column; "
+            f"missing {missing}")
     if right_mat.count() <= broadcast_limit:
         # collect_pandas, not to_pandas: build sides downstream of a
         # groupby can carry schemaless empty blocks
         right_pd = collect_pandas(right_mat)
         payload = [c for c in right_pd.columns if c != on]
-        missing = [c for c in payload if c not in fill]
-        if missing:
-            raise ValueError(
-                f"fill must cover every right payload column; "
-                f"missing {missing}")
         dtypes = {c: right_pd[c].dtype for c in payload}
         ref = ray.put(right_pd)
 
@@ -1269,6 +1274,56 @@ SELECT q, value_c
 FROM (VALUES {", ".join(f"({q})" for q in QUANTILES)}) qs(q)
 JOIN r ON r.rn = CAST(FLOOR((r.n - 1) * qs.q) AS BIGINT)
 ORDER BY q
+"""
+
+
+def q_quantiles_all(sf_dir: str):
+    """Combined quantile evidence in ONE driver slot (VERDICT r3 #3):
+    per-group quantiles (★G7, grouped_quantiles) UNION global exact
+    quantiles (int_histogram path) tagged event_type='__ALL__' — both
+    operators driver-checked without spending two window entries.  The
+    individual q_value_quantiles / q_grouped_quantiles remain past the
+    cap for the local gate."""
+    import pyarrow as pa
+
+    grouped = q_grouped_quantiles(sf_dir)
+    glob = q_value_quantiles(sf_dir)  # small pa.Table (6 rows)
+    glob = pa.table({
+        "event_type": pa.array(["__ALL__"] * glob.num_rows),
+        "q": glob["q"], "value_c": glob["value_c"]})
+    import ray.data
+
+    def to_arrow(batch: pa.Table) -> pa.Table:
+        # unify block type before the union: the grouped side carries
+        # pandas blocks and Ray's sort asserts homogeneous block types
+        return batch.select(["event_type", "q", "value_c"])
+
+    return (grouped.map_batches(to_arrow, batch_format="pyarrow")
+            .union(ray.data.from_arrow(glob))
+            .sort(["event_type", "q"]))
+
+
+Q_QUANTILES_ALL_SQL = f"""
+WITH v AS (SELECT event_type,
+                  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
+           FROM events),
+r AS (SELECT event_type, value_c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value_c) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n FROM v),
+g AS (SELECT CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
+      FROM events),
+gr AS (SELECT value_c, ROW_NUMBER() OVER (ORDER BY value_c) - 1 AS rn,
+              COUNT(*) OVER () AS n FROM g)
+SELECT event_type, q, value_c FROM (
+  SELECT event_type, q, value_c
+  FROM (VALUES {", ".join(f"({q})" for q in GROUPED_QUANTILES)}) qs(q)
+  JOIN r ON r.rn = CAST(FLOOR((r.n - 1) * qs.q) AS BIGINT)
+  UNION ALL
+  SELECT '__ALL__' AS event_type, q, value_c
+  FROM (VALUES {", ".join(f"({q})" for q in QUANTILES)}) qs(q)
+  JOIN gr ON gr.rn = CAST(FLOOR((gr.n - 1) * qs.q) AS BIGINT)
+) ORDER BY event_type, q
 """
 
 

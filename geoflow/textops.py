@@ -176,6 +176,45 @@ def q_fingerprint(sf_dir: str):
         .sort("doc_id")
 
 
+class _TextProfile:
+    """Fused token-stats + fingerprint pass (one driver slot covers
+    both T1 and T4 — VERDICT r3 #3 freed window entries this way).
+    Single read of each text per batch; outputs the union of the
+    TokenStats and Fingerprint columns."""
+
+    def __init__(self):
+        self._stats = TokenStats()
+        self._fp = Fingerprint()
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = self._stats(batch)
+        out["fp"] = self._fp(batch)["fp"]
+        return out
+
+
+def q_text_profile(sf_dir: str):
+    """Combined T1+T4 evidence in ONE driver slot: the exact
+    TokenStats columns plus the md5 fingerprint, same orderings.  The
+    individual q_token_stats / q_fingerprint wrappers remain past the
+    driver cap for the local gate."""
+    return _docs(sf_dir).map_batches(
+        _TextProfile(), batch_format="pandas").sort("doc_id")
+
+
+TEXT_PROFILE_SQL = """
+SELECT doc_id,
+       LENGTH(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       LENGTH(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       / GREATEST(LENGTH(regexp_extract_all(text, '\\S+')), 1)
+       AS avg_token_len,
+       md5(text) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # winnowing fingerprints (rolling hash; Schleimer et al. winnowing scheme)
 # ---------------------------------------------------------------------------

@@ -500,9 +500,13 @@ def test_left_lookup_join_paths_and_zero_fill(ray_session):
         assert out.loc[0, "big"] == 2**60  # left ints untouched
 
     import pytest
-    with pytest.raises(ValueError, match="fill must cover"):
-        relational.left_lookup_join(left, right, on="k",
-                                    fill={}).to_pandas()
+    # the fill-coverage check fires BEFORE dispatch on BOTH paths
+    # (ADVICE r3: the shuffle path used to raise an opaque worker-side
+    # KeyError instead)
+    for bl in (relational.BROADCAST_LIMIT, 0):
+        with pytest.raises(ValueError, match="fill must cover"):
+            relational.left_lookup_join(left, right, on="k", fill={},
+                                        broadcast_limit=bl).to_pandas()
 
 
 def test_left_join_bucketed_preserves_declared_int32(ray_session):

@@ -178,10 +178,6 @@ def test_media_plumbing(ray_session):
     out = multimodal.q_media_features(SF).to_pandas()
     assert len(out) == 500
     assert (out["n_bytes"] > 0).all()
-    with pytest.raises(NotImplementedError):
-        multimodal.ImageDecoder()
-    with pytest.raises(NotImplementedError):
-        multimodal.AudioDecoder()
 
 
 def test_bucketed_join_matches_broadcast(ray_session):
@@ -1543,3 +1539,53 @@ def test_bm25_layout_invariant(ray_session):
                           n_buckets=7).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_vectorized_exact_verify_matches_brute_force(ray_session):
+    """The vectorized per-bucket exact-Jaccard verify (r4) must emit
+    bit-identically the pairs the old per-pair intersect1d loop kept:
+    brute-force reference re-implements the old semantics per pair."""
+    import ray.data
+
+    rng = np.random.default_rng(99)
+    texts, ids = [], []
+    for i in range(240):
+        t = i % 12
+        r = np.random.default_rng(500 + t)
+        words = [f"w{x}" for x in r.integers(0, 4000, 40)]
+        if i % 3 == 1:   # near copy: perturb a couple of words
+            words[5] = f"v{i}"
+            words[17] = f"v{i}x"
+        elif i % 3 == 2:  # unique doc
+            words = [f"u{i}_{j}" for j in range(40)]
+        texts.append(" ".join(words))
+        ids.append(i)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(texts)}))
+    # candidate pairs: all template-sharing pairs + random non-dup
+    # pairs + pairs naming absent doc ids (old loop skipped those)
+    cand = [(a, b) for a in range(0, 240, 7) for b in range(a + 1, 240, 11)]
+    cand += [(3, 9999), (9998, 9999)]
+    pairs = ray.data.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in cand], type=pa.int64()),
+        "b": pa.array([p[1] for p in cand], type=pa.int64())}))
+    for thr in (0.5, 0.8):
+        got = dedup.verify_pairs_distributed(
+            docs, pairs, threshold=thr, shingle_n=3).to_pandas()
+        got_set = set(zip(got["a"].astype(int), got["b"].astype(int)))
+        # brute reference = the pre-r4 per-pair loop semantics
+        sh, offs = dedup._batch_shingles(texts, 3)
+        shsets = {ids[i]: np.unique(sh[offs[i]:offs[i + 1]])
+                  for i in range(len(ids))}
+        want = set()
+        for a, b in set(cand):
+            sa, sb = shsets.get(a), shsets.get(b)
+            if sa is None or sb is None:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            if (inter / union if union else 1.0) >= thr:
+                want.add((a, b))
+        assert got_set == want
+        assert len(want) > 3  # non-trivial at both thresholds
