@@ -152,7 +152,10 @@ def run_bench() -> dict:
                      "q_pagerank", "q_dedup_spans",
                      "q_nb_classifier", "q_dsir_weights", "q_bpe",
                      "q_featurize", "q13_customer_distribution",
-                     "q_weighted_sample", "q_bm25", "q_triangles"]:
+                     "q_weighted_sample", "q_bm25", "q_triangles",
+                     # round-4 operators
+                     "q_quantiles_all", "q_text_profile",
+                     "q_media_decode"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data

@@ -1148,25 +1148,32 @@ def int_histogram(ds, col: str):
 
 
 def grouped_quantiles(ds, keys: list[str], col: str,
-                      quantiles, n_buckets: int | None = None):
+                      quantiles, n_buckets: int | None = None,
+                      hist=None):
     """Exact PER-GROUP quantiles (★G7) from a distributed integer
     histogram: stage 1 reduces rows to (keys, value, count) partials
     (shuffle bounded by the value domain per group, not row count);
     stage 2 buckets whole groups together and extracts each quantile
     vectorized — quantile q = sorted value at 0-based floor((n-1)*q),
     the same convention as q_value_quantiles' ROW_NUMBER oracle.
-    Returns (keys..., q, col) rows."""
+    Returns (keys..., q, col) rows.
+
+    ``hist``: optional prebuilt (keys..., col, n) histogram dataset —
+    callers that need BOTH grouped and global quantiles build it once
+    and derive the global histogram by summing over the keys
+    (q_quantiles_all shares a single events pass this way)."""
     if n_buckets is None:
         n_buckets = _default_buckets()
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        vc = batch.groupby(keys + [col], sort=False) \
-            .size().reset_index(name="n")
-        return vc
+    if hist is None:
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            vc = batch.groupby(keys + [col], sort=False) \
+                .size().reset_index(name="n")
+            return vc
 
-    hist = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
-                       keys + [col], {"n": ("n", "sum")},
-                       n_buckets=n_buckets)
+        hist = grouped_agg(
+            ds.map_batches(partial, batch_format="pandas"),
+            keys + [col], {"n": ("n", "sum")}, n_buckets=n_buckets)
 
     def add_gbucket(batch: pd.DataFrame) -> pd.DataFrame:
         from .shuffle import schemaless_empty
@@ -1280,18 +1287,50 @@ ORDER BY q
 def q_quantiles_all(sf_dir: str):
     """Combined quantile evidence in ONE driver slot (VERDICT r3 #3):
     per-group quantiles (★G7, grouped_quantiles) UNION global exact
-    quantiles (int_histogram path) tagged event_type='__ALL__' — both
-    operators driver-checked without spending two window entries.  The
-    individual q_value_quantiles / q_grouped_quantiles remain past the
-    cap for the local gate."""
-    import pyarrow as pa
-
-    grouped = q_grouped_quantiles(sf_dir)
-    glob = q_value_quantiles(sf_dir)  # small pa.Table (6 rows)
-    glob = pa.table({
-        "event_type": pa.array(["__ALL__"] * glob.num_rows),
-        "q": glob["q"], "value_c": glob["value_c"]})
+    quantiles tagged event_type='__ALL__' — both operators
+    driver-checked without spending two window entries.  The events
+    table is read ONCE: a single grouped (event_type, value_c, n)
+    histogram feeds the per-group pick, and the GLOBAL histogram is
+    its marginal (sum n over event_type — domain-bounded, collected
+    small).  The individual q_value_quantiles / q_grouped_quantiles
+    remain past the cap for the local gate."""
     import ray.data
+
+    from .shuffle import collect_pandas
+
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "value_c": _cents(batch["value"])})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["event_type", "value_c"], sort=False) \
+            .size().reset_index(name="n")
+
+    hist = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .map_batches(partial, batch_format="pandas"),
+        ["event_type", "value_c"], {"n": ("n", "sum")}).materialize()
+
+    grouped = grouped_quantiles(None, ["event_type"], "value_c",
+                                GROUPED_QUANTILES, hist=hist)
+
+    # global quantiles from the histogram's value_c marginal
+    gh = collect_pandas(hist).groupby("value_c", sort=True)["n"] \
+        .sum().reset_index()
+    cum = gh["n"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    qs, vals = [], []
+    for q in QUANTILES:
+        target = int(np.floor((n - 1) * q))
+        i = int(np.searchsorted(cum, target + 1))
+        qs.append(q)
+        vals.append(int(gh["value_c"].iloc[i]))
+    glob = pa.table({
+        "event_type": pa.array(["__ALL__"] * len(qs)),
+        "q": pa.array(qs, type=pa.float64()),
+        "value_c": pa.array(vals, type=pa.int64())})
 
     def to_arrow(batch: pa.Table) -> pa.Table:
         # unify block type before the union: the grouped side carries
