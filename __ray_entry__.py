@@ -23,7 +23,7 @@ from typing import Any
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from geoflow import (bpe, classify, cluster, corpus,  # noqa: E402
-                     curate, dedup, dsir, graph, jsonops, lines,
+                     curate, dedup, dsir, graph, jsonops, lines, lm,
                      multimodal, properties, relational, similarity,
                      spatial_queries, textops)
 
@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the first 50 keys has an oracle_sql() entry).  Everything
         # below is SQL-oracled overflow for the local gate (simplest
         # oracles overflow first, per CLAUDE.md), then rows-only.
+        "q_lm_perplexity": lm.q_lm_perplexity,
         "q_featurize": dsir.q_featurize,
         "q13_customer_distribution": relational.q13_customer_distribution,
         "q_weighted_sample": corpus.q_weighted_sample,
@@ -441,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_spans": lines.Q_DEDUP_SPANS_SQL,
         "q_nb_classifier": classify.Q_NB_CLASSIFIER_SQL,
         "q_dsir_weights": dsir.Q_DSIR_WEIGHTS_SQL,
+        "q_lm_perplexity": lm.Q_LM_PERPLEXITY_SQL,
         "q_featurize": dsir.Q_FEATURIZE_SQL,
         "q13_customer_distribution": relational.Q13_SQL,
         "q_weighted_sample": corpus.Q_WEIGHTED_SAMPLE_SQL,
