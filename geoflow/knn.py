@@ -25,6 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import cells, geom
+from .shuffle import pad_array
 
 # max meters per degree of latitude (and of longitude at the equator)
 _M_PER_DEG = 111_319.5
@@ -205,8 +206,8 @@ def copartition_knn_join(features_ds, queries_ds, res: int = 8,
             "feature_idx": batch["feature_idx"],
             "lng": batch["lng"],
             "lat": batch["lat"],
-            "query_id": pa.nulls(n, type=pa.int64()),
-            "k": pa.nulls(n, type=pa.int64()),
+            "query_id": pad_array(n, pa.int64()),
+            "k": pad_array(n, pa.int64()),
             "__side": pa.array(np.zeros(n, dtype=np.int8)),
         })
 
@@ -230,7 +231,7 @@ def copartition_knn_join(features_ds, queries_ds, res: int = 8,
         return pa.table({
             "cell": pa.array(cell),
             "url": pa.nulls(n, type=pa.string()),
-            "feature_idx": pa.nulls(n, type=pa.int32()),
+            "feature_idx": pad_array(n, pa.int32()),
             "lng": pa.array(qlng[idx]),
             "lat": pa.array(qlat[idx]),
             "query_id": pa.array(qid[idx].astype(np.int64)),

@@ -43,6 +43,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .shuffle import pad_array
+
 
 def _default_buckets() -> int:
     from .relational import _default_buckets as db
@@ -426,7 +428,7 @@ def dedup_spans(docs_ds, k: int = 5, min_count: int = 2,
             if side == 0:
                 d = batch[id_col]
                 text = batch[text_col].cast(pa.large_string())
-                j = pa.nulls(n, type=pa.int64())
+                j = pad_array(n, pa.int64())
             else:
                 d = batch["doc_id"].cast(pa.int64())
                 text = pa.nulls(n, type=pa.large_string())

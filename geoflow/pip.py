@@ -24,6 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import cells, geom
+from .shuffle import pad_array
 
 DEFAULT_RES = 8  # join cell resolution (1.41° x 0.70° cells)
 
@@ -367,7 +368,7 @@ def copartition_pip_join(features_ds, polygons_ds,
         cols = {c: batch[c] for c in point_cols}
         cols["salt"] = batch["salt"]
         for f in poly_schema:
-            cols[f.name] = pa.nulls(n, type=f.type)
+            cols[f.name] = pad_array(n, f.type)
         cols["__b"] = pa.array(b)
         cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
         return pa.table(cols)
@@ -400,7 +401,7 @@ def copartition_pip_join(features_ds, polygons_ds,
             if c == "cell":
                 cols[c] = pa.array(cell)
             else:
-                cols[c] = pa.nulls(n, type=point_types[c])
+                cols[c] = pad_array(n, point_types[c])
         cols["salt"] = pa.array(salt.astype(np.int32))
         take = pa.array(idx)
         cols["poly_id"] = pa.compute.take(batch["poly_id"], take)

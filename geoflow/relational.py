@@ -22,6 +22,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .shuffle import pad_array
+
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """floor(x*100 + 0.5) as int64 — order-independent exact money."""
@@ -85,7 +87,7 @@ def bucketed_hash_join(left_ds, right_ds, on: str, n_buckets: int = 32,
                 if c != on:
                     cols[c] = batch[c]
             for c in pad_cols:
-                cols[c] = pa.nulls(n, type=pad_types[c])
+                cols[c] = pad_array(n, pad_types[c])
             cols["__b"] = pa.array(b)
             cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
             order = [on] + [c for c in lcols if c != on] + rcols \
@@ -512,7 +514,7 @@ def interval_join(left_ds, right_ds, key: str, left_time: str,
                 if c != key:
                     cols[c] = pc.take(batch[c], take)
             for c in pad_cols:
-                cols[c] = pa.nulls(m, type=pad_types[c])
+                cols[c] = pad_array(m, pad_types[c])
             k = cols[key].to_numpy(zero_copy_only=False)
             cols["__ck"] = pa.array(ck.astype(np.int64))
             cols["__b"] = pa.array(_bucket(k, ck))
@@ -633,7 +635,7 @@ def asof_join_copartition(left_ds, right_ds, key: str,
                 if c != key:
                     cols[c] = batch[c]
             for c in pad_cols:
-                cols[c] = pa.nulls(n, type=pad_types[c])
+                cols[c] = pad_array(n, pad_types[c])
             cols["__b"] = pa.array((k % n_buckets).astype(np.int64))
             cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
             order = [key] + [c for c in lcols if c != key] + rcols \

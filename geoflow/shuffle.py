@@ -72,6 +72,21 @@ def shuffle_safe_type(t: pa.DataType, name: str = "") -> pa.DataType:
     return t
 
 
+def pad_array(n: int, t: pa.DataType) -> pa.Array:
+    """Side-padding column for a tagged co-partition transport (the
+    other side's columns, never read by the bucket fn's Arrow-level
+    side split).  Numeric/bool types pad with ZEROS, not nulls: if
+    Ray's AllToAll materializes a transport block as pandas, an int64
+    column WITH nulls converts through float64 — silently corrupting
+    ids/payloads >= 2^53 on the rows that are real.  Zero padding keeps
+    the column all-int64 under any block format.  Non-numeric types
+    keep null padding (pandas object columns carry None losslessly)."""
+    if (pa.types.is_integer(t) or pa.types.is_floating(t)
+            or pa.types.is_boolean(t)):
+        return pa.array(np.zeros(n, dtype=t.to_pandas_dtype()), type=t)
+    return pa.nulls(n, type=t)
+
+
 def schemaless_empty(batch) -> bool:
     """True for the zero-row, ZERO-COLUMN blocks Ray's sort-based
     AllToAll can emit for empty partitions WITHOUT invoking the group

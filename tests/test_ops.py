@@ -1589,3 +1589,47 @@ def test_vectorized_exact_verify_matches_brute_force(ray_session):
                 want.add((a, b))
         assert got_set == want
         assert len(want) > 3  # non-trivial at both thresholds
+
+
+def test_connected_components_big_ids_exact(ray_session):
+    """Node ids past 2^53 (not float64-representable) survive the BSP
+    rounds and rep assignment bit-exact — guards the label transport
+    against any int64→float64 block coercion."""
+    import ray.data
+    BIG = 2 ** 53
+    ids = BIG + 1 + 2 * np.arange(64, dtype=np.int64)  # all odd offsets
+    edges = pd.DataFrame({"a": ids[1:], "b": ids[:-1]})
+    labels = dedup.connected_components_distributed(
+        ray.data.from_pandas(edges), n_buckets=8)
+    lab = labels.to_pandas()
+    assert lab["label"].dtype == np.int64
+    assert len(lab) == 64
+    assert (lab["label"] == ids.min()).all()
+
+    docs = pd.DataFrame({"doc_id": np.concatenate(
+        [ids, [BIG + 999_999]]).astype(np.int64)})
+    out = dedup.assign_reps_distributed(
+        ray.data.from_pandas(docs),
+        dedup.connected_components_distributed(
+            ray.data.from_pandas(edges), n_buckets=8)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["rep_id"].dtype == np.int64
+    got = dict(zip(out["doc_id"], out["rep_id"]))
+    want = {int(i): int(ids.min()) for i in ids}
+    want[BIG + 999_999] = BIG + 999_999  # singleton is its own rep
+    assert got == want
+
+
+def test_pad_array_numeric_zero_padding():
+    """Transport padding: numeric/bool types pad non-null (zero) so a
+    pandas materialization of the block can never widen int64 through
+    float64; strings keep null padding."""
+    import pyarrow as pa
+
+    from geoflow.shuffle import pad_array
+    a = pad_array(3, pa.int64())
+    assert a.null_count == 0 and a.to_pylist() == [0, 0, 0]
+    assert pad_array(2, pa.int32()).type == pa.int32()
+    assert pad_array(2, pa.bool_()).to_pylist() == [False, False]
+    s = pad_array(2, pa.large_string())
+    assert s.null_count == 2
