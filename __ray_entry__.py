@@ -25,7 +25,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 from geoflow import (bpe, classify, cluster, corpus,  # noqa: E402
                      curate, dedup, dsir, graph, jsonops, lines, lm,
                      multimodal, properties, relational, similarity,
-                     spatial_queries, textops)
+                     spatial_queries, textops, weburl)
 
 # pages-table size per sf tier (synthesized deterministically, cached)
 _PAGES_N = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # below is SQL-oracled overflow for the local gate (simplest
         # oracles overflow first, per CLAUDE.md), then rows-only.
         "q_lm_perplexity": lm.q_lm_perplexity,
+        "q_domain_cap": weburl.q_domain_cap,
         "q_featurize": dsir.q_featurize,
         "q13_customer_distribution": relational.q13_customer_distribution,
         "q_weighted_sample": corpus.q_weighted_sample,
@@ -443,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
         "q_nb_classifier": classify.Q_NB_CLASSIFIER_SQL,
         "q_dsir_weights": dsir.Q_DSIR_WEIGHTS_SQL,
         "q_lm_perplexity": lm.Q_LM_PERPLEXITY_SQL,
+        "q_domain_cap": weburl.Q_DOMAIN_CAP_SQL,
         "q_featurize": dsir.Q_FEATURIZE_SQL,
         "q13_customer_distribution": relational.Q13_SQL,
         "q_weighted_sample": corpus.Q_WEIGHTED_SAMPLE_SQL,
