@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_users": relational.q_hll_users,
         "q_embedding_dups_ivf": dedup.q_embedding_dups_ivf,
         "q_ann_approx": similarity.q_ann_approx,
+        "q_pq_ann": similarity.q_pq_ann,
         "q_pip_variants": _q_pip_variants,
         "q_knn_variants": _q_knn_variants,
         "q_dedup_jaccard": dedup.q_dedup_jaccard,

@@ -171,6 +171,154 @@ def ann_ivf_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
     return ann_topk(candidates, query_ids, qm, k)
 
 
+def _lloyd_l2(m: np.ndarray, k: int, iters: int = 8,
+              seed: int = 11) -> np.ndarray:
+    """Deterministic plain-L2 Lloyd on a (sampled) matrix — the PQ
+    sub-quantizer (NOT spherical; subvectors aren't unit-norm)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(m))
+    c = m[rng.choice(len(m), k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            sel = m[assign == j]
+            if len(sel):
+                c[j] = sel.mean(axis=0)
+    return c
+
+
+def pq_train(emb_ds, m_sub: int = 8, n_codes: int = 256,
+             train_sample: int = 4096, iters: int = 8,
+             seed: int = 11) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    (normalized) embedding into ``m_sub`` contiguous subspaces and fit
+    an L2 k-means codebook per subspace on a bounded driver-side
+    sample.  Returns a (m_sub, n_codes, subdim) float64 array.
+
+    The 100-TB compression path: a 64-dim float32 vector (256 B)
+    becomes ``m_sub`` uint8 codes (8 B) — the whole corpus's codes fit
+    where the raw embeddings never could, and ADC search scans codes
+    with one LUT gather per subspace instead of a matmul."""
+    if n_codes > 256:
+        raise ValueError("n_codes must fit uint8 (<= 256)")
+    sample = emb_ds.limit(train_sample).to_pandas()
+    sm = _normalize(np.stack(sample["embedding"].to_numpy())
+                    .astype(np.float64))
+    dim = sm.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    return np.stack([
+        _lloyd_l2(sm[:, s * sub:(s + 1) * sub], n_codes, iters,
+                  seed + s)
+        for s in range(m_sub)])
+
+
+def _pq_codes(m: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(N, m_sub) uint8 nearest-centroid codes of normalized rows."""
+    m_sub, _, sub = codebooks.shape
+    codes = np.empty((len(m), m_sub), dtype=np.uint8)
+    for s in range(m_sub):
+        x = m[:, s * sub:(s + 1) * sub]
+        c = codebooks[s]
+        # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c)
+        d = (c ** 2).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+        codes[:, s] = d.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(emb_ds, codebooks: np.ndarray):
+    """(vec_id, code) dataset — ``code`` is a typed Arrow binary of
+    ``m_sub`` bytes (never a pandas object column; Ray must be able to
+    size the blocks).  Map-only; codebooks broadcast once."""
+    import ray
+
+    cb_ref = ray.put(codebooks)
+
+    def encode(batch: pd.DataFrame) -> pa.Table:
+        from .shuffle import cached_get
+        cb = cached_get(cb_ref)
+        m = _normalize(np.stack(batch["embedding"].to_numpy())
+                       .astype(np.float64))
+        codes = _pq_codes(m, cb)
+        return pa.table({
+            "vec_id": pa.array(batch["vec_id"].to_numpy()
+                               .astype(np.int64)),
+            "code": pa.array([c.tobytes() for c in codes],
+                             type=pa.binary())})
+
+    return emb_ds.map_batches(encode, batch_format="pandas")
+
+
+def pq_decode_matrix(codes: np.ndarray, codebooks: np.ndarray
+                     ) -> np.ndarray:
+    """Reconstruct (N, dim) from (N, m_sub) codes — test/debug helper."""
+    m_sub, _, sub = codebooks.shape
+    out = np.empty((len(codes), m_sub * sub), dtype=np.float64)
+    for s in range(m_sub):
+        out[:, s * sub:(s + 1) * sub] = codebooks[s][codes[:, s]]
+    return out
+
+
+def ann_pq_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
+                k: int = 10, m_sub: int = 8, n_codes: int = 256,
+                train_sample: int = 4096):
+    """PQ/ADC ANN: encode each batch to codes and score every query by
+    asymmetric distance — one (m_sub, n_codes) LUT gather per subspace
+    instead of a d-dim matmul.  Vectors and queries are normalized, so
+    ascending ADC L2 ranks like descending cosine.  Approximate —
+    recall vs the exact path measured in tests.
+
+    At scale the encode runs ONCE as a materialized ``pq_encode``
+    artifact and searches scan only the (tiny) code table; here the
+    fused encode+scan keeps the test path single-pass."""
+    import ray
+
+    codebooks = pq_train(emb_ds, m_sub=m_sub, n_codes=n_codes,
+                         train_sample=train_sample)
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qid = np.asarray(query_ids, dtype=np.int64)
+    m_sub_, n_codes_, sub = codebooks.shape
+    # per-query ADC LUT: lut[q, s, c] = ||q_s - codebook[s, c]||^2
+    lut = np.empty((len(qm), m_sub_, n_codes_), dtype=np.float64)
+    for s in range(m_sub_):
+        qs = qm[:, s * sub:(s + 1) * sub]
+        diff = qs[:, None, :] - codebooks[s][None, :, :]
+        lut[:, s, :] = (diff ** 2).sum(axis=2)
+    bundle_ref = ray.put((codebooks, lut))
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import cached_get
+        cb, lt = cached_get(bundle_ref)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        m = _normalize(np.stack(batch["embedding"].to_numpy())
+                       .astype(np.float64))
+        codes = _pq_codes(m, cb)
+        # dist[q, n] = sum_s lut[q, s, codes[n, s]]
+        ms = codes.shape[1]
+        dist = lt[:, np.arange(ms)[None, :], codes].sum(axis=2)
+        kk = min(k, dist.shape[1])
+        idx = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+        rows = idx.ravel()
+        return pd.DataFrame({
+            "query_id": np.repeat(qid, kk),
+            "vec_id": ids[rows],
+            "adc": np.take_along_axis(dist, idx, axis=1).ravel()})
+
+    local = emb_ds.map_batches(local_topk, batch_format="pandas",
+                               batch_size=4096)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["adc", "vec_id"],
+                              ascending=[True, True], kind="mergesort")
+        return g.head(k)[["query_id", "vec_id"]]
+
+    out = local.groupby("query_id").map_groups(merge,
+                                               batch_format="pandas")
+    return out.sort(["query_id", "vec_id"])
+
+
 # -- query wrappers ---------------------------------------------------------
 
 def _fixed_queries(sf_dir: str, n: int = 5):
@@ -218,6 +366,13 @@ def q_ann_lsh(sf_dir: str):
 def q_ann_ivf(sf_dir: str):
     qids, qm = _fixed_queries(sf_dir)
     return ann_ivf_topk(_emb(sf_dir), qids, qm, k=10)
+
+
+def q_pq_ann(sf_dir: str):
+    """PQ/ADC top-k for the fixed query set (rows-only; recall and
+    code-roundtrip oracles live in tests/test_ops.py)."""
+    qids, qm = _fixed_queries(sf_dir)
+    return ann_pq_topk(_emb(sf_dir), qids, qm, k=10)
 
 
 def q_ann_approx(sf_dir: str):

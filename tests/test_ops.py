@@ -1633,3 +1633,62 @@ def test_pad_array_numeric_zero_padding():
     assert pad_array(2, pa.bool_()).to_pylist() == [False, False]
     s = pad_array(2, pa.large_string())
     assert s.null_count == 2
+
+
+def test_pq_encode_and_roundtrip(ray_session):
+    """PQ codes: typed binary column, deterministic across layouts,
+    reconstruction beats a shuffled-codebook baseline."""
+    import ray.data
+    rng = np.random.default_rng(41)
+    m = rng.standard_normal((400, 64))
+    t = pa.table({"vec_id": pa.array(range(400), type=pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in m],
+                                        type=pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    cb = similarity.pq_train(ds, m_sub=8, n_codes=16)
+    assert cb.shape == (8, 16, 8)
+    enc = similarity.pq_encode(ds, cb)
+    assert enc.schema().types[1] == pa.binary()
+    df = enc.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    codes = np.stack([np.frombuffer(c, dtype=np.uint8)
+                      for c in df["code"]])
+    assert codes.shape == (400, 8)
+    # layout independence: 7-way split encodes identically
+    pdf = t.to_pandas()
+    many = ray.data.from_pandas(
+        [pdf.iloc[i::7].reset_index(drop=True) for i in range(7)])
+    df2 = similarity.pq_encode(many, cb).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert list(df["code"]) == list(df2["code"])
+    # reconstruction error < permuted-codebook baseline
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rec = similarity.pq_decode_matrix(codes, cb)
+    err = ((mn - rec) ** 2).sum()
+    perm = cb[:, ::-1, :]  # wrong code->centroid mapping
+    err_bad = ((mn - similarity.pq_decode_matrix(codes, perm)) ** 2).sum()
+    assert err < 0.5 * err_bad
+
+
+def test_ann_pq_recall(ray_session):
+    import ray.data
+    rng = np.random.default_rng(53)
+    # clustered corpus (PQ's natural case), 64-dim
+    centers = rng.standard_normal((10, 64)) * 3
+    m = np.concatenate([
+        centers[i % 10] + rng.standard_normal(64) * 0.5
+        for i in range(500)]).reshape(500, 64)
+    t = pa.table({"vec_id": pa.array(range(500), type=pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in m],
+                                        type=pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    qm = m[:5]
+    exact = similarity.ann_topk(ds, np.arange(5), qm, k=10).to_pandas()
+    # classic 1-byte-per-subspace config: 8 uint8 codes per vector
+    approx = similarity.ann_pq_topk(ds, np.arange(5), qm, k=10,
+                                    m_sub=8, n_codes=256).to_pandas()
+    recalls = []
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.7  # deterministic given fixed seeds
