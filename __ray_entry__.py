@@ -316,8 +316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (full SQL oracles)
         "q_tfidf_topterms": textops.q_tfidf_topterms,
         "q_text_profile": textops.q_text_profile,
-        "q_quality": textops.q_quality,
-        "q_langid": textops.q_langid,
+        # combined-evidence slot (r4): quality + langid fused (★T2+★T3)
+        "q_quality_lang": textops.q_quality_lang,
         "q_regex_extract": textops.q_regex_extract,
         "q_text_normalize": textops.q_text_normalize,
         # corpus-shaping training-data ops (full SQL oracles)
@@ -333,8 +333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_nb_classifier": classify.q_nb_classifier,
         "q_dsir_weights": dsir.q_dsir_weights,
         # dedup (SQL-oracled subset)
-        "q_dedup_exact": dedup.q_dedup_exact,
-        "q_dedup_prefix": dedup.q_dedup_prefix,
+        # combined-evidence slot (r4): exact + prefix dedup fused (★D1)
+        "q_dedup_keys": dedup.q_dedup_keys,
         "q_incremental_dedup": dedup.q_incremental_dedup,
         "q_connected_components": dedup.q_connected_components,
         "q_embedding_dups": dedup.q_embedding_dups,
@@ -353,8 +353,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pip_events": spatial_queries.q_pip_events,
         "q_knn_events": spatial_queries.q_knn_events,
         "q_geobuf_roundtrip": spatial_queries.q_geobuf_roundtrip,
-        # this round's most complex new operators, driver-checked
+        # the rounds' most complex new operators, driver-checked
         # (pulled inside the window by the combined slots above)
+        "q_lm_perplexity": lm.q_lm_perplexity,
+        "q_domain_cap": weburl.q_domain_cap,
         "q_bm25": textops.q_bm25,
         "q_triangles": graph.q_triangles,
         # ==== DRIVER WINDOW BOUNDARY ====
@@ -365,8 +367,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the first 50 keys has an oracle_sql() entry).  Everything
         # below is SQL-oracled overflow for the local gate (simplest
         # oracles overflow first, per CLAUDE.md), then rows-only.
-        "q_lm_perplexity": lm.q_lm_perplexity,
-        "q_domain_cap": weburl.q_domain_cap,
+        "q_quality": textops.q_quality,
+        "q_langid": textops.q_langid,
+        "q_dedup_exact": dedup.q_dedup_exact,
+        "q_dedup_prefix": dedup.q_dedup_prefix,
         "q_featurize": dsir.q_featurize,
         "q13_customer_distribution": relational.q13_customer_distribution,
         "q_weighted_sample": corpus.q_weighted_sample,
@@ -445,6 +449,8 @@ def oracle_sql() -> dict[str, str]:
         "q_nb_classifier": classify.Q_NB_CLASSIFIER_SQL,
         "q_dsir_weights": dsir.Q_DSIR_WEIGHTS_SQL,
         "q_lm_perplexity": lm.Q_LM_PERPLEXITY_SQL,
+        "q_quality_lang": textops.QUALITY_LANG_SQL,
+        "q_dedup_keys": dedup.Q_DEDUP_KEYS_SQL,
         "q_domain_cap": weburl.Q_DOMAIN_CAP_SQL,
         "q_featurize": dsir.Q_FEATURIZE_SQL,
         "q13_customer_distribution": relational.Q13_SQL,

@@ -1305,6 +1305,58 @@ ORDER BY keep_id
 """
 
 
+def q_dedup_keys(sf_dir: str):
+    """Fused exact + prefix dedup (one driver slot covers both D1
+    variants — the window-freeing pattern of textops._TextProfile):
+    ONE keying pass computes both content keys, the narrow keyed table
+    is materialized once and feeds both grouped_aggs; results union
+    with a ``method`` tag."""
+    import hashlib
+
+    from .relational import grouped_agg
+
+    def keys(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "fp": [hashlib.md5(t.encode()).hexdigest()
+                   for t in batch["text"]],
+            "pfx": [" ".join(t.split()[:3]) for t in batch["text"]]})
+
+    keyed = _docs(sf_dir).map_batches(
+        keys, batch_format="pandas").materialize()
+
+    def tag(method: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch.insert(0, "method", method)
+            batch["n_dups"] = batch["n_dups"].astype(np.int64)
+            return batch
+        return fn
+
+    ex = grouped_agg(keyed, ["fp"], {"keep_id": ("doc_id", "min"),
+                                     "n_dups": ("doc_id", "size")}) \
+        .select_columns(["keep_id", "n_dups"]) \
+        .map_batches(tag("exact"), batch_format="pandas")
+    pf = grouped_agg(keyed, ["pfx"], {"keep_id": ("doc_id", "min"),
+                                      "n_dups": ("doc_id", "size")}) \
+        .select_columns(["keep_id", "n_dups"]) \
+        .map_batches(tag("prefix"), batch_format="pandas")
+    return ex.union(pf).sort(["method", "keep_id"])
+
+
+Q_DEDUP_KEYS_SQL = """
+SELECT 'exact' AS method, MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text)
+UNION ALL
+SELECT 'prefix' AS method, MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents
+GROUP BY array_to_string(regexp_extract_all(text, '\\S+')[1:3], ' ')
+ORDER BY method, keep_id
+"""
+
+
 def q_dedup_minhash(sf_dir: str):
     return minhash_dedup(_docs(sf_dir))
 

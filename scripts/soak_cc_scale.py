@@ -51,6 +51,16 @@ def rss_mb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
+def vm_rss_mb() -> float:
+    """CURRENT resident size (not peak) — attributes which stage holds
+    memory; in Ray local mode peak RSS also counts transient mmap'd
+    object-store pages the driver touches."""
+    with open("/proc/self/statm") as f:
+        pages = int(f.read().split()[1])
+    import os
+    return pages * os.sysconf("SC_PAGE_SIZE") / 1e6
+
+
 def main():
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS,
@@ -71,6 +81,7 @@ def main():
 
     docs = ray.data.read_parquet(src, columns=["doc_id", "text"])
     rss0 = rss_mb()
+    cur0 = vm_rss_mb()
     t0 = time.time()
     # verify="none": connectivity-only (exact template copies), keeps
     # the soak's cost in banding + the forest/CC machinery under test
@@ -78,8 +89,10 @@ def main():
     out_mat = out.materialize()
     sec = time.time() - t0
     rss1 = rss_mb()
+    cur1 = vm_rss_mb()
 
     reps = out_mat.to_pandas()
+    cur2 = vm_rss_mb()
     n_clusters = reps["rep_id"].nunique()
     n_merged = int((reps["doc_id"] != reps["rep_id"]).sum())
     expect_clusters = (N_DOCS + GROUP - 1) // GROUP
@@ -111,7 +124,9 @@ def main():
            "distributed_path_taken":
                bool(n_merged > dedup.UNION_FIND_LIMIT),
            "driver_rss_mb_before": round(rss0, 1),
-           "driver_rss_mb_after": round(rss1, 1)})
+           "driver_rss_mb_after": round(rss1, 1),
+           "driver_cur_rss_mb": [round(cur0, 1), round(cur1, 1),
+                                 round(cur2, 1)]})
     ray.shutdown()
 
 
