@@ -155,7 +155,9 @@ def run_bench() -> dict:
                      "q_weighted_sample", "q_bm25", "q_triangles",
                      # round-4 operators
                      "q_quantiles_all", "q_text_profile",
-                     "q_media_decode"]:
+                     "q_media_decode", "q_lm_perplexity",
+                     "q_domain_cap", "q_quality_lang",
+                     "q_dedup_keys", "q_pq_ann"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data

@@ -734,7 +734,14 @@ def minhash_dedup(docs_ds, threshold: float = 0.7, num_perm: int = 64,
                              "b": np.concatenate(out_b)}) \
             .drop_duplicates()
 
-    pairs_ds = (bands_ds.map_batches(add_coarse, batch_format="pandas")
+    from .shuffle import coalesce_for_shuffle
+    # the band table is high-fanout (``bands`` rows per doc) over the
+    # read's block structure — hundreds of small blocks, the shape that
+    # inlines num_blocks^2 tiny shuffle partitions into the DRIVER heap
+    # (see coalesce_for_shuffle); bound the block count first
+    pairs_ds = (coalesce_for_shuffle(
+                    bands_ds.map_batches(add_coarse,
+                                         batch_format="pandas"))
                 .groupby("__b")
                 .map_groups(coarse_pairs, batch_format="pandas"))
 
@@ -957,9 +964,15 @@ def assign_reps_distributed(docs_ds, labels_ds, n_buckets: int = 32):
                               ("label", pa.int64())])
     # inner join covers docs IN the label table; the rest are their own
     # rep — recover them with an anti-join-by-min trick: union docs as
-    # (node, label=node) with the joined rows and min per node
+    # (node, label=node) with the joined rows and min per node.
+    # the node stream is NARROW over the read's block structure —
+    # coalesce so the join/agg AllToAlls don't inline num_blocks^2
+    # tiny partitions into the driver (see coalesce_for_shuffle)
+    from .shuffle import coalesce_for_shuffle
+    nodes = coalesce_for_shuffle(
+        docs.map_batches(as_node, batch_format="pandas")).materialize()
     joined = bucketed_hash_join(
-        docs.map_batches(as_node, batch_format="pandas"), labels_ds,
+        nodes, labels_ds,
         on="node", n_buckets=n_buckets,
         schemas=(doc_schema, label_schema))
 
@@ -967,12 +980,13 @@ def assign_reps_distributed(docs_ds, labels_ds, n_buckets: int = 32):
         if schemaless_empty(batch):
             return pd.DataFrame({"node": pd.Series(dtype=np.int64),
                                  "label": pd.Series(dtype=np.int64)})
-        n = batch["doc_id"].to_numpy().astype(np.int64)
+        n = batch["node"].to_numpy().astype(np.int64)
         return pd.DataFrame({"node": n, "label": n})
 
     from .relational import grouped_agg, project_cols
-    both = joined.union(docs.map_batches(self_rows,
-                                         batch_format="pandas"))
+    # self rows reuse the coalesced node stream (one doc pass total)
+    both = joined.union(nodes.map_batches(self_rows,
+                                          batch_format="pandas"))
     out = grouped_agg(both, ["node"], {"label": ("label", "min")},
                       n_buckets=n_buckets)
 

@@ -72,6 +72,27 @@ def shuffle_safe_type(t: pa.DataType, name: str = "") -> pa.DataType:
     return t
 
 
+def coalesce_for_shuffle(ds, max_blocks: int | None = None):
+    """Bound the block count entering a sort/groupby AllToAll.
+
+    Ray's sort-based shuffle creates ``num_blocks x num_reduce``
+    intermediate partitions; with hundreds of small input blocks most
+    partitions fall under the inline-object threshold and land in the
+    DRIVER process's heap (measured: a 16M-row narrow groupby at 256
+    input blocks leaves 1.6 GB of anonymous driver memory and runs 2x
+    slower; at 64 blocks the same job is flat at ~130 MB).  High-fanout
+    map stages (LSH banding: 16 band rows per doc) inherit the read's
+    block count with far smaller blocks, exactly the bad shape.
+    Coalescing (split/merge, no exchange) to O(cluster cores) blocks
+    before the AllToAll keeps every shuffle partition above the inline
+    threshold and the driver O(1)."""
+    if max_blocks is None:
+        import ray
+        max_blocks = max(32, int(ray.cluster_resources()
+                                 .get("CPU", 32)) * 2)
+    return ds.repartition(max_blocks, shuffle=False)
+
+
 def pad_array(n: int, t: pa.DataType) -> pa.Array:
     """Side-padding column for a tagged co-partition transport (the
     other side's columns, never read by the bucket fn's Arrow-level
