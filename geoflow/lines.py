@@ -123,7 +123,12 @@ def line_dedup(docs_ds, sep: str = "\n", n_buckets: int | None = None,
                      pl.len().cast(pl.Int64).alias("n_lines_kept"))
                 .to_pandas())
 
-    exploded = docs_ds.map_batches(explode, batch_format="pandas")
+    from .shuffle import coalesce_for_shuffle
+    # the exploded line stream is high-fanout over the read's block
+    # structure — coalesce before the AllToAll so num_blocks^2 tiny
+    # shuffle partitions don't inline into the driver heap
+    exploded = coalesce_for_shuffle(
+        docs_ds.map_batches(explode, batch_format="pandas"))
     survivors = exploded.groupby("__b").map_groups(
         winners, batch_format="pandas")
     return (survivors.groupby("__d")
