@@ -22,9 +22,9 @@ from typing import Any
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-from geoflow import (bpe, classify, cluster, corpus,  # noqa: E402
-                     curate, dedup, dsir, graph, jsonops, lines, lm,
-                     multimodal, properties, relational, similarity,
+from geoflow import (analytics, bpe, classify, cluster,  # noqa: E402
+                     corpus, curate, dedup, dsir, graph, jsonops, lines,
+                     lm, multimodal, properties, relational, similarity,
                      spatial_queries, textops, weburl)
 
 # pages-table size per sf tier (synthesized deterministically, cached)
@@ -297,11 +297,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_nation_volume": relational.q5_nation_volume,
         "q_events_window": relational.q_events_window,
         "q_events_hopwindow": relational.q_events_hopwindow,
-        "q_orders_topk": relational.q_orders_topk,
-        "q_part_brand_stats": relational.q_part_brand_stats,
         "q_supplier_balance": relational.q_supplier_balance,
-        "q_distinct_segments": relational.q_distinct_segments,
         "q_bucket_join": relational.q_bucket_join,
+        # r4 addition with a full SQL oracle: anti-semijoin (★J8)
+        "q_antijoin": relational.q_antijoin,
         "q_sessionize": relational.q_sessionize,
         "q_asof_join": relational.q_asof_join,
         "q_interval_join": relational.q_interval_join,
@@ -353,8 +352,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pip_events": spatial_queries.q_pip_events,
         "q_knn_events": spatial_queries.q_knn_events,
         "q_geobuf_roundtrip": spatial_queries.q_geobuf_roundtrip,
+        # distance-band spatial self-join (★J9, grid co-partition) —
+        # the r4 spatial-tier headliner, driver-checked
+        "q_distance_join": spatial_queries.q_distance_join,
+        # exact heavy hitters via mergeable pruned summaries (r4)
+        "q_heavy_hitters": analytics.q_heavy_hitters,
         # the rounds' most complex new operators, driver-checked
-        # (pulled inside the window by the combined slots above)
+        # (pulled inside the window by the combined slots above and by
+        # overflowing q_orders_topk/q_distinct_segments past the cap —
+        # their operators stay driver-evidenced via q3_top_orders/
+        # q_distinct_users)
         "q_lm_perplexity": lm.q_lm_perplexity,
         "q_domain_cap": weburl.q_domain_cap,
         "q_bm25": textops.q_bm25,
@@ -367,6 +374,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the first 50 keys has an oracle_sql() entry).  Everything
         # below is SQL-oracled overflow for the local gate (simplest
         # oracles overflow first, per CLAUDE.md), then rows-only.
+        "q_rollup": analytics.q_rollup,
+        "q_rolling_window": analytics.q_rolling_window,
+        "q_orders_topk": relational.q_orders_topk,
+        "q_distinct_segments": relational.q_distinct_segments,
+        "q_part_brand_stats": relational.q_part_brand_stats,
         "q_quality": textops.q_quality,
         "q_langid": textops.q_langid,
         "q_dedup_exact": dedup.q_dedup_exact,
@@ -457,6 +469,11 @@ def oracle_sql() -> dict[str, str]:
         "q_weighted_sample": corpus.Q_WEIGHTED_SAMPLE_SQL,
         "q_bm25": textops.Q_BM25_SQL,
         "q_triangles": graph.Q_TRIANGLES_SQL,
+        "q_antijoin": relational.Q_ANTIJOIN_SQL,
+        "q_rollup": analytics.q_rollup_sql(),
+        "q_rolling_window": analytics.q_rolling_window_sql(),
+        "q_distance_join": spatial_queries.q_distance_join_sql(),
+        "q_heavy_hitters": analytics.q_heavy_hitters_sql(),
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,
         "q_media_features": multimodal.Q_MEDIA_SQL,
         "q_media_frames": multimodal.Q_MEDIA_FRAMES_SQL,

@@ -108,7 +108,11 @@ def bucketed_hash_join(left_ds, right_ds, on: str, n_buckets: int = 32,
             .select([on] + [c for c in lcols if c != on]).to_pandas()
         right = block.filter(pc.equal(side, 1)) \
             .select([on] + rcols).to_pandas()
-        if how == "left" and fill is not None:
+        if how == "anti":
+            # left rows with NO key match on the right — no merge at
+            # all, so left dtypes pass through untouched
+            out = left[~left[on].isin(right[on])]
+        elif how == "left" and fill is not None:
             # NEVER let pandas widen through NaN: a left merge with
             # one unmatched row converts the whole right payload to
             # float64, corrupting ints >= 2^53 even on MATCHED rows.
@@ -254,6 +258,50 @@ def adaptive_semijoin(big_ds, keys_ds, on: str,
         big_ds = big_ds.map_batches(prefilter, batch_format="pandas")
     return bucketed_hash_join(big_ds, keys_distinct, on,
                               n_buckets=n_buckets, schemas=schemas)
+
+
+def adaptive_antijoin(big_ds, keys_ds, on: str,
+                      broadcast_limit: int = BROADCAST_LIMIT,
+                      n_buckets: int = 32, schemas: tuple | None = None):
+    """ANTI-semijoin: ``big_ds`` rows whose ``on`` does NOT appear in
+    ``keys_ds`` (NOT EXISTS).  Same adaptive physical plan as
+    ``adaptive_semijoin``: build side materialized once, measured, then
+    either broadcast (map-only ``~isin`` filter) or the co-partitioned
+    ``bucketed_hash_join(how='anti')``.
+
+    No Bloom prefilter on the shuffle path: a Bloom filter has false
+    POSITIVES, which for an anti join would wrongly route definite
+    non-matches into the exact check — harmless — but it can never DROP
+    rows pre-shuffle (a false positive that skipped the exact check
+    would delete a surviving row).  Bloom-negative rows could bypass
+    the shuffle entirely, but that requires consuming ``big_ds`` twice
+    (two filtered branches re-execute lineage); the single-shuffle plan
+    is the honest default."""
+    import ray
+
+    from .shuffle import collect_pandas
+
+    keys_mat = keys_ds.materialize()  # build side only — never big_ds
+    if keys_mat.count() <= broadcast_limit:
+        keys = set(collect_pandas(keys_mat)[on].astype(np.int64))
+        ref = ray.put(keys)
+
+        def anti(batch: pd.DataFrame) -> pd.DataFrame:
+            from .shuffle import cached_get
+            return batch[~batch[on].isin(cached_get(ref))]
+
+        return big_ds.map_batches(anti, batch_format="pandas")
+    keys_distinct = (grouped_agg(keys_mat.select_columns([on]), [on],
+                                 {"__n": (on, "size")})
+                     .map_batches(project_cols([on]),
+                                  batch_format="pandas")
+                     .materialize())
+    if schemas is not None:
+        kschema = pa.schema([schemas[1].field(on)])
+        schemas = (schemas[0], kschema)
+    return bucketed_hash_join(big_ds, keys_distinct, on,
+                              n_buckets=n_buckets, schemas=schemas,
+                              how="anti")
 
 
 def adaptive_lookup_join(big_ds, right_ds, on: str,
@@ -1742,4 +1790,49 @@ FROM (SELECT c.c_custkey, CAST(COALESCE(oc.c_count, 0) AS BIGINT)
              AS c_count
       FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey) t
 GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# anti join (★J8): customers with no orders — TPC-H q22 flavor
+# ---------------------------------------------------------------------------
+
+def q_antijoin(sf_dir: str):
+    """Per-market-segment count + exact balance cents of customers that
+    placed NO urgent orders (NOT EXISTS) — adaptive anti-semijoin, then
+    the bucketed grouped aggregate."""
+    cust = read(sf_dir, "customer",
+                ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["c_custkey"],
+                         "c_mktsegment": batch["c_mktsegment"],
+                         "bal_c": _cents(batch["c_acctbal"])})
+
+    cust = cust.map_batches(prep, batch_format="pyarrow")
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["o_orderpriority"], "1-URGENT")
+        return pa.table({"c_custkey": batch.filter(keep)["o_custkey"]})
+
+    orders = read(sf_dir, "orders",
+                  ["o_custkey", "o_orderpriority"]).map_batches(
+        urgent, batch_format="pyarrow")
+    no_orders = adaptive_antijoin(cust, orders, on="c_custkey")
+    out = grouped_agg(no_orders, ["c_mktsegment"],
+                      {"n_customers": ("bal_c", "size"),
+                       "sum_bal_c": ("bal_c", "sum")})
+    return out.sort("c_mktsegment")
+
+
+Q_ANTIJOIN_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_bal_c
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
 """

@@ -269,3 +269,105 @@ def q_geobuf_roundtrip_sql() -> str:
 SELECT doc_id, {lng} AS lng_rt, {lat} AS lat_rt
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# distance-band spatial self-join (★J9) — grid co-partition, int-exact
+# ---------------------------------------------------------------------------
+
+DIST_R = 50_000  # radius in 1e-4-degree integer units (5.0 deg), planar
+
+
+def derive_xy_int(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Integer 1e-4-degree coordinates of the derived points (the same
+    derivation as ``derive_lnglat`` BEFORE the /1e4 — pure int64, so the
+    join predicate is exact in both numpy and SQL)."""
+    ids = ids.astype(np.int64)
+    xi = (ids * LNG_MUL) % LNG_MOD - LNG_OFF
+    yi = (ids * LAT_MUL) % LAT_MOD - LAT_OFF
+    return xi, yi
+
+
+def q_distance_join(sf_dir: str, r: int = DIST_R):
+    """All event pairs within planar distance ``r`` (1e-4-deg units):
+    the classic grid join.  Cell size == r, so any within-``r`` pair is
+    within Chebyshev distance 1 on the grid; the LEFT stream carries
+    each point once (home cell), the RIGHT stream replicates each point
+    to its 3x3 neighborhood — one co-partitioned shuffle on the cell
+    key, then a vectorized distance + ``a < b`` filter.  Each unordered
+    pair appears exactly once: in a's home cell (b's replica set covers
+    it; the mirrored candidate fails ``a < b``).  Shuffle volume is
+    n + 9n narrow rows — never an all-pairs stream (the 100-TB shape)."""
+    from .relational import bucketed_hash_join
+
+    # gx fits in 9 bits x gy in 8 -> pack into one int64 cell key
+    def home(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        xi, yi = derive_xy_int(ids)
+        gx = (xi + LNG_OFF) // r
+        gy = (yi + LAT_OFF) // r
+        return pa.table({"cell": pa.array(gx * 4096 + gy),
+                         "event_a": pa.array(ids),
+                         "xa": pa.array(xi), "ya": pa.array(yi)})
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        xi, yi = derive_xy_int(ids)
+        gx = (xi + LNG_OFF) // r
+        gy = (yi + LAT_OFF) // r
+        cells, eb, xb, yb = [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cells.append((gx + dx) * 4096 + (gy + dy))
+                eb.append(ids)
+                xb.append(xi)
+                yb.append(yi)
+        return pa.table({"cell": pa.array(np.concatenate(cells)),
+                         "event_b": pa.array(np.concatenate(eb)),
+                         "xb": pa.array(np.concatenate(xb)),
+                         "yb": pa.array(np.concatenate(yb))})
+
+    ev = _events(sf_dir)
+    left = ev.map_batches(home, batch_format="pyarrow")
+    right = ev.map_batches(replicate, batch_format="pyarrow")
+    joined = bucketed_hash_join(left, right, on="cell")
+
+    def flt(batch: pa.Table) -> pa.Table:
+        a = batch["event_a"].to_numpy(zero_copy_only=False)
+        b = batch["event_b"].to_numpy(zero_copy_only=False)
+        dx = batch["xa"].to_numpy(zero_copy_only=False) \
+            - batch["xb"].to_numpy(zero_copy_only=False)
+        dy = batch["ya"].to_numpy(zero_copy_only=False) \
+            - batch["yb"].to_numpy(zero_copy_only=False)
+        keep = (a < b) & (dx * dx + dy * dy <= r * r)
+        return pa.table({"event_a": pa.array(a[keep]),
+                         "event_b": pa.array(b[keep])})
+
+    return joined.map_batches(flt, batch_format="pyarrow") \
+        .sort(["event_a", "event_b"])
+
+
+def q_distance_join_sql(r: int = DIST_R) -> str:
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         (event_id * {LNG_MUL}) % {LNG_MOD} - {LNG_OFF} AS xi,
+         (event_id * {LAT_MUL}) % {LAT_MOD} - {LAT_OFF} AS yi
+  FROM events),
+cells AS (
+  SELECT event_id, xi, yi,
+         (xi + {LNG_OFF}) // {r} AS gx,
+         (yi + {LAT_OFF}) // {r} AS gy
+  FROM pts),
+reps AS (
+  SELECT event_id, xi, yi, gx + dx AS gx, gy + dy AS gy
+  FROM cells
+  CROSS JOIN (VALUES (-1), (0), (1)) AS ddx(dx)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS ddy(dy))
+SELECT a.event_id AS event_a, b.event_id AS event_b
+FROM cells a JOIN reps b ON a.gx = b.gx AND a.gy = b.gy
+WHERE a.event_id < b.event_id
+  AND (a.xi - b.xi) * (a.xi - b.xi)
+    + (a.yi - b.yi) * (a.yi - b.yi) <= {r * r}
+ORDER BY event_a, event_b
+"""

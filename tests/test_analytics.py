@@ -1,0 +1,165 @@
+"""Brute-force oracles for the r4 analytical operators: ROLLUP grouping
+sets, per-key rolling window, exact heavy hitters, anti join, and the
+distance-band grid join (SQL value parity runs in check_oracles.py; these
+tests pin the semantics against independent in-process references and
+exercise the non-default physical paths)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geoflow import analytics
+from geoflow.relational import adaptive_antijoin, adaptive_semijoin
+
+
+def _ds(df: pd.DataFrame, n_blocks: int = 4):
+    import ray.data
+    return ray.data.from_pandas(df).repartition(n_blocks)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)
+
+
+def test_grouped_rollup_matches_pandas_levels(ray_session, rng):
+    df = pd.DataFrame({
+        "a": rng.choice(list("xyz"), 500),
+        "b": rng.choice(list("pq"), 500),
+        "v": rng.integers(-100, 100, 500).astype(np.int64)})
+    out = analytics.grouped_rollup(
+        _ds(df), ["a", "b"],
+        {"s": ("v", "sum"), "n": ("v", "size")}).to_pandas()
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+
+    fine = df.groupby(["a", "b"], as_index=False).agg(
+        s=("v", "sum"), n=("v", "size"))
+    mid = df.groupby(["a"], as_index=False).agg(
+        s=("v", "sum"), n=("v", "size"))
+    mid["b"] = analytics.ROLLUP_ALL
+    tot = pd.DataFrame({"a": [analytics.ROLLUP_ALL],
+                        "b": [analytics.ROLLUP_ALL],
+                        "s": [df["v"].sum()], "n": [np.int64(len(df))]})
+    exp = pd.concat([fine, mid[["a", "b", "s", "n"]], tot],
+                    ignore_index=True).sort_values(
+        ["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+
+
+def test_rolling_sum_matches_pandas_rolling(ray_session, rng):
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 37, n).astype(np.int64),
+        "t": rng.integers(0, 10_000, n).astype(np.int64),
+        "o": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64)})
+    out = analytics.rolling_sum(_ds(df), "k", "t", "o", "v",
+                                preceding=3, out_col="r").to_pandas()
+    out = out.sort_values("o").reset_index(drop=True)
+
+    g = df.sort_values(["k", "t", "o"], kind="mergesort")
+    exp_r = (g.groupby("k", sort=False)["v"]
+             .rolling(4, min_periods=1).sum()
+             .reset_index(level=0, drop=True).astype(np.int64))
+    exp = pd.DataFrame({"o": g["o"].to_numpy(), "r": exp_r.to_numpy()}) \
+        .sort_values("o").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+
+
+def test_heavy_hitters_exact_under_forced_pruning(ray_session, rng):
+    # vocabulary far larger than m so every block MUST prune, and a few
+    # planted hot tokens cross the N//k threshold
+    words = [f"w{i}" for i in range(3000)]
+    texts = []
+    for i in range(400):
+        toks = list(rng.choice(words, 40))
+        if i % 2 == 0:
+            toks += ["hot1"] * 3 + ["hot2"] * 2
+        texts.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64),
+                       "text": texts})
+    k, m = 50, 64  # m+1 >= k, but m << vocab -> pruning is real
+    out = analytics.heavy_hitters(_ds(df, 8), k=k, m=m).to_pandas()
+
+    toks = pd.Series(" ".join(texts).split(" "))
+    toks = toks[toks != ""]
+    vc = toks.value_counts()
+    thr = len(toks) // k
+    exp = (vc[vc > thr].rename_axis("tok").reset_index(name="cnt")
+           .astype({"cnt": np.int64}).sort_values("tok")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp, check_dtype=True)
+    assert {"hot1", "hot2"} <= set(out["tok"])
+
+
+def test_heavy_hitters_rejects_m_below_k(ray_session):
+    df = pd.DataFrame({"doc_id": [0], "text": ["a b"]})
+    with pytest.raises(ValueError):
+        analytics.heavy_hitters(_ds(df, 1), k=100, m=50)
+
+
+def test_antijoin_paths_agree_and_complement_semijoin(ray_session, rng):
+    big = pd.DataFrame({
+        "id": np.arange(5000, dtype=np.int64),
+        "payload": rng.integers(0, 1 << 60, 5000).astype(np.int64)})
+    keys = pd.DataFrame({"id": rng.choice(5000, 1200,
+                                          replace=False).astype(np.int64)})
+
+    bc = adaptive_antijoin(_ds(big), _ds(keys), "id").to_pandas()
+    sh = adaptive_antijoin(_ds(big), _ds(keys), "id",
+                           broadcast_limit=0).to_pandas()
+    semi = adaptive_semijoin(_ds(big), _ds(keys), "id").to_pandas()
+
+    exp = big[~big["id"].isin(set(keys["id"]))]
+    for got in (bc, sh):
+        got = got.sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, exp.reset_index(drop=True), check_dtype=True)
+    # anti + semi partition the input exactly
+    assert len(bc) + len(semi) == len(big)
+    assert not (set(bc["id"]) & set(semi["id"]))
+
+
+def test_antijoin_shuffle_path_preserves_big_ints(ray_session):
+    # >= 2^53 payloads must survive the anti shuffle bit-exact (the
+    # float64-widening trap the join transport zero-padding guards)
+    sentinel = (1 << 53) + 1
+    big = pd.DataFrame({"id": np.arange(10, dtype=np.int64),
+                        "payload": np.arange(sentinel, sentinel + 10,
+                                             dtype=np.int64)})
+    keys = pd.DataFrame({"id": np.array([0, 1, 2], dtype=np.int64)})
+    out = adaptive_antijoin(_ds(big, 2), _ds(keys, 1), "id",
+                            broadcast_limit=0).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    assert out["payload"].tolist() == [sentinel + i for i in range(3, 10)]
+
+
+def test_distance_join_brute_force_parity(ray_session, tmp_path):
+    # write a small events table whose ids produce a mix of near/far
+    # derived points, then compare against the all-pairs reference
+    from geoflow import spatial_queries as sq
+
+    ids = np.arange(700, dtype=np.int64)
+    pa_tbl = pa.table({"event_id": pa.array(ids)})
+    import pyarrow.parquet as pq
+    d = tmp_path / "sfx"
+    d.mkdir()
+    pq.write_table(pa_tbl, d / "events.parquet")
+
+    out = sq.q_distance_join(str(d), r=200_000).to_pandas()
+
+    xi, yi = sq.derive_xy_int(ids)
+    dx = xi[:, None] - xi[None, :]
+    dy = yi[:, None] - yi[None, :]
+    hit = (dx * dx + dy * dy <= 200_000 ** 2) \
+        & (ids[:, None] < ids[None, :])
+    ai, bi = np.nonzero(hit)
+    exp = pd.DataFrame({"event_a": ids[ai], "event_b": ids[bi]}) \
+        .sort_values(["event_a", "event_b"]).reset_index(drop=True)
+    assert len(out) == len(exp) and len(exp) > 0
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp,
+                                  check_dtype=True)
+    # exactly-once: no duplicate pairs survived the 3x3 replication
+    assert not out.duplicated().any()
