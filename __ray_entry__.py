@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kmeans": cluster.q_kmeans,
         "q_bpe": bpe.q_bpe,
         "q_dedup_near": dedup.q_dedup_near,
+        "q_semdedup": dedup.q_semdedup,
         # ---- past the driver's 50-entry cap: rows-only queries whose
         # exact oracles (byte-level / brute-force) run in pytest and in
         # the local gate, so truncation loses the least evidence ----

@@ -1663,3 +1663,94 @@ WITH RECURSIVE edges AS (
 SELECT node, CAST(MIN(label) AS BIGINT) AS label
 FROM reach GROUP BY node ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (★D8): semantic dedup = k-means clusters + within-cluster
+# cosine-threshold components
+# ---------------------------------------------------------------------------
+
+def semdedup(emb_ds, k: int = 8, threshold: float = 0.4,
+             n_iter: int = 5):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
+    the embedding space, then EXACT cosine-threshold dedup WITHIN each
+    cluster — connected components of the per-cluster threshold graph,
+    keeping the min ``vec_id`` per component (the paper keeps the item
+    with the lowest centroid similarity; min-id is this repo's
+    deterministic-reproducibility convention, a documented deviation).
+    Returns (vec_id, cluster, rep_id, keep) sorted by vec_id.
+
+    Scale shape: the O(|c|^2) pair scan is confined to each cluster —
+    size ``k`` so N/k fits a worker (the paper runs 11k clusters for
+    100M docs); clusters co-locate through ONE groupby shuffle, and the
+    centroid fit/assign passes are the k-row-partial Lloyd iterations
+    already in cluster.py (shuffle-free).  Cross-cluster near-dups are
+    out of scope by design (the paper's recall trade); exact all-pairs
+    lives in ``embedding_dups``."""
+    import ray
+
+    from .cluster import kmeans_fit, quantize
+
+    cent, emb_mat = kmeans_fit(emb_ds, k=k, n_iter=n_iter)
+    ref = ray.put(cent)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import cached_get, schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({
+                "vec_id": pd.Series(dtype=np.int64),
+                "cluster": pd.Series(dtype=np.int64),
+                "embedding": pd.Series(dtype=object)})
+        c = cached_get(ref)
+        v = quantize(np.stack(batch["embedding"].to_numpy()))
+        d2 = ((v * v).sum(1)[:, None] - 2.0 * (v @ c.T)
+              + (c * c).sum(1)[None, :])
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
+            "cluster": d2.argmin(1).astype(np.int64),
+            "embedding": list(v)})
+
+    def dedup_cluster(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                              "cluster": pd.Series(dtype=np.int64),
+                              "rep_id": pd.Series(dtype=np.int64),
+                              "keep": pd.Series(dtype=bool)})
+        if len(group) == 0:
+            return empty
+        ids = group["vec_id"].to_numpy().astype(np.int64)
+        v = np.stack(group["embedding"].to_numpy()).astype(np.float64)
+        norm = np.linalg.norm(v, axis=1, keepdims=True)
+        norm[norm == 0.0] = 1.0
+        v /= norm
+        adj = (v @ v.T) >= threshold
+        np.fill_diagonal(adj, True)
+        # vectorized min-label propagation over the (cluster-sized)
+        # adjacency — the n^2 is already paid by the matmul above
+        labels = ids.copy()
+        big = np.iinfo(np.int64).max
+        while True:
+            nl = np.where(adj, labels[None, :], big).min(1)
+            if np.array_equal(nl, labels):
+                break
+            labels = nl
+        return pd.DataFrame({"vec_id": ids,
+                             "cluster": group["cluster"].to_numpy()
+                             .astype(np.int64),
+                             "rep_id": labels,
+                             "keep": ids == labels})
+
+    tagged = emb_mat.map_batches(tag, batch_format="pandas")
+    return (tagged.groupby("cluster")
+            .map_groups(dedup_cluster, batch_format="pandas")
+            .sort("vec_id"))
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup over the embeddings table (rows-only driver check; the
+    construction oracle — planted clustered duplicates vs a serial
+    reference — lives in tests/test_analytics.py)."""
+    import ray.data
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return semdedup(emb, k=8, threshold=0.4)

@@ -163,3 +163,36 @@ def test_distance_join_brute_force_parity(ray_session, tmp_path):
                                   check_dtype=True)
     # exactly-once: no duplicate pairs survived the 3x3 replication
     assert not out.duplicated().any()
+
+
+def test_semdedup_planted_duplicates(ray_session, rng):
+    # three well-separated clusters; inside each, groups of near-identical
+    # vectors (cos ~ 1) plus singletons -> kept set = min id per dup group
+    from geoflow.dedup import semdedup
+
+    d = 16
+    base = rng.normal(size=(3, d)) * 10.0
+    vecs, ids = [], []
+    vid = 0
+    for c in range(3):
+        for g in range(4):           # 4 dup groups per cluster
+            proto = base[c] + rng.normal(size=d)
+            for _ in range(3):       # 3 near-copies each
+                vecs.append(proto + rng.normal(size=d) * 1e-3)
+                ids.append(vid)
+                vid += 1
+    df = pd.DataFrame({"vec_id": np.array(ids, dtype=np.int64),
+                       "embedding": [v.astype(np.float32) for v in vecs]})
+    out = semdedup(_ds(df, 3), k=3, threshold=0.999).to_pandas()
+
+    assert len(out) == len(df)
+    # each group of 3 consecutive ids is one dup component
+    for g in range(12):
+        grp = out[out["vec_id"].isin(range(g * 3, g * 3 + 3))]
+        assert (grp["rep_id"] == g * 3).all()
+        assert grp["keep"].tolist() == [True, False, False]
+    # every dup GROUP lands wholly in one cluster (k-means may split a
+    # base across centroids — deterministic min-id init — but a split
+    # dup group would have failed the rep assertions above)
+    grp_clus = out.groupby(out["vec_id"] // 3)["cluster"].nunique()
+    assert (grp_clus == 1).all()
