@@ -157,7 +157,11 @@ def run_bench() -> dict:
                      "q_quantiles_all", "q_text_profile",
                      "q_media_decode", "q_lm_perplexity",
                      "q_domain_cap", "q_quality_lang",
-                     "q_dedup_keys", "q_pq_ann"]:
+                     "q_dedup_keys", "q_pq_ann",
+                     # round-4 late additions
+                     "q_antijoin", "q_rollup", "q_rolling_window",
+                     "q_distance_join", "q_heavy_hitters",
+                     "q_semdedup"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data

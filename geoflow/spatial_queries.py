@@ -288,25 +288,46 @@ def derive_xy_int(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return xi, yi
 
 
+#: half-plane neighbor offsets: H and -H partition the 8 neighbor
+#: deltas, so replicating the probe side to home+H (plus home itself)
+#: finds every cross-cell pair EXACTLY once — at home(a) when
+#: home(b)-home(a) is in -H, at home(b) when it is in H — with no
+#: ordering filter; only same-cell pairs (both points' (0,0) entries)
+#: appear twice and need ``a < b``.  Halves the candidate volume vs the
+#: naive 3x3 replication.
+_HALF_OFFSETS = ((0, 0), (1, 0), (-1, 1), (0, 1), (1, 1))
+
+_CELL_MIX = 2654435761  # odd multiplier: (gx, gy) rows otherwise land
+#                         in buckets by gy alone (4096 % n_buckets == 0)
+
+
+def _cell_key(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    # injective pack then multiplicative mix; the & keeps it positive.
+    # A (negligible-probability) mixed-key collision only co-locates
+    # two far-apart cells — extra candidates for the distance filter,
+    # never a wrong pair.
+    return ((gx * 4096 + gy) * _CELL_MIX) & ((1 << 62) - 1)
+
+
 def q_distance_join(sf_dir: str, r: int = DIST_R):
     """All event pairs within planar distance ``r`` (1e-4-deg units):
     the classic grid join.  Cell size == r, so any within-``r`` pair is
     within Chebyshev distance 1 on the grid; the LEFT stream carries
     each point once (home cell), the RIGHT stream replicates each point
-    to its 3x3 neighborhood — one co-partitioned shuffle on the cell
-    key, then a vectorized distance + ``a < b`` filter.  Each unordered
-    pair appears exactly once: in a's home cell (b's replica set covers
-    it; the mirrored candidate fails ``a < b``).  Shuffle volume is
-    n + 9n narrow rows — never an all-pairs stream (the 100-TB shape)."""
-    from .relational import bucketed_hash_join
+    to the half-plane neighborhood ``_HALF_OFFSETS`` — one
+    co-partitioned shuffle on the (mixed) cell key, then a vectorized
+    distance filter (+ ``a < b`` for same-cell candidates only; see
+    ``_HALF_OFFSETS`` for the exactly-once argument).  Output pairs are
+    canonical (min, max).  Shuffle volume is n + 5n narrow rows — never
+    an all-pairs stream (the 100-TB shape)."""
+    from .relational import _default_buckets, bucketed_hash_join
 
-    # gx fits in 9 bits x gy in 8 -> pack into one int64 cell key
     def home(batch: pa.Table) -> pa.Table:
         ids = batch["event_id"].to_numpy(zero_copy_only=False)
         xi, yi = derive_xy_int(ids)
         gx = (xi + LNG_OFF) // r
         gy = (yi + LAT_OFF) // r
-        return pa.table({"cell": pa.array(gx * 4096 + gy),
+        return pa.table({"cell": pa.array(_cell_key(gx, gy)),
                          "event_a": pa.array(ids),
                          "xa": pa.array(xi), "ya": pa.array(yi)})
 
@@ -316,12 +337,11 @@ def q_distance_join(sf_dir: str, r: int = DIST_R):
         gx = (xi + LNG_OFF) // r
         gy = (yi + LAT_OFF) // r
         cells, eb, xb, yb = [], [], [], []
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                cells.append((gx + dx) * 4096 + (gy + dy))
-                eb.append(ids)
-                xb.append(xi)
-                yb.append(yi)
+        for dx, dy in _HALF_OFFSETS:
+            cells.append(_cell_key(gx + dx, gy + dy))
+            eb.append(ids)
+            xb.append(xi)
+            yb.append(yi)
         return pa.table({"cell": pa.array(np.concatenate(cells)),
                          "event_b": pa.array(np.concatenate(eb)),
                          "xb": pa.array(np.concatenate(xb)),
@@ -330,18 +350,24 @@ def q_distance_join(sf_dir: str, r: int = DIST_R):
     ev = _events(sf_dir)
     left = ev.map_batches(home, batch_format="pyarrow")
     right = ev.map_batches(replicate, batch_format="pyarrow")
-    joined = bucketed_hash_join(left, right, on="cell")
+    joined = bucketed_hash_join(left, right, on="cell",
+                                n_buckets=2 * _default_buckets())
 
     def flt(batch: pa.Table) -> pa.Table:
         a = batch["event_a"].to_numpy(zero_copy_only=False)
         b = batch["event_b"].to_numpy(zero_copy_only=False)
-        dx = batch["xa"].to_numpy(zero_copy_only=False) \
-            - batch["xb"].to_numpy(zero_copy_only=False)
-        dy = batch["ya"].to_numpy(zero_copy_only=False) \
-            - batch["yb"].to_numpy(zero_copy_only=False)
-        keep = (a < b) & (dx * dx + dy * dy <= r * r)
-        return pa.table({"event_a": pa.array(a[keep]),
-                         "event_b": pa.array(b[keep])})
+        xa = batch["xa"].to_numpy(zero_copy_only=False)
+        ya = batch["ya"].to_numpy(zero_copy_only=False)
+        xb = batch["xb"].to_numpy(zero_copy_only=False)
+        yb = batch["yb"].to_numpy(zero_copy_only=False)
+        dx = xa - xb
+        dy = ya - yb
+        same_cell = ((xa + LNG_OFF) // r == (xb + LNG_OFF) // r) \
+            & ((ya + LAT_OFF) // r == (yb + LAT_OFF) // r)
+        keep = (dx * dx + dy * dy <= r * r) & (a != b) \
+            & (~same_cell | (a < b))
+        return pa.table({"event_a": pa.array(np.minimum(a, b)[keep]),
+                         "event_b": pa.array(np.maximum(a, b)[keep])})
 
     return joined.map_batches(flt, batch_format="pyarrow") \
         .sort(["event_a", "event_b"])
