@@ -131,7 +131,8 @@ def bucketed_hash_join(left_ds, right_ds, on: str, n_buckets: int = 32,
                 out = matched
         else:
             out = left.merge(right, on=on, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     return unioned.groupby("__b").map_groups(join_bucket,
                                              batch_format="pyarrow")
@@ -590,13 +591,15 @@ def interval_join(left_ds, right_ds, key: str, left_time: str,
             for c in rcols:
                 empty[c] = right[c].head(0)
             return pa.Table.from_pandas(pd.DataFrame(empty),
-                                        preserve_index=False)
+                                        preserve_index=False) \
+                .replace_schema_metadata(None)
         m = left.merge(right, on=[key, "__ck"], how="inner",
                        suffixes=("", "__r"))
         dt = m[left_time].to_numpy() - m[right_time].to_numpy()
         out = m[np.abs(dt) <= window_us].drop(columns=["__ck"])
         return pa.Table.from_pandas(out.reset_index(drop=True),
-                                    preserve_index=False)
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
 
     return unioned.groupby("__b").map_groups(join_bucket,
                                              batch_format="pyarrow")
@@ -712,7 +715,8 @@ def asof_join_copartition(left_ds, right_ds, key: str,
             for c in rcols:
                 empty[c] = right[c].head(0)
             return pa.Table.from_pandas(pd.DataFrame(empty),
-                                        preserve_index=False)
+                                        preserve_index=False) \
+                .replace_schema_metadata(None)
         left = left.sort_values(left_time, kind="mergesort")
         right = right.sort_values([right_time] + tiebreak,
                                   kind="mergesort").reset_index(drop=True)
@@ -730,7 +734,8 @@ def asof_join_copartition(left_ds, right_ds, key: str,
         taken = right.iloc[ridx].reset_index(drop=True)
         for c in rcols:
             out[c] = taken[c]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     return unioned.groupby("__b").map_groups(join_bucket,
                                              batch_format="pyarrow")
