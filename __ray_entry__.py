@@ -24,8 +24,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from geoflow import (analytics, bpe, classify, cluster,  # noqa: E402
                      corpus, curate, dedup, dsir, graph, jsonops, lines,
-                     lm, multimodal, properties, relational, similarity,
-                     spatial_queries, textops, weburl)
+                     lm, multimodal, properties, relational, setops,
+                     similarity, spatial_queries, textops, weburl)
 
 # pages-table size per sf tier (synthesized deterministically, cached)
 _PAGES_N = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
@@ -390,6 +390,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouped_quantiles": relational.q_grouped_quantiles,
         "q_token_stats": textops.q_token_stats,
         "q_fingerprint": textops.q_fingerprint,
+        # session-4 SQL-oracled additions (overflow; local-gate checked)
+        "q_cube": analytics.q_cube,
+        "q_lag_delta": analytics.q_lag_delta,
+        "q_argmax_mode": analytics.q_argmax_mode,
+        "q_covariance": analytics.q_covariance,
+        "q_pareto": analytics.q_pareto,
+        "q_setops": setops.q_setops,
         # ---- rows-only from here (pytest + local gate hold the exact
         # byte/value-level oracles), ranked by evidence value ----
         "q_flagship_tiles": _q_flagship_tiles,
@@ -473,6 +480,12 @@ def oracle_sql() -> dict[str, str]:
         "q_antijoin": relational.Q_ANTIJOIN_SQL,
         "q_rollup": analytics.q_rollup_sql(),
         "q_rolling_window": analytics.q_rolling_window_sql(),
+        "q_cube": analytics.q_cube_sql(),
+        "q_lag_delta": analytics.q_lag_delta_sql(),
+        "q_argmax_mode": analytics.q_argmax_mode_sql(),
+        "q_covariance": analytics.q_covariance_sql(),
+        "q_pareto": analytics.q_pareto_sql(),
+        "q_setops": setops.q_setops_sql(),
         "q_distance_join": spatial_queries.q_distance_join_sql(),
         "q_heavy_hitters": analytics.q_heavy_hitters_sql(),
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,

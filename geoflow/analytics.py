@@ -318,3 +318,481 @@ FROM toks GROUP BY tok
 HAVING COUNT(*) > (SELECT n // {HH_K} FROM tot)
 ORDER BY tok
 """
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets
+# ---------------------------------------------------------------------------
+
+def grouped_cube(ds, keys: list[str], specs: dict[str, tuple[str, str]],
+                 sentinel: str = ROLLUP_ALL):
+    """GROUP BY CUBE(keys): all 2^k grouping sets.  The input is touched
+    ONCE (finest level via ``grouped_agg``); every coarser set is
+    re-aggregated from its smallest already-computed superset, so each
+    extra level costs rows = that superset's group count.  Rolled-up
+    key columns carry ``sentinel``."""
+    from itertools import combinations
+
+    finest = grouped_agg(ds, keys, specs).materialize()
+    re_specs = {alias: (alias, _RE_AGG[fn])
+                for alias, (_src, fn) in specs.items()}
+    computed: dict[tuple, object] = {tuple(keys): finest}
+
+    def project(lvl, sub: tuple):
+        rolled = [k for k in keys if k not in sub]
+
+        def fill(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            if "__all" in batch.columns:
+                batch = batch.drop(columns=["__all"])
+            for k in rolled:
+                batch[k] = sentinel
+            return batch[keys + list(specs)]
+
+        return lvl.map_batches(fill, batch_format="pandas")
+
+    levels = [project(finest, tuple(keys))]
+    for size in range(len(keys) - 1, -1, -1):
+        for sub in combinations(keys, size):
+            parents = [k for k in computed if set(sub) <= set(k)]
+            parent = computed[min(parents, key=len)]
+            if sub:
+                lvl = grouped_agg(parent, list(sub),
+                                  re_specs).materialize()
+            else:
+                def add_all(batch: pd.DataFrame) -> pd.DataFrame:
+                    batch = batch.copy()
+                    batch["__all"] = np.int64(0)
+                    return batch
+
+                lvl = grouped_agg(
+                    parent.map_batches(add_all, batch_format="pandas"),
+                    ["__all"], re_specs).materialize()
+            computed[sub] = lvl
+            levels.append(project(lvl, sub))
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-key LAG / delta window
+# ---------------------------------------------------------------------------
+
+def lag_delta(ds, key_col: str, time_col: str, order_col: str,
+              val_col: str, lag: int = 1, fill: int = 0,
+              n_buckets: int = 32):
+    """Per-key ``LAG(val, lag)`` + delta, ordered by (time, order) —
+    int64-exact, same co-partition skeleton as ``rolling_sum``.
+
+    Returns (order_col, lag_col, delta_col) where a key's first ``lag``
+    rows take ``fill`` as the lagged value (SQL
+    ``COALESCE(LAG(v, lag) OVER ..., fill)``)."""
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__b"] = (batch[key_col].to_numpy()
+                        % n_buckets).astype(np.int64)
+        return batch
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame(
+                {order_col: pd.Series(dtype=np.int64),
+                 "lag_v": pd.Series(dtype=np.int64),
+                 "delta_v": pd.Series(dtype=np.int64)})
+        g = group.sort_values([key_col, time_col, order_col],
+                              kind="mergesort")
+        v = g[val_col].to_numpy().astype(np.int64)
+        k = g[key_col].to_numpy()
+        n = len(v)
+        lagv = np.full(n, np.int64(fill))
+        if n > lag:
+            same = k[lag:] == k[:-lag]
+            lagv[lag:] = np.where(same, v[:-lag], np.int64(fill))
+        return pd.DataFrame({order_col: g[order_col].to_numpy(),
+                             "lag_v": lagv,
+                             "delta_v": v - lagv})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__b").map_groups(build, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# grouped argmax / mode
+# ---------------------------------------------------------------------------
+
+def grouped_argmax(ds, keys: list[str], val_col: str,
+                   arg_cols: list[str], n_buckets: int | None = None):
+    """Per key group, the row with MAX ``val_col``; ties broken by the
+    smallest ``arg_cols`` (lexicographic).  Mergeable single-pass
+    shape: the per-batch partial keeps ONE best row per key (a
+    combiner — the shuffle moves <= one row per key per block), the
+    per-bucket final picks the best of bests.  Exact for any total
+    order, which (val DESC, args ASC) is."""
+    from .relational import _default_buckets
+    if n_buckets is None:
+        n_buckets = _default_buckets()
+    cols = keys + [val_col] + arg_cols
+    by = [val_col] + arg_cols
+    asc = [False] + [True] * len(arg_cols)
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(by, ascending=asc, kind="mergesort")
+        return g.groupby(keys, sort=False, as_index=False).head(1)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        out = best(batch[cols]).copy()
+        h = pd.util.hash_pandas_object(out[keys],
+                                       index=False).to_numpy()
+        out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return best(group)[cols]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("__b").map_groups(final, batch_format="pandas"))
+
+
+def grouped_mode(ds, keys: list[str], val_col: str,
+                 n_buckets: int | None = None):
+    """Most frequent ``val_col`` per key group (ties -> smallest value):
+    one bucketed count aggregate on (keys, val) then ``grouped_argmax``
+    over the (group-count-sized) counts."""
+    counts = grouped_agg(ds, keys + [val_col],
+                         {"cnt": (val_col, "size")},
+                         n_buckets=n_buckets)
+    return grouped_argmax(counts, keys, "cnt", [val_col],
+                          n_buckets=n_buckets)
+
+
+# ---------------------------------------------------------------------------
+# exact grouped covariance (integer fixed-point)
+# ---------------------------------------------------------------------------
+
+def grouped_covariance_n2(ds, keys: list[str], x_col: str, y_col: str,
+                          n_buckets: int | None = None):
+    """Per-group ``n^2 * cov_pop(x, y) = n*Sxy - Sx*Sy`` as EXACT int64
+    (x, y int64 inputs).  One combiner pass sums (xy, x, y, n); the
+    final subtraction is per-group scalar math.  Magnitudes are
+    validated against int64 (the 100-TB caveat: callers pre-scale)."""
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        out = batch[keys].copy()
+        x = batch[x_col].to_numpy().astype(np.int64)
+        y = batch[y_col].to_numpy().astype(np.int64)
+        out["__xy"] = x * y
+        out["__x"] = x
+        out["__y"] = y
+        return out
+
+    sums = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                       keys, {"sxy": ("__xy", "sum"),
+                              "sx": ("__x", "sum"),
+                              "sy": ("__y", "sum"),
+                              "n": ("__x", "size")},
+                       n_buckets=n_buckets)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        n = batch["n"].to_numpy().astype(object)
+        sxy = batch["sxy"].to_numpy().astype(object)
+        sx = batch["sx"].to_numpy().astype(object)
+        sy = batch["sy"].to_numpy().astype(object)
+        cov = n * sxy - sx * sy  # Python ints: no silent wrap
+        if len(cov) and max(abs(int(c)) for c in cov) >= 2 ** 62:
+            raise OverflowError("cov_n2 exceeds int64 — pre-scale x/y")
+        out = batch[keys + ["n"]].copy()
+        out["cov_n2"] = np.array([int(c) for c in cov],
+                                 dtype=np.int64)
+        return out
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# pareto frontier (skyline)
+# ---------------------------------------------------------------------------
+
+def _local_skyline(df: pd.DataFrame, x: str, y: str) -> pd.DataFrame:
+    """2-D strict-dominance skyline of DISTINCT (x, y) points,
+    maximizing both: p dominates q iff px >= qx, py >= qy and p is
+    strictly greater in at least one.  O(n log n) vectorized: sort by
+    (x desc, y desc); a point survives iff it leads its x-group AND its
+    y strictly exceeds every y seen at strictly greater x."""
+    d = df[[x, y]].drop_duplicates().sort_values(
+        [x, y], ascending=False, kind="mergesort")
+    xv = d[x].to_numpy()
+    yv = d[y].to_numpy()
+    n = len(d)
+    if n == 0:
+        return d
+    new_x = np.concatenate(([True], xv[1:] != xv[:-1]))
+    cummax = np.maximum.accumulate(yv)
+    starts = np.flatnonzero(new_x)
+    grp = np.cumsum(new_x) - 1
+    prev_last = np.maximum(starts[grp] - 1, 0)
+    prev_max = np.where(grp == 0, np.iinfo(np.int64).min,
+                        cummax[prev_last])
+    return d.loc[new_x & (yv > prev_max)]
+
+
+def pareto_frontier(ds, x_col: str, y_col: str):
+    """Distributed skyline: per-block local skylines (each globally
+    undominated point is locally undominated, so the union is a
+    superset of the answer), then one final skyline over the
+    (frontier-bounded) union.  The exchange moves local frontiers
+    only — bounded by distinct-x cardinality per block."""
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        out = _local_skyline(batch, x_col, y_col).copy()
+        out["__b"] = np.int64(0)
+        return out
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return _local_skyline(group, x_col, y_col)
+
+    return (ds.map_batches(local, batch_format="pandas")
+            .groupby("__b").map_groups(final, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# driver queries + oracles (session-4 additions)
+# ---------------------------------------------------------------------------
+
+def q_cube(sf_dir: str):
+    """orders GROUP BY CUBE(o_orderstatus, o_orderpriority): four
+    grouping sets from one input pass."""
+    from .relational import read
+
+    ds = read(sf_dir, "orders",
+              ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": batch["o_orderstatus"],
+            "o_orderpriority": batch["o_orderpriority"],
+            "price_c": _cents(batch["o_totalprice"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_cube(prepped, ["o_orderstatus", "o_orderpriority"],
+                       {"sum_price_c": ("price_c", "sum"),
+                        "n": ("price_c", "size")})
+    return out.sort(["o_orderstatus", "o_orderpriority"])
+
+
+def q_cube_sql() -> str:
+    return f"""
+SELECT COALESCE(o_orderstatus, '{ROLLUP_ALL}') AS o_orderstatus,
+       COALESCE(o_orderpriority, '{ROLLUP_ALL}') AS o_orderpriority,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_price_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_lag_delta(sf_dir: str):
+    """Per-user LAG(1) + delta of event value cents, ordered by
+    (ts, event_id) — first event per user lags to 0."""
+    from .relational import read
+
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts_us": batch["ts"].cast(pa.int64()),
+                         "value_c": _cents(batch["value"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = lag_delta(prepped, "user_id", "ts_us", "event_id",
+                    "value_c", lag=1, fill=0)
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"lag_v": "lag_c",
+                                     "delta_v": "delta_c"})
+
+    return out.map_batches(rename, batch_format="pandas").sort("event_id")
+
+
+def q_lag_delta_sql() -> str:
+    return """
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
+  FROM events)
+SELECT event_id,
+       CAST(COALESCE(LAG(value_c, 1) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id), 0) AS BIGINT)
+           AS lag_c,
+       CAST(value_c - COALESCE(LAG(value_c, 1) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id), 0) AS BIGINT)
+           AS delta_c
+FROM v ORDER BY event_id
+"""
+
+
+def q_argmax_mode(sf_dir: str):
+    """Two operators, one slot: per-nation top customer by acctbal
+    (argmax, ties -> min custkey) UNION the per-orderstatus modal
+    orderpriority (mode, ties -> smallest value), tagged by op."""
+    from .relational import read
+
+    cust = read(sf_dir, "customer",
+                ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch["c_nationkey"].cast(pa.int64()),
+            "acctbal_c": _cents(batch["c_acctbal"]),
+            "c_custkey": batch["c_custkey"]})
+
+    am = grouped_argmax(cust.map_batches(prep, batch_format="pyarrow"),
+                        ["key"], "acctbal_c", ["c_custkey"])
+
+    def shape_am(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"op": pd.Series(dtype=object),
+                                 "key": pd.Series(dtype=object),
+                                 "pick": pd.Series(dtype=object),
+                                 "val": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({
+            "op": "argmax",
+            "key": batch["key"].astype(np.int64).astype(str),
+            "pick": batch["c_custkey"].astype(np.int64).astype(str),
+            "val": batch["acctbal_c"].astype(np.int64)})
+
+    orders = read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    md = grouped_mode(orders, ["o_orderstatus"], "o_orderpriority")
+
+    def shape_md(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"op": pd.Series(dtype=object),
+                                 "key": pd.Series(dtype=object),
+                                 "pick": pd.Series(dtype=object),
+                                 "val": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({
+            "op": "mode",
+            "key": batch["o_orderstatus"].astype(str),
+            "pick": batch["o_orderpriority"].astype(str),
+            "val": batch["cnt"].astype(np.int64)})
+
+    return (am.map_batches(shape_am, batch_format="pandas")
+            .union(md.map_batches(shape_md, batch_format="pandas"))
+            .sort(["op", "key"]))
+
+
+def q_argmax_mode_sql() -> str:
+    return """
+WITH am AS (
+  SELECT c_nationkey, c_custkey,
+         CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_c
+  FROM customer
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY c_nationkey
+      ORDER BY CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) DESC,
+               c_custkey) = 1),
+md AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY o_orderstatus
+      ORDER BY COUNT(*) DESC, o_orderpriority) = 1)
+SELECT 'argmax' AS op, CAST(c_nationkey AS VARCHAR) AS key,
+       CAST(c_custkey AS VARCHAR) AS pick, acctbal_c AS val
+FROM am
+UNION ALL
+SELECT 'mode' AS op, o_orderstatus AS key, o_orderpriority AS pick,
+       cnt AS val
+FROM md
+ORDER BY op, key
+"""
+
+
+def q_covariance(sf_dir: str):
+    """Exact integer covariance statistic n^2*cov_pop(qty_c, disc_c)
+    per (returnflag, linestatus)."""
+    from .relational import read
+
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_c": _cents(batch["l_quantity"]),
+            "disc_c": _cents(batch["l_discount"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_covariance_n2(prepped,
+                                ["l_returnflag", "l_linestatus"],
+                                "qty_c", "disc_c")
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def q_covariance_sql() -> str:
+    return """
+WITH v AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) AS y
+  FROM lineitem)
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*)*SUM(x*y) - SUM(x)*SUM(y) AS BIGINT) AS cov_n2
+FROM v GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_pareto(sf_dir: str):
+    """Skyline of parts maximizing (p_size, p_retailprice) — distinct
+    undominated (size, price-cents) points."""
+    from .relational import read
+
+    ds = read(sf_dir, "part", ["p_size", "p_retailprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_size": batch["p_size"].cast(pa.int64()),
+            "price_c": _cents(batch["p_retailprice"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return pareto_frontier(prepped, "p_size", "price_c").sort("p_size")
+
+
+def q_pareto_sql() -> str:
+    # independent formulation: per-size max price, then a strictly-
+    # monotone filter via a window over strictly-greater sizes
+    return """
+WITH d AS (
+  SELECT p_size,
+         MAX(CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT))
+             AS price_c
+  FROM part GROUP BY p_size)
+SELECT CAST(p_size AS BIGINT) AS p_size, price_c
+FROM d
+QUALIFY price_c > COALESCE(MAX(price_c) OVER (
+    ORDER BY p_size DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    -9223372036854775808)
+ORDER BY p_size
+"""

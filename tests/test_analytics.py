@@ -196,3 +196,138 @@ def test_semdedup_planted_duplicates(ray_session, rng):
     # dup group would have failed the rep assertions above)
     grp_clus = out.groupby(out["vec_id"] // 3)["cluster"].nunique()
     assert (grp_clus == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# session-4 operators: CUBE, lag/delta, argmax/mode, covariance,
+# pareto frontier, set ops — brute-force in-process references
+# ---------------------------------------------------------------------------
+
+def test_grouped_cube_matches_pandas_levels(ray_session, rng):
+    df = pd.DataFrame({
+        "a": rng.choice(list("xyz"), 600),
+        "b": rng.choice(list("pqr"), 600),
+        "v": rng.integers(-100, 100, 600).astype(np.int64)})
+    out = analytics.grouped_cube(
+        _ds(df), ["a", "b"],
+        {"s": ("v", "sum"), "n": ("v", "size")}).to_pandas()
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+
+    S = analytics.ROLLUP_ALL
+    parts = []
+    for sub in [["a", "b"], ["a"], ["b"], []]:
+        if sub:
+            lvl = df.groupby(sub, as_index=False).agg(
+                s=("v", "sum"), n=("v", "size"))
+        else:
+            lvl = pd.DataFrame({"s": [df["v"].sum()],
+                                "n": [np.int64(len(df))]})
+        for k in ["a", "b"]:
+            if k not in sub:
+                lvl[k] = S
+        parts.append(lvl[["a", "b", "s", "n"]])
+    exp = (pd.concat(parts, ignore_index=True)
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    exp["n"] = exp["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+
+
+def test_lag_delta_matches_pandas_shift(ray_session, rng):
+    n = 800
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, n).astype(np.int64),
+        "t": rng.integers(0, 50, n).astype(np.int64),
+        "o": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-500, 500, n).astype(np.int64)})
+    for lag in (1, 3):
+        out = (analytics.lag_delta(_ds(df, 6), "k", "t", "o", "v",
+                                   lag=lag, fill=0)
+               .to_pandas().sort_values("o").reset_index(drop=True))
+        g = df.sort_values(["k", "t", "o"], kind="mergesort")
+        lagv = (g.groupby("k")["v"].shift(lag).fillna(0)
+                .astype(np.int64))
+        exp = pd.DataFrame({"o": g["o"].to_numpy(),
+                            "lag_v": lagv.to_numpy(),
+                            "delta_v": g["v"].to_numpy()
+                            - lagv.to_numpy()})
+        exp = exp.sort_values("o").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+
+
+def test_grouped_argmax_and_mode(ray_session, rng):
+    n = 700
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, n).astype(np.int64),
+        "v": rng.integers(0, 40, n).astype(np.int64),   # ties guaranteed
+        "id": rng.permutation(n).astype(np.int64)})
+    out = (analytics.grouped_argmax(_ds(df, 5), ["k"], "v", ["id"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (df.sort_values(["v", "id"], ascending=[False, True],
+                          kind="mergesort")
+           .groupby("k", as_index=False).head(1)
+           .sort_values("k").reset_index(drop=True)[["k", "v", "id"]])
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+
+    md = (analytics.grouped_mode(_ds(df, 5), ["k"], "v")
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    cnt = df.groupby(["k", "v"], as_index=False).agg(cnt=("v", "size"))
+    cnt["cnt"] = cnt["cnt"].astype(np.int64)
+    expm = (cnt.sort_values(["cnt", "v"], ascending=[False, True],
+                            kind="mergesort")
+            .groupby("k", as_index=False).head(1)
+            .sort_values("k").reset_index(drop=True)[["k", "cnt", "v"]])
+    pd.testing.assert_frame_equal(md, expm, check_dtype=True)
+
+
+def test_grouped_covariance_exact(ray_session, rng):
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.choice(list("ab"), n),
+        "x": rng.integers(0, 1000, n).astype(np.int64),
+        "y": rng.integers(-50, 50, n).astype(np.int64)})
+    out = (analytics.grouped_covariance_n2(_ds(df, 4), ["k"], "x", "y")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for _, row in out.iterrows():
+        sub = df[df["k"] == row["k"]]
+        nn = len(sub)
+        exact = (nn * int((sub["x"] * sub["y"]).sum())
+                 - int(sub["x"].sum()) * int(sub["y"].sum()))
+        assert row["n"] == nn and row["cov_n2"] == exact
+        # cross-check against float covariance (n^2 * cov_pop)
+        covf = np.cov(sub["x"], sub["y"], bias=True)[0, 1]
+        assert abs(row["cov_n2"] - covf * nn * nn) < 1e-3 * nn * nn
+
+
+def test_pareto_frontier_matches_bruteforce(ray_session, rng):
+    n = 400
+    df = pd.DataFrame({
+        "x": rng.integers(0, 25, n).astype(np.int64),
+        "y": rng.integers(0, 25, n).astype(np.int64)})
+    out = (analytics.pareto_frontier(_ds(df, 6), "x", "y")
+           .to_pandas().sort_values(["x", "y"]).reset_index(drop=True))
+    pts = df.drop_duplicates().to_numpy()
+    keep = []
+    for px, py in pts:
+        dominated = np.any((pts[:, 0] >= px) & (pts[:, 1] >= py)
+                           & ((pts[:, 0] > px) | (pts[:, 1] > py)))
+        if not dominated:
+            keep.append((px, py))
+    exp = (pd.DataFrame(keep, columns=["x", "y"]).astype(np.int64)
+           .sort_values(["x", "y"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+    # frontier is strictly decreasing in y as x increases
+    assert (np.diff(out["y"].to_numpy()) < 0).all()
+
+
+def test_set_ops_match_python_sets(ray_session, rng):
+    from geoflow.setops import except_distinct, intersect_distinct
+    l = pd.DataFrame({"k": rng.integers(0, 300, 900).astype(np.int64)})
+    r = pd.DataFrame({"k": rng.integers(150, 450, 900).astype(np.int64)})
+    inter = (intersect_distinct(_ds(l, 5), _ds(r, 5), ["k"])
+             .to_pandas()["k"].sort_values().tolist())
+    exc = (except_distinct(_ds(l, 5), _ds(r, 5), ["k"])
+           .to_pandas()["k"].sort_values().tolist())
+    ls, rs = set(l["k"]), set(r["k"])
+    assert inter == sorted(ls & rs)
+    assert exc == sorted(ls - rs)
+    assert len(inter) > 0 and len(exc) > 0
