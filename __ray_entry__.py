@@ -420,6 +420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tile_artifacts": _q_tile_artifacts,
         "q_winnow": textops.q_winnow,
         "q_media_decode": multimodal.q_media_decode,
+        "q_traj_simplify": spatial_queries.q_traj_simplify,
+        "q_convex_hull": spatial_queries.q_convex_hull,
     }
 
 

@@ -118,3 +118,91 @@ def segments_intersect_box(x1, y1, x2, y2, bx0, by0, bx1, by1) -> np.ndarray:
         t0 = np.where(~para & (p < 0), np.maximum(t0, t), t0)
         t1 = np.where(~para & (p > 0), np.minimum(t1, t), t1)
     return ok & (t0 <= t1)
+
+
+def simplify_dp_mask(xy: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas–Peucker keep-mask for one polyline (n, 2) — classic
+    perpendicular-distance-to-chord variant.  Iterative stack; the
+    distance scan per span is vectorized numpy, so the Python-level
+    work is O(kept points), not O(n).  Endpoints always kept."""
+    n = len(xy)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    eps2 = eps * eps
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a = xy[i]
+        d = xy[j] - a
+        seg = xy[i + 1:j]
+        l2 = float(d[0] * d[0] + d[1] * d[1])
+        if l2 == 0.0:
+            dx = seg[:, 0] - a[0]
+            dy = seg[:, 1] - a[1]
+            dist2 = dx * dx + dy * dy
+        else:
+            cross = ((seg[:, 0] - a[0]) * d[1]
+                     - (seg[:, 1] - a[1]) * d[0])
+            dist2 = cross * cross / l2
+        m = int(np.argmax(dist2))
+        if dist2[m] > eps2:
+            k = i + 1 + m
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return keep
+
+
+def _chain_half(pts: np.ndarray) -> list:
+    """One monotone-chain half-hull (strict turns: collinear points
+    dropped).  Python loop is O(len(pts)) — call after pruning."""
+    h: list = []
+    for p in pts:
+        while len(h) >= 2:
+            ox, oy = h[-2]
+            ax, ay = h[-1]
+            if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                h.pop()
+            else:
+                break
+        h.append((p[0], p[1]))
+    return h
+
+
+def convex_hull(xy: np.ndarray) -> np.ndarray:
+    """2-D convex hull vertices (CCW, starting at the lexicographically
+    smallest point; collinear boundary points excluded).  Akl–Toussaint
+    pruning first — points strictly inside the quadrilateral of the
+    four x/y-extreme points are discarded VECTORIZED, so the Python
+    monotone-chain loop only ever sees the thin candidate shell."""
+    pts = np.unique(np.asarray(xy, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    # Akl–Toussaint: quad of extreme points (xmin, ymax, xmax, ymin)
+    exts = pts[[pts[:, 0].argmin(), pts[:, 1].argmax(),
+                pts[:, 0].argmax(), pts[:, 1].argmin()]]
+    quad = np.unique(exts, axis=0)
+    if len(quad) >= 3:
+        # order quad CCW around its centroid, then test all points
+        # against every quad edge at once
+        c = quad.mean(axis=0)
+        order = np.argsort(np.arctan2(quad[:, 1] - c[1],
+                                      quad[:, 0] - c[0]))
+        q = quad[order]
+        inside = np.ones(len(pts), dtype=bool)
+        for k in range(len(q)):
+            a, b = q[k], q[(k + 1) % len(q)]
+            cr = ((b[0] - a[0]) * (pts[:, 1] - a[1])
+                  - (b[1] - a[1]) * (pts[:, 0] - a[0]))
+            inside &= cr > 0  # strictly inside this edge
+        pts = pts[~inside]
+    lower = _chain_half(pts)
+    upper = _chain_half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1], dtype=np.float64)
+    return hull

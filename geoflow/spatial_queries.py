@@ -397,3 +397,145 @@ WHERE a.event_id < b.event_id
     + (a.yi - b.yi) * (a.yi - b.yi) <= {r * r}
 ORDER BY event_a, event_b
 """
+
+
+# ---------------------------------------------------------------------------
+# trajectory simplification (Douglas–Peucker) + distributed convex hull
+# — engine-added geometry transforms beyond the reference codec
+#   (SURVEY §2.8 family; kernels in geom.py, pytest brute-force parity)
+# ---------------------------------------------------------------------------
+
+DP_EPS = 0.5  # degrees, planar on the derived 4-decimal lng/lat
+
+
+def trajectory_simplify(events_ds, eps: float = DP_EPS,
+                        n_buckets: int = 32):
+    """Per-user Douglas–Peucker simplification of the trajectory formed
+    by that user's events ordered by (ts, event_id), points derived
+    from event_id.
+
+    Shape: co-partition users into coarse hash buckets (one shuffle);
+    per bucket, a sort + per-user DP.  The per-user Python loop is
+    bounded by trajectory length — users partition freely across
+    buckets, so per-bucket work stays O(rows/bucket) at any corpus
+    size (trajectory length is the irreducible sequential unit of DP).
+
+    Returns (user_id, n_pts, n_kept, kept_sum) where kept_sum is the
+    int64 sum of kept event_ids — a value-checkable fingerprint of
+    WHICH points survived."""
+    import pandas as pd
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__b"] = (batch["user_id"].to_numpy()
+                        % n_buckets).astype(np.int64)
+        return batch
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        from .geom import simplify_dp_mask
+        if len(group) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "n_pts": pd.Series(dtype=np.int64),
+                 "n_kept": pd.Series(dtype=np.int64),
+                 "kept_sum": pd.Series(dtype=np.int64)})
+        g = group.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        ids = g["event_id"].to_numpy()
+        lng, lat = derive_lnglat(ids)
+        xy = np.stack([lng, lat], axis=1)
+        users = g["user_id"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], users[1:] != users[:-1])))
+        ends = np.concatenate((starts[1:], [len(users)]))
+        rows = []
+        for s, e in zip(starts, ends):
+            m = simplify_dp_mask(xy[s:e], eps)
+            rows.append((users[s], e - s, int(m.sum()),
+                         int(ids[s:e][m].sum())))
+        return pd.DataFrame(rows, columns=["user_id", "n_pts",
+                                           "n_kept", "kept_sum"]) \
+            .astype(np.int64)
+
+    return (events_ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__b").map_groups(build, batch_format="pandas"))
+
+
+def q_traj_simplify(sf_dir: str):
+    """Rows-only driver entry (DP is not SQL-expressible; pytest holds
+    the recursive-reference parity oracle)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def prep(batch):
+        import pyarrow as pa
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts": batch["ts"].cast(pa.int64())})
+
+    return (trajectory_simplify(ds.map_batches(prep,
+                                               batch_format="pyarrow"))
+            .sort("user_id"))
+
+
+def distributed_convex_hull(points_ds, x_col: str, y_col: str):
+    """Distributed 2-D convex hull: per-block local hulls (every global
+    hull vertex is a local hull vertex, so the union is a superset),
+    one exchange bounded by local hull sizes, final merge hull.
+    Same local-superset-then-merge exactness argument as
+    ``analytics.pareto_frontier``."""
+    import pandas as pd
+
+    from .geom import convex_hull
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({x_col: pd.Series(dtype=np.float64),
+                                 y_col: pd.Series(dtype=np.float64),
+                                 "__b": pd.Series(dtype=np.int64)})
+        h = convex_hull(np.stack([batch[x_col].to_numpy(np.float64),
+                                  batch[y_col].to_numpy(np.float64)],
+                                 axis=1))
+        return pd.DataFrame({x_col: h[:, 0], y_col: h[:, 1],
+                             "__b": np.zeros(len(h), dtype=np.int64)})
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        h = convex_hull(np.stack([group[x_col].to_numpy(np.float64),
+                                  group[y_col].to_numpy(np.float64)],
+                                 axis=1))
+        return pd.DataFrame({x_col: h[:, 0], y_col: h[:, 1]})
+
+    return (points_ds.map_batches(local, batch_format="pandas")
+            .groupby("__b").map_groups(final, batch_format="pandas"))
+
+
+def q_convex_hull(sf_dir: str):
+    """Hull of every derived event point, as exact 1e4 fixed-point
+    integer coordinates (the derived grid), sorted CCW from the
+    lexicographic minimum.  Rows-only driver entry; pytest holds the
+    brute-force parity oracle."""
+    import pandas as pd
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["event_id"].to_numpy()
+        lng, lat = derive_lnglat(ids)
+        return pd.DataFrame({"x": lng, "y": lat})
+
+    pts = _events(sf_dir).map_batches(prep, batch_format="pandas")
+    hull = distributed_convex_hull(pts, "x", "y")
+
+    def to_int(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"seq": pd.Series(dtype=np.int64),
+                                 "x_e4": pd.Series(dtype=np.int64),
+                                 "y_e4": pd.Series(dtype=np.int64)})
+        x = np.floor(batch["x"].to_numpy() * 1e4 + 0.5).astype(np.int64)
+        y = np.floor(batch["y"].to_numpy() * 1e4 + 0.5).astype(np.int64)
+        return pd.DataFrame({"seq": np.arange(len(x), dtype=np.int64),
+                             "x_e4": x, "y_e4": y})
+
+    return hull.map_batches(to_int, batch_format="pandas").sort("seq")

@@ -313,3 +313,112 @@ def test_clip_polygon_to_tile_conserves_area():
             total += tiles.ring_area(pts[k:k + ln])
             k += ln
     assert abs(total - tiles.ring_area(ring)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Douglas–Peucker + distributed convex hull (session-4)
+# ---------------------------------------------------------------------------
+
+def _dp_reference(xy, eps):
+    """Plain recursive DP — the independent oracle."""
+    import numpy as np
+    n = len(xy)
+    if n <= 2:
+        return list(range(n))
+    a, b = xy[0], xy[-1]
+    d = b - a
+    l2 = float(d @ d)
+    best, bd = 0, -1.0
+    for i in range(1, n - 1):
+        if l2 == 0.0:
+            dist = float(((xy[i] - a) ** 2).sum())
+        else:
+            cr = (xy[i][0] - a[0]) * d[1] - (xy[i][1] - a[1]) * d[0]
+            dist = cr * cr / l2
+        if dist > bd:
+            best, bd = i, dist
+    if bd > eps * eps:
+        left = _dp_reference(xy[:best + 1], eps)
+        right = _dp_reference(xy[best:], eps)
+        return left[:-1] + [i + best for i in right]
+    return [0, n - 1]
+
+
+def test_simplify_dp_matches_recursive_reference():
+    import numpy as np
+
+    from geoflow.geom import simplify_dp_mask
+    rng = np.random.default_rng(7)
+    for n in (2, 3, 5, 20, 100, 500):
+        xy = np.cumsum(rng.normal(size=(n, 2)), axis=0)
+        for eps in (0.1, 1.0, 5.0):
+            mask = simplify_dp_mask(xy, eps)
+            assert sorted(np.flatnonzero(mask)) == \
+                sorted(set(_dp_reference(xy, eps)))
+
+
+def test_convex_hull_matches_bruteforce():
+    import numpy as np
+
+    from geoflow.geom import convex_hull
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        pts = np.round(rng.normal(size=(rng.integers(3, 300), 2)), 3)
+        h = convex_hull(pts)
+        # brute-force hull vertex set: p is a vertex iff it is not a
+        # convex combination of the rest -> test via all-edges support
+        n = len(h)
+        assert n >= 3 or len(np.unique(pts, axis=0)) <= 2
+        x, y = h[:, 0], h[:, 1]
+        assert np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) > 0
+        for p in pts:                       # all points inside or on
+            for k in range(n):
+                a, b = h[k], h[(k + 1) % n]
+                cr = ((b[0] - a[0]) * (p[1] - a[1])
+                      - (b[1] - a[1]) * (p[0] - a[0]))
+                assert cr > -1e-9
+
+
+def test_distributed_convex_hull_equals_local(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geoflow.geom import convex_hull
+    from geoflow.spatial_queries import distributed_convex_hull
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(5000, 2)) * np.array([100.0, 40.0])
+    df = pd.DataFrame({"x": pts[:, 0], "y": pts[:, 1]})
+    out = (distributed_convex_hull(
+        ray.data.from_pandas(df).repartition(9), "x", "y").to_pandas())
+    exp = convex_hull(pts)
+    assert np.allclose(out[["x", "y"]].to_numpy(), exp)
+
+
+def test_trajectory_simplify_per_user(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geoflow.geom import simplify_dp_mask
+    from geoflow.spatial_queries import (DP_EPS, derive_lnglat,
+                                         trajectory_simplify)
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "ts": rng.integers(0, 10_000, n).astype(np.int64)})
+    out = (trajectory_simplify(ray.data.from_pandas(df).repartition(7))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert len(out) == df["user_id"].nunique()
+    assert (out["n_kept"] <= out["n_pts"]).all()
+    assert int(out["n_pts"].sum()) == n
+    # exact per-user parity against a driver-side reference
+    for uid in range(0, 40, 7):
+        g = df[df["user_id"] == uid].sort_values(["ts", "event_id"])
+        lng, lat = derive_lnglat(g["event_id"].to_numpy())
+        m = simplify_dp_mask(np.stack([lng, lat], 1), DP_EPS)
+        row = out[out["user_id"] == uid].iloc[0]
+        assert row["n_kept"] == m.sum()
+        assert row["kept_sum"] == g["event_id"].to_numpy()[m].sum()
