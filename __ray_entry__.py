@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_covariance": analytics.q_covariance,
         "q_pareto": analytics.q_pareto,
         "q_setops": setops.q_setops,
+        "q_token_budget": corpus.q_token_budget,
         # ---- rows-only from here (pytest + local gate hold the exact
         # byte/value-level oracles), ranked by evidence value ----
         "q_flagship_tiles": _q_flagship_tiles,
@@ -488,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
         "q_covariance": analytics.q_covariance_sql(),
         "q_pareto": analytics.q_pareto_sql(),
         "q_setops": setops.q_setops_sql(),
+        "q_token_budget": corpus.Q_TOKEN_BUDGET_SQL,
         "q_distance_join": spatial_queries.q_distance_join_sql(),
         "q_heavy_hitters": analytics.q_heavy_hitters_sql(),
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,

@@ -747,3 +747,125 @@ s AS (SELECT * FROM k ORDER BY key_fp DESC, doc_id ASC
       LIMIT {WSAMPLE_M})
 SELECT doc_id, n_chars, key_fp FROM s ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# per-domain token-budget selection (data-mixing primitive)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 2000
+
+
+def token_budget_select(docs_ds, budget: int = TOKEN_BUDGET,
+                        domain_col: str = "lang",
+                        n_buckets: int | None = None):
+    """Keep each domain's documents, in doc_id order, while the
+    domain's cumulative token count stays <= ``budget`` — the greedy
+    budgeted-mixing primitive (cap each domain by tokens, not rows;
+    the row-cap twin is ``weburl.domain_cap``).
+
+    Same exact-scan shape as ``pack_sequences`` (ONE narrow shuffle):
+    map-only token counting; order-preserving doc_id range buckets;
+    per-(bucket, domain) sums collect to the driver (n_buckets x
+    domains rows) whose per-domain exclusive cumsum is each bucket's
+    base offset; one co-partition shuffle of the narrow table; per
+    bucket a vectorized per-domain cumsum + threshold filter.  Output
+    (doc_id, domain, n_tokens, cum_tokens) for kept docs."""
+    import polars as pl
+
+    from .shuffle import collect_pandas, schemaless_empty
+
+    if n_buckets is None:
+        from .relational import _default_buckets
+        n_buckets = _default_buckets()
+
+    def count_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"doc_id": np.int64, domain_col: object,
+                           "n_tokens": np.int64})
+        out = (pl.from_pandas(batch[["doc_id", domain_col, "text"]])
+               .with_columns(pl.col("text").str.count_matches("[^ ]+")
+                             .cast(pl.Int64).alias("n_tokens"))
+               .select(["doc_id", domain_col, "n_tokens"]).to_pandas())
+        return out.astype({"doc_id": np.int64, "n_tokens": np.int64})
+
+    counts = docs_ds.map_batches(count_tokens,
+                                 batch_format="pandas").materialize()
+    mn = int(counts.min("doc_id"))
+    mx = int(counts.max("doc_id"))
+    width = max(1, (mx - mn + n_buckets) // n_buckets)
+
+    def add_rb(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"doc_id": np.int64, domain_col: object,
+                           "n_tokens": np.int64, "__rb": np.int64})
+        out = batch.copy()
+        out["__rb"] = (out["doc_id"].to_numpy() - mn) // width
+        return out
+
+    cb = counts.map_batches(add_rb, batch_format="pandas").materialize()
+    from .relational import grouped_agg
+    sums = collect_pandas(
+        grouped_agg(cb, ["__rb", domain_col],
+                    {"s": ("n_tokens", "sum")}))
+    sums = sums.sort_values(["__rb"])
+    base: dict = {}
+    run: dict = {}
+    for rb, dom, s in zip(sums["__rb"], sums[domain_col], sums["s"]):
+        base[(int(rb), dom)] = run.get(dom, 0)
+        run[dom] = run.get(dom, 0) + int(s)
+
+    def scan_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": np.int64, domain_col: object,
+                "n_tokens": np.int64, "cum_tokens": np.int64}
+        if len(group) == 0:
+            return _empty(cols)
+        g = group.sort_values([domain_col, "doc_id"], kind="mergesort")
+        nt = g["n_tokens"].to_numpy()
+        doms = g[domain_col].to_numpy()
+        new = np.concatenate(([True], doms[1:] != doms[:-1]))
+        cs = np.cumsum(nt)
+        seg_base = np.where(new, cs - nt, 0)
+        seg_base = np.maximum.accumulate(seg_base)
+        inclusive = cs - seg_base  # per-domain inclusive cumsum
+        rb = int(g["__rb"].iloc[0])
+        dom_base = np.array([base.get((rb, d), 0) for d in
+                             (doms[new])], dtype=np.int64)
+        # broadcast each domain segment's base
+        seg_id = np.cumsum(new) - 1
+        cum = inclusive + dom_base[seg_id]
+        keep = cum <= budget
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy()[keep],
+            domain_col: doms[keep],
+            "n_tokens": nt[keep],
+            "cum_tokens": cum[keep].astype(np.int64)})
+
+    return cb.groupby("__rb").map_groups(scan_bucket,
+                                         batch_format="pandas") \
+        .sort("doc_id")
+
+
+def q_token_budget(sf_dir: str):
+    """Greedy per-lang token-budget selection over documents."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "text"])
+    return token_budget_select(docs)
+
+
+Q_TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= {TOKEN_BUDGET} ORDER BY doc_id
+"""

@@ -1692,3 +1692,31 @@ def test_ann_pq_recall(ray_session):
         a = set(approx[approx["query_id"] == q]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.7  # deterministic given fixed seeds
+
+
+def test_token_budget_select_matches_pandas_scan(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geoflow.corpus import token_budget_select
+    rng = np.random.default_rng(9)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(10_000)[:n].astype(np.int64),
+        "lang": rng.choice(["en", "de", "zh"], n),
+        "text": ["w " * int(k) for k in rng.integers(1, 60, n)]})
+    out = (token_budget_select(
+        ray.data.from_pandas(df).repartition(7), budget=500,
+        n_buckets=5).to_pandas().reset_index(drop=True))
+
+    ref = df.copy()
+    ref["n_tokens"] = [t.count("w") for t in ref["text"]]
+    ref = ref.sort_values("doc_id", kind="mergesort")
+    ref["cum_tokens"] = ref.groupby("lang")["n_tokens"].cumsum()
+    ref = (ref[ref["cum_tokens"] <= 500]
+           [["doc_id", "lang", "n_tokens", "cum_tokens"]]
+           .reset_index(drop=True)
+           .astype({"n_tokens": np.int64, "cum_tokens": np.int64}))
+    pd.testing.assert_frame_equal(out, ref, check_dtype=True)
+    assert len(ref) > 0 and len(ref) < n   # the budget actually bites
