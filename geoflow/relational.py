@@ -129,6 +129,31 @@ def bucketed_hash_join(left_ds, right_ds, on: str, n_buckets: int = 32,
                 out = pd.concat([matched, un], ignore_index=True)
             else:
                 out = matched
+        elif how == "outer" and fill is not None:
+            # FULL OUTER with int-exact fills on BOTH sides — same
+            # no-NaN-widening rule as the left path: inner merge keeps
+            # matched dtypes, each side's unmatched rows take the fill
+            # constants in the other side's DECLARED dtype.
+            matched = left.merge(right, on=on, how="inner")
+            order = [on] + [c for c in lcols if c != on] + rcols
+            parts = [matched[order]]
+            lun = left[~left[on].isin(right[on])]
+            if len(lun):
+                lun = lun.copy()
+                for c in rcols:
+                    dt = rtypes[c].to_pandas_dtype()
+                    lun[c] = np.full(len(lun), fill[c], dtype=dt)
+                parts.append(lun[order])
+            run_ = right[~right[on].isin(left[on])]
+            if len(run_):
+                run_ = run_.copy()
+                for c in lcols:
+                    if c != on:
+                        dt = ltypes[c].to_pandas_dtype()
+                        run_[c] = np.full(len(run_), fill[c], dtype=dt)
+                parts.append(run_[order])
+            out = (pd.concat(parts, ignore_index=True)
+                   if len(parts) > 1 else parts[0])
         else:
             out = left.merge(right, on=on, how=how)
         return pa.Table.from_pandas(out, preserve_index=False) \
@@ -386,6 +411,71 @@ def left_lookup_join(big_ds, right_ds, on: str, fill: dict,
                               fill=fill)
 
 
+def full_outer_join(left_ds, right_ds, on: str, fill: dict,
+                    n_buckets: int = 32, schemas: tuple | None = None):
+    """FULL OUTER join of two large sides through the co-partitioned
+    bucketed join — every key from either side survives; the absent
+    side's payload columns take their ``fill`` value in the declared
+    dtype (int-exact, no NaN widening).  ``fill`` must cover every
+    payload column of BOTH sides (validated here, not in a worker)."""
+    if schemas is not None:
+        lschema, rschema = schemas
+    else:
+        lschema = left_ds.schema()
+        rschema = right_ds.schema()
+    payload = [c for c in list(lschema.names) + list(rschema.names)
+               if c != on]
+    missing = [c for c in payload if c not in fill]
+    if missing:
+        raise ValueError(
+            f"fill must cover every payload column of both sides; "
+            f"missing {missing}")
+    return bucketed_hash_join(left_ds, right_ds, on,
+                              n_buckets=n_buckets, how="outer",
+                              fill=fill, schemas=(lschema, rschema))
+
+
+def q_full_outer(sf_dir: str):
+    """Per-custkey 1995 vs 1996 order counts, FULL OUTER joined with
+    zero fills — customers active in either year appear once."""
+    import pyarrow.compute as _pc
+
+    def year_counts(y: int, alias: str):
+        ds = read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+        def pick(batch: pa.Table) -> pa.Table:
+            keep = _pc.equal(_pc.year(batch["o_orderdate"]),
+                             pa.scalar(y, pa.int64()))
+            return batch.filter(keep).select(["o_custkey"])
+
+        return grouped_agg(ds.map_batches(pick, batch_format="pyarrow"),
+                           ["o_custkey"],
+                           {alias: ("o_custkey", "size")})
+
+    l = year_counts(1995, "n95")
+    r = year_counts(1996, "n96")
+    out = full_outer_join(
+        l, r, on="o_custkey", fill={"n95": 0, "n96": 0},
+        schemas=(pa.schema([("o_custkey", pa.int64()),
+                            ("n95", pa.int64())]),
+                 pa.schema([("o_custkey", pa.int64()),
+                            ("n96", pa.int64())])))
+    return out.sort("o_custkey")
+
+
+Q_FULL_OUTER_SQL = """
+WITH c95 AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n95
+             FROM orders WHERE year(o_orderdate) = 1995
+             GROUP BY o_custkey),
+     c96 AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n96
+             FROM orders WHERE year(o_orderdate) = 1996
+             GROUP BY o_custkey)
+SELECT COALESCE(c95.o_custkey, c96.o_custkey) AS o_custkey,
+       CAST(COALESCE(n95, 0) AS BIGINT) AS n95,
+       CAST(COALESCE(n96, 0) AS BIGINT) AS n96
+FROM c95 FULL OUTER JOIN c96 ON c95.o_custkey = c96.o_custkey
+ORDER BY o_custkey
+"""
 
 
 def project_cols(cols: list[str]):

@@ -532,3 +532,36 @@ def test_left_join_bucketed_preserves_declared_int32(ray_session):
     assert list(out["k"]) == [1, 2, 3, 4, 5, 6]
     assert list(out["v32"]) == [0, 7, 0, 8, 0, 0]
     assert out["v32"].dtype == np.int32
+
+
+def test_full_outer_join_int_exact_fills(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from geoflow.relational import full_outer_join
+
+    big = np.int64(2 ** 53 + 3)        # corrupted by any float64 pass
+    l = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64),
+                      "lv": np.array([big, 10, 11], dtype=np.int64)})
+    r = pd.DataFrame({"k": np.array([2, 3, 4], dtype=np.int64),
+                      "rv": np.array([20, big + 1, 21],
+                                     dtype=np.int64)})
+    schemas = (pa.schema([("k", pa.int64()), ("lv", pa.int64())]),
+               pa.schema([("k", pa.int64()), ("rv", pa.int64())]))
+    out = (full_outer_join(ray.data.from_pandas(l).repartition(2),
+                           ray.data.from_pandas(r).repartition(2),
+                           on="k", fill={"lv": 0, "rv": -1},
+                           schemas=schemas, n_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = pd.DataFrame({
+        "k": np.array([1, 2, 3, 4], dtype=np.int64),
+        "lv": np.array([big, 10, 11, 0], dtype=np.int64),
+        "rv": np.array([-1, 20, big + 1, 21], dtype=np.int64)})
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+
+    with __import__("pytest").raises(ValueError, match="missing"):
+        full_outer_join(ray.data.from_pandas(l),
+                        ray.data.from_pandas(r), on="k",
+                        fill={"lv": 0}, schemas=schemas)
