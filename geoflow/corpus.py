@@ -772,6 +772,7 @@ def token_budget_select(docs_ds, budget: int = TOKEN_BUDGET,
     bucket a vectorized per-domain cumsum + threshold filter.  Output
     (doc_id, domain, n_tokens, cum_tokens) for kept docs."""
     import polars as pl
+    import pyarrow as pa
 
     from .shuffle import collect_pandas, schemaless_empty
 
@@ -779,15 +780,25 @@ def token_budget_select(docs_ds, budget: int = TOKEN_BUDGET,
         from .relational import _default_buckets
         n_buckets = _default_buckets()
 
-    def count_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+    # typed ARROW empties/outputs: a zero-row pandas frame with an
+    # object column trips Ray's block-size estimator (per-block error
+    # logs), and string columns travel better as Arrow through the
+    # one shuffle below (CLAUDE.md object-column invariant)
+    cnt_schema = pa.schema([("doc_id", pa.int64()),
+                            (domain_col, pa.string()),
+                            ("n_tokens", pa.int64())])
+    rb_schema = cnt_schema.append(pa.field("__rb", pa.int64()))
+
+    def count_tokens(batch: pd.DataFrame):
         if schemaless_empty(batch) or len(batch) == 0:
-            return _empty({"doc_id": np.int64, domain_col: object,
-                           "n_tokens": np.int64})
+            return cnt_schema.empty_table()
         out = (pl.from_pandas(batch[["doc_id", domain_col, "text"]])
                .with_columns(pl.col("text").str.count_matches("[^ ]+")
                              .cast(pl.Int64).alias("n_tokens"))
                .select(["doc_id", domain_col, "n_tokens"]).to_pandas())
-        return out.astype({"doc_id": np.int64, "n_tokens": np.int64})
+        out = out.astype({"doc_id": np.int64, "n_tokens": np.int64})
+        return pa.Table.from_pandas(out, schema=cnt_schema,
+                                    preserve_index=False)
 
     counts = docs_ds.map_batches(count_tokens,
                                  batch_format="pandas").materialize()
@@ -795,15 +806,16 @@ def token_budget_select(docs_ds, budget: int = TOKEN_BUDGET,
     mx = int(counts.max("doc_id"))
     width = max(1, (mx - mn + n_buckets) // n_buckets)
 
-    def add_rb(batch: pd.DataFrame) -> pd.DataFrame:
-        if schemaless_empty(batch) or len(batch) == 0:
-            return _empty({"doc_id": np.int64, domain_col: object,
-                           "n_tokens": np.int64, "__rb": np.int64})
-        out = batch.copy()
-        out["__rb"] = (out["doc_id"].to_numpy() - mn) // width
-        return out
+    def add_rb(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return rb_schema.empty_table()
+        rb = (batch["doc_id"].to_numpy() - mn) // width
+        return batch.append_column("__rb",
+                                   pa.array(rb, pa.int64()))
 
-    cb = counts.map_batches(add_rb, batch_format="pandas").materialize()
+    cb_arrow = counts.map_batches(add_rb, batch_format="pyarrow")
+
+    cb = cb_arrow.materialize()
     from .relational import grouped_agg
     sums = collect_pandas(
         grouped_agg(cb, ["__rb", domain_col],
@@ -815,11 +827,14 @@ def token_budget_select(docs_ds, budget: int = TOKEN_BUDGET,
         base[(int(rb), dom)] = run.get(dom, 0)
         run[dom] = run.get(dom, 0) + int(s)
 
-    def scan_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        cols = {"doc_id": np.int64, domain_col: object,
-                "n_tokens": np.int64, "cum_tokens": np.int64}
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            (domain_col, pa.string()),
+                            ("n_tokens", pa.int64()),
+                            ("cum_tokens", pa.int64())])
+
+    def scan_bucket(group: pd.DataFrame):
         if len(group) == 0:
-            return _empty(cols)
+            return out_schema.empty_table()
         g = group.sort_values([domain_col, "doc_id"], kind="mergesort")
         nt = g["n_tokens"].to_numpy()
         doms = g[domain_col].to_numpy()
@@ -835,11 +850,13 @@ def token_budget_select(docs_ds, budget: int = TOKEN_BUDGET,
         seg_id = np.cumsum(new) - 1
         cum = inclusive + dom_base[seg_id]
         keep = cum <= budget
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].to_numpy()[keep],
-            domain_col: doms[keep],
-            "n_tokens": nt[keep],
-            "cum_tokens": cum[keep].astype(np.int64)})
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy()[keep],
+                               pa.int64()),
+            domain_col: pa.array(doms[keep], pa.string()),
+            "n_tokens": pa.array(nt[keep], pa.int64()),
+            "cum_tokens": pa.array(cum[keep].astype(np.int64),
+                                   pa.int64())})
 
     return cb.groupby("__rb").map_groups(scan_bucket,
                                          batch_format="pandas") \
