@@ -399,6 +399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_setops": setops.q_setops,
         "q_token_budget": corpus.q_token_budget,
         "q_full_outer": relational.q_full_outer,
+        "q_funnel": analytics.q_funnel,
+        "q_ntile": analytics.q_ntile,
         # ---- rows-only from here (pytest + local gate hold the exact
         # byte/value-level oracles), ranked by evidence value ----
         "q_flagship_tiles": _q_flagship_tiles,
@@ -492,6 +494,8 @@ def oracle_sql() -> dict[str, str]:
         "q_setops": setops.q_setops_sql(),
         "q_token_budget": corpus.Q_TOKEN_BUDGET_SQL,
         "q_full_outer": relational.Q_FULL_OUTER_SQL,
+        "q_funnel": analytics.q_funnel_sql(),
+        "q_ntile": analytics.q_ntile_sql(),
         "q_distance_join": spatial_queries.q_distance_join_sql(),
         "q_heavy_hitters": analytics.q_heavy_hitters_sql(),
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,

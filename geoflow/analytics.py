@@ -796,3 +796,218 @@ QUALIFY price_c > COALESCE(MAX(price_c) OVER (
     -9223372036854775808)
 ORDER BY p_size
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel conversion (ordered multi-step per-user analysis)
+# ---------------------------------------------------------------------------
+
+def funnel_counts(events_ds, steps: list[str], user_col: str = "user_id",
+                  type_col: str = "event_type", time_col: str = "ts",
+                  order_col: str = "event_id", n_buckets: int = 32):
+    """Classic ordered funnel: per user, step k counts iff an event of
+    ``steps[k]`` occurs STRICTLY AFTER the user's step-(k-1) anchor
+    (ordering = (time, order) lexicographic; each step's anchor is its
+    FIRST qualifying event).  Returns (stage, n_users) for stage
+    1..len(steps).
+
+    Shape: one co-partition shuffle on the user hash bucket; per
+    bucket, every step is a vectorized masked pandas groupby-min over
+    the (user, time, order)-sorted rows (no per-user Python); the
+    per-bucket stage counts combine through one tiny ``grouped_agg``."""
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        batch = batch.copy()
+        batch["__b"] = (batch[user_col].to_numpy()
+                        % n_buckets).astype(np.int64)
+        return batch
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame({"stage": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        g = (group.sort_values([user_col, time_col, order_col],
+                               kind="mergesort").reset_index(drop=True))
+        pos = np.arange(len(g), dtype=np.int64)
+        users = g[user_col]
+        types = g[type_col].to_numpy()
+        INF = np.iinfo(np.int64).max
+        # anchor[u] = position of the user's current-step first event
+        anchor = pd.Series(np.int64(-1), index=pd.unique(users))
+        rows = []
+        for k, step in enumerate(steps):
+            prev = anchor.reindex(users).to_numpy()  # per-row anchor
+            cand = np.where((types == step) & (prev < INF)
+                            & (pos > prev), pos, INF)
+            anchor = (pd.Series(cand, index=users)
+                      .groupby(level=0).min())
+            n_reached = int((anchor.to_numpy() < INF).sum())
+            rows.append((k + 1, n_reached))
+        return pd.DataFrame(rows, columns=["stage", "n"]) \
+            .astype(np.int64)
+
+    per_bucket = (events_ds
+                  .map_batches(add_bucket, batch_format="pandas")
+                  .groupby("__b").map_groups(build,
+                                             batch_format="pandas"))
+    return grouped_agg(per_bucket, ["stage"],
+                       {"n_users": ("n", "sum")}, n_buckets=4)
+
+
+def q_funnel(sf_dir: str):
+    """view -> click -> purchase funnel over events (strictly-after
+    ordering on (ts, event_id))."""
+    from .relational import read
+
+    ds = read(sf_dir, "events",
+              ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts": batch["ts"].cast(pa.int64()),
+                         "event_type": batch["event_type"]})
+
+    out = funnel_counts(ds.map_batches(prep, batch_format="pyarrow"),
+                        ["view", "click", "purchase"])
+    return out.sort("stage")
+
+
+def q_funnel_sql() -> str:
+    return """
+WITH a AS (
+  SELECT user_id, ts AS ta, event_id AS ea FROM events
+  WHERE event_type = 'view'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) = 1),
+b AS (
+  SELECT e.user_id, e.ts AS tb, e.event_id AS eb
+  FROM events e JOIN a USING (user_id)
+  WHERE e.event_type = 'click'
+    AND (e.ts > a.ta OR (e.ts = a.ta AND e.event_id > a.ea))
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.user_id
+                             ORDER BY e.ts, e.event_id) = 1),
+c AS (
+  SELECT e.user_id
+  FROM events e JOIN b USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND (e.ts > b.tb OR (e.ts = b.tb AND e.event_id > b.eb))
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.user_id
+                             ORDER BY e.ts, e.event_id) = 1)
+SELECT stage, n_users FROM (
+  SELECT 1 AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM a
+  UNION ALL
+  SELECT 2, CAST(COUNT(*) AS BIGINT) FROM b
+  UNION ALL
+  SELECT 3, CAST(COUNT(*) AS BIGINT) FROM c)
+ORDER BY stage
+"""
+
+
+# ---------------------------------------------------------------------------
+# distributed NTILE (exact global window rank via the range-bucket scan)
+# ---------------------------------------------------------------------------
+
+def grouped_ntile(ds, part_col: str, val_col: str, order_col: str,
+                  k: int, out_col: str = "tile",
+                  n_buckets: int | None = None):
+    """Exact SQL ``NTILE(k) OVER (PARTITION BY part ORDER BY val,
+    order)`` — the first ``n % k`` tiles of each partition get the
+    extra row, like the spec says.
+
+    Shape (the same exact-scan primitive as sequence packing /
+    shuffle_shards, so NO partition needs to fit anywhere): rows are
+    range-bucketed on ``val`` (ORDER-PRESERVING); per-(bucket, part)
+    counts collect to the driver (n_buckets x partitions rows) whose
+    per-partition cumsums give each bucket's base rank AND each
+    partition's total n; per bucket a vectorized sort + arange gives
+    global ranks, and the NTILE formula maps rank -> tile."""
+    from .relational import _default_buckets, grouped_agg
+    from .shuffle import collect_pandas, schemaless_empty
+    if n_buckets is None:
+        n_buckets = _default_buckets()
+
+    # value range for order-preserving buckets (two tiny passes)
+    lo = ds.min(val_col)
+    hi = ds.max(val_col)
+    span = (hi - lo) or 1
+
+    def add_rb(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        out = batch.copy()
+        rb = ((batch[val_col].to_numpy() - lo) / span
+              * n_buckets).astype(np.int64)
+        out["__rb"] = np.minimum(rb, n_buckets - 1)
+        return out
+
+    rbd = ds.map_batches(add_rb, batch_format="pandas").materialize()
+    counts = collect_pandas(
+        grouped_agg(rbd, ["__rb", part_col],
+                    {"c": (val_col, "size")}))
+    counts = counts.sort_values("__rb")
+    base: dict = {}
+    run: dict = {}
+    for rb, p, c in zip(counts["__rb"], counts[part_col], counts["c"]):
+        base[(int(rb), p)] = run.get(p, 0)
+        run[p] = run.get(p, 0) + int(c)
+    totals = dict(run)
+
+    def tile_of(rank: np.ndarray, n: int) -> np.ndarray:
+        q, m = divmod(n, k)
+        big = (q + 1) * m
+        return np.where(rank < big, rank // (q + 1) if q + 1 else 0,
+                        m + (rank - big) // max(q, 1)) + 1
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame({order_col: pd.Series(dtype=np.int64),
+                                 out_col: pd.Series(dtype=np.int64)})
+        g = group.sort_values([part_col, val_col, order_col],
+                              kind="mergesort")
+        parts = g[part_col].to_numpy()
+        new = np.concatenate(([True], parts[1:] != parts[:-1]))
+        seg_start = np.maximum.accumulate(
+            np.where(new, np.arange(len(g)), 0))
+        local = np.arange(len(g)) - seg_start
+        rb = int(g["__rb"].iloc[0])
+        seg_id = np.cumsum(new) - 1
+        seg_base = np.array([base.get((rb, p), 0)
+                             for p in parts[new]], dtype=np.int64)
+        seg_n = np.array([totals[p] for p in parts[new]],
+                         dtype=np.int64)
+        rank = seg_base[seg_id] + local
+        tiles = np.empty(len(g), dtype=np.int64)
+        for s in range(len(seg_n)):           # one pass per PART seg
+            sel = seg_id == s
+            tiles[sel] = tile_of(rank[sel], int(seg_n[s]))
+        return pd.DataFrame({order_col: g[order_col].to_numpy(),
+                             out_col: tiles})
+
+    return rbd.groupby("__rb").map_groups(assign,
+                                          batch_format="pandas")
+
+
+NTILE_K = 4
+
+
+def q_ntile(sf_dir: str):
+    """NTILE(4) of event value within each event_type (ordered by
+    value, event_id) — exact spec tile sizes."""
+    from .relational import read
+
+    ds = read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = grouped_ntile(ds, "event_type", "value", "event_id",
+                        k=NTILE_K)
+    return out.sort("event_id")
+
+
+def q_ntile_sql() -> str:
+    return f"""
+SELECT event_id,
+       CAST(NTILE({NTILE_K}) OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS BIGINT) AS tile
+FROM events ORDER BY event_id
+"""

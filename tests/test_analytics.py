@@ -331,3 +331,60 @@ def test_set_ops_match_python_sets(ray_session, rng):
     assert inter == sorted(ls & rs)
     assert exc == sorted(ls - rs)
     assert len(inter) > 0 and len(exc) > 0
+
+
+def test_funnel_counts_matches_reference(ray_session, rng):
+    n = 2500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 80, n).astype(np.int64),
+        "ts": rng.integers(0, 40, n).astype(np.int64),  # ts ties likely
+        "event_type": rng.choice(["A", "B", "C", "x"], n)})
+    out = (analytics.funnel_counts(_ds(df, 6), ["A", "B", "C"],
+                                   time_col="ts")
+           .to_pandas().sort_values("stage").reset_index(drop=True))
+
+    # reference: per-user sequential scan
+    reached = [0, 0, 0]
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        anchor = (-1, -1)
+        for k, step in enumerate(["A", "B", "C"]):
+            hit = g[(g["event_type"] == step)
+                    & ((g["ts"] > anchor[0])
+                       | ((g["ts"] == anchor[0])
+                          & (g["event_id"] > anchor[1])))]
+            if len(hit) == 0:
+                break
+            anchor = (hit.iloc[0]["ts"], hit.iloc[0]["event_id"])
+            reached[k] += 1
+    exp = pd.DataFrame({"stage": np.arange(1, 4, dtype=np.int64),
+                        "n_users": np.array(reached, dtype=np.int64)})
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+    assert reached[0] > reached[2] > 0   # the funnel actually narrows
+
+
+def test_grouped_ntile_exact_spec(ray_session, rng):
+    n = 3000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "part": rng.choice(["p", "q", "r"], n),
+        "value": np.round(rng.uniform(0, 100, n), 2)})  # value ties
+    for k in (3, 4, 7):
+        out = (analytics.grouped_ntile(_ds(df, 5), "part", "value",
+                                       "event_id", k=k)
+               .to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        ref = df.sort_values(["part", "value", "event_id"],
+                             kind="mergesort").copy()
+        tiles = []
+        for _, g in ref.groupby("part", sort=False):
+            m = len(g) % k
+            q = len(g) // k
+            t = np.repeat(np.arange(1, k + 1),
+                          [q + 1 if i < m else q for i in range(k)])
+            tiles.append(t[:len(g)])
+        ref["tile"] = np.concatenate(tiles).astype(np.int64)
+        ref = (ref.sort_values("event_id")[["event_id", "tile"]]
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, ref, check_dtype=True)
