@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_full_outer": relational.q_full_outer,
         "q_funnel": analytics.q_funnel,
         "q_ntile": analytics.q_ntile,
+        "q_edit1_pairs": dedup.q_edit1_pairs,
         # ---- rows-only from here (pytest + local gate hold the exact
         # byte/value-level oracles), ranked by evidence value ----
         "q_flagship_tiles": _q_flagship_tiles,
@@ -496,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "q_full_outer": relational.Q_FULL_OUTER_SQL,
         "q_funnel": analytics.q_funnel_sql(),
         "q_ntile": analytics.q_ntile_sql(),
+        "q_edit1_pairs": dedup.Q_EDIT1_SQL,
         "q_distance_join": spatial_queries.q_distance_join_sql(),
         "q_heavy_hitters": analytics.q_heavy_hitters_sql(),
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,

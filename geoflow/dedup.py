@@ -1754,3 +1754,125 @@ def q_semdedup(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     return semdedup(emb, k=8, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# ★D9: edit-distance-1 similarity join (SymSpell deletion neighborhood)
+# ---------------------------------------------------------------------------
+
+def edit1_pairs(tokens_ds, col: str = "t",
+                n_buckets: int | None = None):
+    """All unordered pairs of DISTINCT strings at Levenshtein distance
+    EXACTLY 1, via the SymSpell deletion neighborhood — with a
+    construction that needs NO distance verification:
+
+    - substitution pairs (equal length, one differing position) share
+      the key (single-deletion variant, deleted POSITION) — and any
+      two distinct equal-length strings sharing that key differ in
+      exactly that position, so distance == 1 by construction;
+    - insertion/deletion pairs share the key (shorter string == some
+      deletion variant of the longer) — again distance == 1 exactly.
+
+    Pair uniqueness: a substitution pair exists under exactly one
+    (variant, pos); an ins/del pair may arise from several deletion
+    positions of the longer string but ALL share the same key string
+    (the shorter string), hence the same bucket — one in-bucket
+    drop_duplicates is a GLOBAL dedup, no second shuffle.
+
+    Shape: one flat-map explode (O(total chars) rows), ONE hash-bucket
+    shuffle on the key string, two vectorized merges per bucket.
+    Input must be distinct strings (dedupe upstream)."""
+    if n_buckets is None:
+        from .relational import _default_buckets
+        n_buckets = _default_buckets()
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame(
+                {"k": pd.Series(dtype=object),
+                 "pos": pd.Series(dtype=np.int64),
+                 "s": pd.Series(dtype=object),
+                 "__b": pd.Series(dtype=np.int64)})
+        ks, ps, ss = [], [], []
+        for s in batch[col]:
+            ks.append(s); ps.append(-1); ss.append(s)   # full row
+            for i in range(len(s)):
+                ks.append(s[:i] + s[i + 1:]); ps.append(i); ss.append(s)
+        out = pd.DataFrame({"k": ks,
+                            "pos": np.array(ps, dtype=np.int64),
+                            "s": ss})
+        h = pd.util.hash_pandas_object(out["k"],
+                                       index=False).to_numpy()
+        out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype=object),
+                              "b": pd.Series(dtype=object)})
+        if len(group) == 0:
+            return empty
+        dels = group[group["pos"] >= 0]
+        fulls = group[group["pos"] < 0]
+        outs = []
+        # substitutions: same (variant, pos), different strings
+        m = dels.merge(dels, on=["k", "pos"])
+        m = m[m["s_x"] < m["s_y"]]
+        if len(m):
+            outs.append(m[["s_x", "s_y"]])
+        # insertion/deletion: full string == deletion variant
+        m2 = fulls[["k", "s"]].merge(dels[["k", "s"]], on="k")
+        m2 = m2[m2["s_x"] != m2["s_y"]]
+        if len(m2):
+            a = np.minimum(m2["s_x"].to_numpy(),
+                           m2["s_y"].to_numpy())
+            b = np.maximum(m2["s_x"].to_numpy(),
+                           m2["s_y"].to_numpy())
+            outs.append(pd.DataFrame({"s_x": a, "s_y": b}))
+        if not outs:
+            return empty
+        out = pd.concat(outs, ignore_index=True).drop_duplicates()
+        return out.rename(columns={"s_x": "a", "s_y": "b"})
+
+    return (tokens_ds.map_batches(explode, batch_format="pandas")
+            .groupby("__b").map_groups(pairs, batch_format="pandas"))
+
+
+_EDIT1_MOD = 3000
+
+
+def q_edit1_pairs(sf_dir: str):
+    """Distance-1 pairs over the derived numeric-string vocabulary
+    CAST((event_id * 2654435761) % 3000 AS VARCHAR)."""
+    import ray.data
+
+    from .relational import grouped_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        v = (batch["event_id"].to_numpy()
+             * 2654435761) % _EDIT1_MOD
+        return pd.DataFrame({"t": v.astype(np.int64).astype(str)})
+
+    # global distinct via one bucketed aggregate, then the edit join
+    toks = grouped_agg(ev.map_batches(derive, batch_format="pandas"),
+                       ["t"], {"__n": ("t", "size")})
+    from .relational import project_cols
+    toks = toks.map_batches(project_cols(["t"]),
+                            batch_format="pandas")
+    return edit1_pairs(toks, col="t").sort(["a", "b"])
+
+
+Q_EDIT1_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT CAST((event_id * 2654435761) % {_EDIT1_MOD}
+                       AS VARCHAR) AS t
+  FROM events)
+SELECT a.t AS a, b.t AS b
+FROM toks a, toks b
+WHERE a.t < b.t AND abs(len(a.t) - len(b.t)) <= 1
+  AND levenshtein(a.t, b.t) = 1
+ORDER BY a, b
+"""

@@ -388,3 +388,29 @@ def test_grouped_ntile_exact_spec(ray_session, rng):
         ref = (ref.sort_values("event_id")[["event_id", "tile"]]
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(out, ref, check_dtype=True)
+
+
+def test_edit1_pairs_matches_bruteforce_levenshtein(ray_session, rng):
+    from geoflow.dedup import edit1_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i-1] != b[j-1]))
+        return d[n]
+
+    # small alphabet + short strings -> dense distance-1 neighborhoods
+    vocab = sorted({"".join(rng.choice(list("abc"),
+                                       rng.integers(1, 6)))
+                    for _ in range(300)})
+    df = pd.DataFrame({"t": vocab})
+    out = (edit1_pairs(_ds(df, 5), "t").to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    exp = sorted((a, b) for i, a in enumerate(vocab)
+                 for b in vocab[i + 1:] if lev(a, b) == 1)
+    assert len(exp) > 50
+    assert list(map(tuple, out.to_numpy())) == exp
