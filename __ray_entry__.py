@@ -283,6 +283,92 @@ def _q_tile_artifacts(sf_dir: str):
     return a.union(b).sort(["kind", "key1", "tile_x", "tile_y"])
 
 
+def _tag_union(parts, sort_cols):
+    """Tagged union of (op_name, dataset, rename_map) triples into one
+    driver slot — the established fused-slot pattern (quality+langid,
+    dedup keys): each half keeps its full value check, one window
+    position is spent."""
+    import pandas as pd
+
+    outs = []
+    for op, ds, ren in parts:
+        def shape(batch: pd.DataFrame, op=op, ren=ren) -> pd.DataFrame:
+            from geoflow.shuffle import schemaless_empty
+            if schemaless_empty(batch) or len(batch) == 0:
+                return batch
+            out = batch.rename(columns=ren)[list(ren.values())]
+            out.insert(0, "op", op)
+            return out
+        outs.append(ds.map_batches(shape, batch_format="pandas"))
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.union(o)
+    return u.sort(sort_cols)
+
+
+def _q_windows_all(sf_dir: str):
+    """Tumbling + hopping window aggregates, one fused slot."""
+    ren = {"event_type": "event_type", "win": "win",
+           "sum_value_c": "sum_value_c", "n_events": "n_events"}
+    return _tag_union(
+        [("hopping", relational.q_events_hopwindow(sf_dir), ren),
+         ("tumbling", relational.q_events_window(sf_dir), ren)],
+        ["op", "event_type", "win"])
+
+
+def _Q_WINDOWS_ALL_SQL() -> str:
+    return f"""
+SELECT 'hopping' AS op, * FROM ({relational.Q_EVENTS_HOPWINDOW_SQL})
+UNION ALL
+SELECT 'tumbling' AS op, * FROM ({relational.q_events_window_sql()})
+ORDER BY op, event_type, win
+"""
+
+
+def _q_spatial_grid(sf_dir: str):
+    """Cell-grid (M16) + tile-assign (M17) per-bin counts, one fused
+    slot over a common (op, x, y, n_points) schema."""
+    return _tag_union(
+        [("cell", spatial_queries.q_cell_grid(sf_dir),
+          {"cell_x": "x", "cell_y": "y", "n_points": "n_points"}),
+         ("tile", spatial_queries.q_tile_assign(sf_dir),
+          {"tile_x": "x", "tile_y": "y", "n_points": "n_points"})],
+        ["op", "x", "y"])
+
+
+def _Q_SPATIAL_GRID_SQL() -> str:
+    return f"""
+SELECT 'cell' AS op, cell_x AS x, cell_y AS y, n_points
+FROM ({spatial_queries.q_cell_grid_sql()})
+UNION ALL
+SELECT 'tile' AS op, tile_x AS x, tile_y AS y, n_points
+FROM ({spatial_queries.q_tile_assign_sql()})
+ORDER BY op, x, y
+"""
+
+
+def _q_graph_all(sf_dir: str):
+    """PageRank (G9) + per-node triangle counts (G10) over the same
+    similarity graph, one fused slot on (op, node, val)."""
+    return _tag_union(
+        [("pagerank", graph.q_pagerank(sf_dir),
+          {"node": "node", "rank_fp": "val"}),
+         ("triangles", graph.q_triangles(sf_dir),
+          {"node": "node", "n_tri": "val"})],
+        ["op", "node"])
+
+
+def _Q_GRAPH_ALL_SQL() -> str:
+    return f"""
+SELECT 'pagerank' AS op, node, rank_fp AS val
+FROM ({graph.Q_PAGERANK_SQL})
+UNION ALL
+SELECT 'triangles' AS op, node, n_tri AS val
+FROM ({graph.Q_TRIANGLES_SQL})
+ORDER BY op, node
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver value-checks the FIRST 50 entries
     # only.  All SQL-oracled queries come first (every one of them gets
@@ -295,8 +381,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "q5_nation_volume": relational.q5_nation_volume,
-        "q_events_window": relational.q_events_window,
-        "q_events_hopwindow": relational.q_events_hopwindow,
+        # tumbling + hopping windows fused into one slot (r4 session-4
+        # rebalance — both halves keep their full value check)
+        "q_windows_all": _q_windows_all,
         "q_supplier_balance": relational.q_supplier_balance,
         "q_bucket_join": relational.q_bucket_join,
         # r4 addition with a full SQL oracle: anti-semijoin (★J8)
@@ -338,7 +425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_connected_components": dedup.q_connected_components,
         "q_embedding_dups": dedup.q_embedding_dups,
         # graph analysis (full SQL oracle, unrolled fixed-point CTEs)
-        "q_pagerank": graph.q_pagerank,
+        # pagerank + triangles fused (same similarity graph)
+        "q_graph_all": _q_graph_all,
         # similarity search
         "q_ann_topk": similarity.q_ann_topk,
         # multimodal plumbing
@@ -347,8 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # property-column surface (M14): typed get + set + del
         "q_properties_project": properties.q_properties_project,
         # spatial operators with exact SQL oracles (derived coordinates)
-        "q_cell_grid": spatial_queries.q_cell_grid,
-        "q_tile_assign": spatial_queries.q_tile_assign,
+        # cell grid + tile assign fused on (op, x, y, n_points)
+        "q_spatial_grid": _q_spatial_grid,
         "q_pip_events": spatial_queries.q_pip_events,
         "q_knn_events": spatial_queries.q_knn_events,
         "q_geobuf_roundtrip": spatial_queries.q_geobuf_roundtrip,
@@ -365,15 +453,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lm_perplexity": lm.q_lm_perplexity,
         "q_domain_cap": weburl.q_domain_cap,
         "q_bm25": textops.q_bm25,
-        "q_triangles": graph.q_triangles,
+        # session-4's most complex new operators, driver-checked
+        # (slots freed by the three fused pairs above: windows,
+        # spatial grid, graph)
+        "q_funnel": analytics.q_funnel,
+        "q_ntile": analytics.q_ntile,
+        "q_edit1_pairs": dedup.q_edit1_pairs,
         # ==== DRIVER WINDOW BOUNDARY ====
         # Exactly 50 SQL-oracled entries precede this line (verified by
         # importing this module and counting — see
         # tests/test_entry.py::test_first_50_entries_sql_oracled, which
-        # asserts position 50 == "q_triangles" and that every one of
+        # asserts position 50 == "q_edit1_pairs" and that every one of
         # the first 50 keys has an oracle_sql() entry).  Everything
         # below is SQL-oracled overflow for the local gate (simplest
         # oracles overflow first, per CLAUDE.md), then rows-only.
+        "q_events_window": relational.q_events_window,
+        "q_events_hopwindow": relational.q_events_hopwindow,
+        "q_cell_grid": spatial_queries.q_cell_grid,
+        "q_tile_assign": spatial_queries.q_tile_assign,
+        "q_pagerank": graph.q_pagerank,
+        "q_triangles": graph.q_triangles,
         "q_rollup": analytics.q_rollup,
         "q_rolling_window": analytics.q_rolling_window,
         "q_orders_topk": relational.q_orders_topk,
@@ -399,9 +498,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_setops": setops.q_setops,
         "q_token_budget": corpus.q_token_budget,
         "q_full_outer": relational.q_full_outer,
-        "q_funnel": analytics.q_funnel,
-        "q_ntile": analytics.q_ntile,
-        "q_edit1_pairs": dedup.q_edit1_pairs,
         # ---- rows-only from here (pytest + local gate hold the exact
         # byte/value-level oracles), ranked by evidence value ----
         "q_flagship_tiles": _q_flagship_tiles,
@@ -437,6 +533,9 @@ def oracle_sql() -> dict[str, str]:
         "q5_nation_volume": relational.Q5_SQL,
         "q_events_window": relational.q_events_window_sql(),
         "q_events_hopwindow": relational.Q_EVENTS_HOPWINDOW_SQL,
+        "q_windows_all": _Q_WINDOWS_ALL_SQL(),
+        "q_spatial_grid": _Q_SPATIAL_GRID_SQL(),
+        "q_graph_all": _Q_GRAPH_ALL_SQL(),
         "q_orders_topk": relational.Q_ORDERS_TOPK_SQL,
         "q_part_brand_stats": relational.Q_PART_SQL,
         "q_supplier_balance": relational.Q_SUPPLIER_BALANCE_SQL,

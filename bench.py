@@ -161,7 +161,13 @@ def run_bench() -> dict:
                      # round-4 late additions
                      "q_antijoin", "q_rollup", "q_rolling_window",
                      "q_distance_join", "q_heavy_hitters",
-                     "q_semdedup"]:
+                     "q_semdedup",
+                     # round-4 session-4 additions
+                     "q_cube", "q_lag_delta", "q_argmax_mode",
+                     "q_covariance", "q_pareto", "q_setops",
+                     "q_token_budget", "q_full_outer", "q_funnel",
+                     "q_ntile", "q_edit1_pairs", "q_traj_simplify",
+                     "q_convex_hull"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data

@@ -22,8 +22,8 @@ def test_first_50_entries_sql_oracled():
     # this round's two most complex operators must sit INSIDE the
     # window (VERDICT r3 #3)
     assert "q_bm25" in window
-    assert "q_triangles" in window
-    assert window[49] == "q_triangles"
+    assert "q_graph_all" in window       # pagerank+triangles fused slot
+    assert window[49] == "q_edit1_pairs"
 
 
 def test_oracle_keys_subset_of_queries():
