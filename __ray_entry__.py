@@ -498,6 +498,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_setops": setops.q_setops,
         "q_token_budget": corpus.q_token_budget,
         "q_full_outer": relational.q_full_outer,
+        "q_pivot": analytics.q_pivot,
+        "q_string_agg": analytics.q_string_agg,
         # ---- rows-only from here (pytest + local gate hold the exact
         # byte/value-level oracles), ranked by evidence value ----
         "q_flagship_tiles": _q_flagship_tiles,
@@ -597,6 +599,8 @@ def oracle_sql() -> dict[str, str]:
         "q_funnel": analytics.q_funnel_sql(),
         "q_ntile": analytics.q_ntile_sql(),
         "q_edit1_pairs": dedup.Q_EDIT1_SQL,
+        "q_pivot": analytics.q_pivot_sql(),
+        "q_string_agg": analytics.q_string_agg_sql(),
         "q_distance_join": spatial_queries.q_distance_join_sql(),
         "q_heavy_hitters": analytics.q_heavy_hitters_sql(),
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,

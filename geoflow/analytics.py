@@ -44,17 +44,60 @@ _RE_AGG = {"sum": "sum", "size": "sum", "min": "min", "max": "max"}
 ROLLUP_ALL = "(all)"  # sentinel for a rolled-up key (keys are non-null)
 
 
+#: finest-level group counts below this re-aggregate locally on the
+#: driver (adaptive local fast path, same pattern as BPE/PageRank) —
+#: each distributed coarser level otherwise pays a full AllToAll for a
+#: group-count-sized table
+LOCAL_REAGG_LIMIT = 200_000
+
+
+def _local_levels(finest_pd: pd.DataFrame, keys: list[str],
+                  specs: dict, subsets: list[tuple], sentinel: str):
+    """Driver-side re-aggregation of every coarser grouping set from
+    the (bounded) finest-level frame — bit-identical to the
+    distributed path (same associative _RE_AGG fns over the same
+    partials)."""
+    aggs = {alias: (alias, _RE_AGG[fn])
+            for alias, (_src, fn) in specs.items()}
+    parts = [finest_pd[keys + list(specs)]]
+    for sub in subsets:
+        if sub:
+            lvl = finest_pd.groupby(list(sub), as_index=False,
+                                    sort=False).agg(**aggs)
+        else:
+            lvl = pd.DataFrame({alias: [
+                getattr(finest_pd[alias], _RE_AGG[fn])()]
+                for alias, (_src, fn) in specs.items()})
+        for k in keys:
+            if k not in sub:
+                lvl[k] = sentinel
+        parts.append(lvl[keys + list(specs)])
+    return pd.concat(parts, ignore_index=True)
+
+
 def grouped_rollup(ds, keys: list[str], specs: dict[str, tuple[str, str]],
-                   sentinel: str = ROLLUP_ALL):
+                   sentinel: str = ROLLUP_ALL,
+                   local_limit: int = LOCAL_REAGG_LIMIT):
     """GROUP BY ROLLUP(keys): finest level via one distributed
     ``grouped_agg`` over the input, then each coarser level re-aggregated
     from the PREVIOUS level's result (rows = that level's group count,
     never the input).  Rolled-up key columns carry ``sentinel``.
 
+    Below ``local_limit`` finest groups the coarser levels compute
+    locally from one driver collect (identical values — pytest-forced
+    parity); the distributed chain remains the above-threshold path.
+
     ``specs`` as in ``grouped_agg``; every fn must be associative
     (sum/size/min/max are)."""
     levels = []
     finest = grouped_agg(ds, keys, specs).materialize()
+    if finest.count() <= local_limit:
+        import ray.data
+
+        from .shuffle import collect_pandas
+        subsets = [tuple(keys[:i]) for i in range(len(keys) - 1, -1, -1)]
+        return ray.data.from_pandas(_local_levels(
+            collect_pandas(finest), keys, specs, subsets, sentinel))
     levels.append(finest)
     re_specs = {alias: (alias, _RE_AGG[fn])
                 for alias, (_src, fn) in specs.items()}
@@ -325,15 +368,26 @@ ORDER BY tok
 # ---------------------------------------------------------------------------
 
 def grouped_cube(ds, keys: list[str], specs: dict[str, tuple[str, str]],
-                 sentinel: str = ROLLUP_ALL):
+                 sentinel: str = ROLLUP_ALL,
+                 local_limit: int = LOCAL_REAGG_LIMIT):
     """GROUP BY CUBE(keys): all 2^k grouping sets.  The input is touched
     ONCE (finest level via ``grouped_agg``); every coarser set is
     re-aggregated from its smallest already-computed superset, so each
     extra level costs rows = that superset's group count.  Rolled-up
-    key columns carry ``sentinel``."""
+    key columns carry ``sentinel``.  Below ``local_limit`` finest
+    groups the 2^k - 1 coarser sets compute locally from one driver
+    collect (forced-parity pytest), like ``grouped_rollup``."""
     from itertools import combinations
 
     finest = grouped_agg(ds, keys, specs).materialize()
+    if finest.count() <= local_limit:
+        import ray.data
+
+        from .shuffle import collect_pandas
+        subsets = [sub for size in range(len(keys) - 1, -1, -1)
+                   for sub in combinations(keys, size)]
+        return ray.data.from_pandas(_local_levels(
+            collect_pandas(finest), keys, specs, subsets, sentinel))
     re_specs = {alias: (alias, _RE_AGG[fn])
                 for alias, (_src, fn) in specs.items()}
     computed: dict[tuple, object] = {tuple(keys): finest}
@@ -1010,4 +1064,147 @@ SELECT event_id,
        CAST(NTILE({NTILE_K}) OVER (PARTITION BY event_type
             ORDER BY value, event_id) AS BIGINT) AS tile
 FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot (categorical wide aggregate) + ordered grouped string_agg
+# ---------------------------------------------------------------------------
+
+def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
+                 val_col: str | None = None,
+                 n_buckets: int | None = None):
+    """PIVOT: one output row per key, one int64 column per category
+    holding COUNT(*) (or SUM(val) with ``val_col``) — computed as ONE
+    ``grouped_agg`` over per-batch indicator partials (the categories
+    are fixed and known, so the wide schema is static and the shuffle
+    moves one partial row per (key, block))."""
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        out = batch[[key_col]].copy()
+        cat = batch[cat_col].to_numpy()
+        v = (batch[val_col].to_numpy().astype(np.int64)
+             if val_col else np.ones(len(batch), dtype=np.int64))
+        for c in categories:
+            out[f"c_{c}"] = np.where(cat == c, v, np.int64(0))
+        return out
+
+    specs = {f"c_{c}": (f"c_{c}", "sum") for c in categories}
+    return grouped_agg(ds.map_batches(widen, batch_format="pandas"),
+                       [key_col], specs, n_buckets=n_buckets)
+
+
+def grouped_string_agg(ds, key_col: str, val_col: str,
+                       order_cols: list[str],
+                       sep: str = ",", out_col: str = "agg",
+                       n_buckets: int = 32):
+    """SQL ``string_agg(val, sep ORDER BY order_cols)`` per key — exact
+    ordered concatenation.  Co-partition keys into coarse hash buckets
+    (every key lands wholly in one bucket), then ONE polars Rust-side
+    sort + group_by/str.join per bucket — no per-group Python."""
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        batch = batch.copy()
+        batch["__b"] = (batch[key_col].to_numpy()
+                        % n_buckets).astype(np.int64)
+        return batch
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+        if len(group) == 0:
+            return pd.DataFrame({key_col: pd.Series(dtype=np.int64),
+                                 out_col: pd.Series(dtype=object)})
+        return (pl.from_pandas(group[[key_col, val_col]
+                                     + order_cols])
+                .sort([key_col] + order_cols)
+                .group_by(key_col, maintain_order=True)
+                .agg(pl.col(val_col).str.join(sep).alias(out_col))
+                .to_pandas())
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__b").map_groups(build, batch_format="pandas"))
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot(sf_dir: str):
+    """Per-user event counts pivoted wide over the five event types
+    plus a pivoted value-cents sum for purchases."""
+    from .relational import read
+
+    ds = read(sf_dir, "events", ["user_id", "event_type", "value"])
+    counts = pivot_counts(ds, "user_id", "event_type", EVENT_TYPES)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"],
+                         "event_type": batch["event_type"],
+                         "value_c": _cents(batch["value"])})
+
+    sums = pivot_counts(ds.map_batches(prep, batch_format="pyarrow"),
+                        "user_id", "event_type", ["purchase"],
+                        val_col="value_c")
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        return batch.rename(columns={"c_purchase": "purchase_c"})
+
+    from .relational import bucketed_hash_join
+    joined = bucketed_hash_join(
+        counts, sums.map_batches(rename, batch_format="pandas"),
+        on="user_id",
+        schemas=(pa.schema([("user_id", pa.int64())]
+                           + [(f"c_{c}", pa.int64())
+                              for c in EVENT_TYPES]),
+                 pa.schema([("user_id", pa.int64()),
+                            ("purchase_c", pa.int64())])))
+    return joined.sort("user_id")
+
+
+def q_pivot_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(COUNT(*) FILTER (event_type = '{c}') AS BIGINT)"
+        f" AS c_{c}" for c in EVENT_TYPES)
+    return f"""
+SELECT user_id, {cols},
+       CAST(COALESCE(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+            FILTER (event_type = 'purchase'), 0) AS BIGINT)
+           AS purchase_c
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_string_agg(sf_dir: str):
+    """Per-user ordered event-type concatenation (ORDER BY ts,
+    event_id) — the collect-list/string_agg surface."""
+    from .relational import read
+
+    ds = read(sf_dir, "events",
+              ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_type": batch["event_type"],
+            "ts": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"]})
+
+    out = grouped_string_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "event_type", ["ts", "event_id"],
+        sep=",", out_col="seq")
+    return out.sort("user_id")
+
+
+def q_string_agg_sql() -> str:
+    return """
+SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id)
+           AS seq
+FROM events GROUP BY user_id ORDER BY user_id
 """

@@ -414,3 +414,58 @@ def test_edit1_pairs_matches_bruteforce_levenshtein(ray_session, rng):
                  for b in vocab[i + 1:] if lev(a, b) == 1)
     assert len(exp) > 50
     assert list(map(tuple, out.to_numpy())) == exp
+
+
+def test_pivot_counts_matches_crosstab(ray_session, rng):
+    n = 1200
+    df = pd.DataFrame({
+        "k": rng.integers(0, 30, n).astype(np.int64),
+        "cat": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(1, 9, n).astype(np.int64)})
+    out = (analytics.pivot_counts(_ds(df, 5), "k", "cat",
+                                  ["a", "b", "c"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    ct = (pd.crosstab(df["k"], df["cat"])
+          .reindex(columns=["a", "b", "c"], fill_value=0))
+    for c in ["a", "b", "c"]:
+        assert (out[f"c_{c}"].to_numpy()
+                == ct[c].to_numpy().astype(np.int64)).all()
+    sums = (analytics.pivot_counts(_ds(df, 5), "k", "cat", ["b"],
+                                   val_col="v")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    expb = (df[df["cat"] == "b"].groupby("k")["v"].sum()
+            .reindex(out["k"], fill_value=0))
+    assert (sums["c_b"].to_numpy() == expb.to_numpy()).all()
+
+
+def test_grouped_string_agg_ordered(ray_session, rng):
+    n = 800
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, n).astype(np.int64),
+        "t": rng.integers(0, 50, n).astype(np.int64),
+        "o": np.arange(n, dtype=np.int64),
+        "v": rng.choice(["x", "y", "z"], n)})
+    out = (analytics.grouped_string_agg(_ds(df, 6), "k", "v",
+                                        ["t", "o"], sep="|",
+                                        out_col="s")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (df.sort_values(["k", "t", "o"], kind="mergesort")
+           .groupby("k")["v"].agg("|".join).reset_index()
+           .rename(columns={"v": "s"}))
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+
+
+def test_rollup_cube_local_equals_distributed(ray_session, rng):
+    df = pd.DataFrame({
+        "a": rng.choice(list("wxyz"), 900),
+        "b": rng.choice(list("mn"), 900),
+        "v": rng.integers(-50, 50, 900).astype(np.int64)})
+    specs = {"s": ("v", "sum"), "mx": ("v", "max"), "n": ("v", "size")}
+    for fn in (analytics.grouped_rollup, analytics.grouped_cube):
+        loc = (fn(_ds(df, 4), ["a", "b"], specs)
+               .to_pandas().sort_values(["a", "b"])
+               .reset_index(drop=True))
+        dist = (fn(_ds(df, 4), ["a", "b"], specs, local_limit=0)
+                .to_pandas().sort_values(["a", "b"])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(loc, dist, check_dtype=True)
