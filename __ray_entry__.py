@@ -525,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_decode": multimodal.q_media_decode,
         "q_traj_simplify": spatial_queries.q_traj_simplify,
         "q_convex_hull": spatial_queries.q_convex_hull,
+        "q_approx_quantiles": analytics.q_approx_quantiles,
     }
 
 

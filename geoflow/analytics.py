@@ -1208,3 +1208,97 @@ SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id)
            AS seq
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# mergeable approximate quantile sketch (scale-path twin of the exact
+# fixed-point-histogram quantiles, as HLL is to exact count-distinct)
+# ---------------------------------------------------------------------------
+
+def _resample_weighted(vals: np.ndarray, wts: np.ndarray,
+                       m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Evenly-spaced weighted order statistics: m values whose ranks
+    cover the weighted input at total_weight/m spacing — rank error
+    contributed per call <= total_weight/m (deterministic, no RNG)."""
+    order = np.argsort(vals, kind="mergesort")
+    v = vals[order]
+    w = wts[order].astype(np.float64)
+    cum = np.cumsum(w)
+    total = cum[-1]
+    targets = (np.arange(m, dtype=np.float64) + 0.5) * (total / m)
+    idx = np.searchsorted(cum, targets, side="left")
+    idx = np.minimum(idx, len(v) - 1)
+    return v[idx], np.full(m, total / m)
+
+
+def approx_quantiles(ds, col: str, qs: list[float], m: int = 1024,
+                     n_comb: int = 8):
+    """Approximate quantiles with a deterministic rank-error bound:
+    per-block evenly-spaced order statistics (m rows per block,
+    regardless of block size), one combine level re-sampling each of
+    ``n_comb`` summary groups back to m rows, final weighted quantile
+    over the n_comb * m driver rows.
+
+    Rank error: each (re-)sampling level contributes <= weight/m, so
+    the end-to-end rank error is <= 2N/m + N/(m*n_comb) ~= 2N/m —
+    fixed RELATIVE rank error 2/m at ANY data size, with O(m) rows
+    per block and O(n_comb * m) rows on the driver (the 100-TB
+    sketch shape).  Deterministic given the block layout (no RNG).
+    Returns a pandas DataFrame (q, value) — a small driver-side
+    result, like the exact-quantile collect."""
+    from .shuffle import collect_pandas, schemaless_empty
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"v": pd.Series(dtype=np.float64),
+                                 "w": pd.Series(dtype=np.float64),
+                                 "__g": pd.Series(dtype=np.int64)})
+        x = batch[col].to_numpy().astype(np.float64)
+        k = min(m, len(x))
+        v, w = _resample_weighted(x, np.ones(len(x)), k)
+        g = int(x[0] * 1e6) % n_comb  # any stable group id works
+        return pd.DataFrame({"v": v, "w": w,
+                             "__g": np.full(k, g, dtype=np.int64)})
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame({"v": pd.Series(dtype=np.float64),
+                                 "w": pd.Series(dtype=np.float64)})
+        v, w = _resample_weighted(group["v"].to_numpy(),
+                                  group["w"].to_numpy(),
+                                  min(m, len(group)))
+        return pd.DataFrame({"v": v, "w": w})
+
+    merged = collect_pandas(
+        ds.map_batches(summarize, batch_format="pandas")
+        .groupby("__g").map_groups(combine, batch_format="pandas"))
+    order = np.argsort(merged["v"].to_numpy(), kind="mergesort")
+    v = merged["v"].to_numpy()[order]
+    w = merged["w"].to_numpy()[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        i = int(np.searchsorted(cum, q * total, side="left"))
+        out.append((q, float(v[min(i, len(v) - 1)])))
+    return pd.DataFrame(out, columns=["q", "value"])
+
+
+APPROX_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Sketch quantiles of lineitem extendedprice cents (rows-only;
+    the rank-error bound is pytest-enforced; the exact twin is
+    q_quantiles_all)."""
+    from .relational import read
+
+    ds = read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"price_c": _cents(batch["l_extendedprice"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = approx_quantiles(prepped, "price_c", APPROX_QS)
+    out["value"] = out["value"].astype(np.int64)
+    return out

@@ -469,3 +469,33 @@ def test_rollup_cube_local_equals_distributed(ray_session, rng):
                 .to_pandas().sort_values(["a", "b"])
                 .reset_index(drop=True))
         pd.testing.assert_frame_equal(loc, dist, check_dtype=True)
+
+
+def test_approx_quantiles_rank_error_bound(ray_session, rng):
+    m = 256
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    for dist in ("uniform", "zipfish", "heavy_ties"):
+        n = 60_000
+        if dist == "uniform":
+            x = rng.uniform(0, 1e6, n)
+        elif dist == "zipfish":
+            x = np.floor(1e6 / (1 + rng.pareto(1.2, n)))
+        else:
+            x = rng.choice([1.0, 2.0, 3.0, 1e6], n,
+                           p=[0.45, 0.35, 0.15, 0.05])
+        df = pd.DataFrame({"v": x})
+        for blocks in (3, 16):
+            out = analytics.approx_quantiles(_ds(df, blocks), "v",
+                                             qs, m=m)
+            xs = np.sort(x)
+            for q, val in out.to_numpy():
+                # rank of the returned value vs target rank: the
+                # documented bound is ~2N/m; assert 3N/m for slack
+                r_lo = np.searchsorted(xs, val, side="left")
+                r_hi = np.searchsorted(xs, val, side="right")
+                target = q * n
+                if r_lo <= target <= r_hi:   # tied span covers target
+                    err = 0.0
+                else:
+                    err = min(abs(target - r_lo), abs(target - r_hi))
+                assert err <= 3 * n / m, (dist, blocks, q, err)
