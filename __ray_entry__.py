@@ -349,11 +349,13 @@ ORDER BY op, x, y
 
 def _q_graph_all(sf_dir: str):
     """PageRank (G9) + per-node triangle counts (G10) over the same
-    similarity graph, one fused slot on (op, node, val)."""
+    similarity graph, one fused slot on (op, node, val) — the edge set
+    is computed ONCE and materialized (probe-then-consume rule)."""
+    pairs = graph.similarity_pairs(sf_dir).materialize()
     return _tag_union(
-        [("pagerank", graph.q_pagerank(sf_dir),
+        [("pagerank", graph.q_pagerank(sf_dir, pairs=pairs),
           {"node": "node", "rank_fp": "val"}),
-         ("triangles", graph.q_triangles(sf_dir),
+         ("triangles", graph.q_triangles(sf_dir, pairs=pairs),
           {"node": "node", "n_tri": "val"})],
         ["op", "node"])
 

@@ -226,19 +226,29 @@ PR_THRESHOLD = 0.3
 PR_ITERS = 4
 
 
-def q_pagerank(sf_dir: str):
+def similarity_pairs(sf_dir: str):
+    """The shared similarity edge set (exact cosine pairs >=
+    PR_THRESHOLD) behind q_pagerank / q_triangles / q_graph_all —
+    callers running several graph ops should materialize it once and
+    pass it to each (probe-then-consume rule)."""
+    import ray.data
+
+    from .dedup import embedding_dups
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return embedding_dups(emb, threshold=PR_THRESHOLD)
+
+
+def q_pagerank(sf_dir: str, pairs=None):
     """PageRank over the same similarity graph as
     ``q_connected_components`` (edges = exact cosine pairs >= 0.3,
     both directions): (node, rank_fp) — full SQL oracle with the
     iterations unrolled as chained CTEs."""
-    import ray.data
-
-    from .dedup import embedding_dups
     from .shuffle import schemaless_empty
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id", "embedding"])
-    pairs = embedding_dups(emb, threshold=PR_THRESHOLD)
+    if pairs is None:
+        pairs = similarity_pairs(sf_dir)
 
     def both_ways(batch: pd.DataFrame) -> pd.DataFrame:
         if schemaless_empty(batch):
@@ -495,18 +505,14 @@ def triangle_counts(edges_ds, n_buckets: int | None = None):
     return counted
 
 
-def q_triangles(sf_dir: str):
+def q_triangles(sf_dir: str, pairs=None):
     """Per-node triangle counts of the embedding-similarity graph
     (same edges as q_connected_components / q_pagerank) — full SQL
     oracle (three-way self-join)."""
-    import ray.data
-
-    from .dedup import embedding_dups
     from .shuffle import schemaless_empty
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                columns=["vec_id", "embedding"])
-    pairs = embedding_dups(emb, threshold=PR_THRESHOLD)
+    if pairs is None:
+        pairs = similarity_pairs(sf_dir)
 
     def canon(batch: pd.DataFrame) -> pd.DataFrame:
         if schemaless_empty(batch):
