@@ -542,6 +542,15 @@ def grouped_covariance_n2(ds, keys: list[str], x_col: str, y_col: str,
         out = batch[keys].copy()
         x = batch[x_col].to_numpy().astype(np.int64)
         y = batch[y_col].to_numpy().astype(np.int64)
+        # overflow contract enforced at the INPUT (a final-value guard
+        # cannot catch partial sums that already wrapped): |x|,|y| <
+        # 2^20 keeps |xy| < 2^40, so int64 partial/combined sums are
+        # exact for any group under 2^23 rows (checked in finish)
+        if len(x) and (np.abs(x).max() >= 1 << 20
+                       or np.abs(y).max() >= 1 << 20):
+            raise OverflowError(
+                "grouped_covariance_n2 requires |x|, |y| < 2^20 — "
+                "pre-scale the inputs")
         out["__xy"] = x * y
         out["__x"] = x
         out["__y"] = y
@@ -562,6 +571,11 @@ def grouped_covariance_n2(ds, keys: list[str], x_col: str, y_col: str,
         sxy = batch["sxy"].to_numpy().astype(object)
         sx = batch["sx"].to_numpy().astype(object)
         sy = batch["sy"].to_numpy().astype(object)
+        if len(n) and max(int(v) for v in n) >= 1 << 23:
+            raise OverflowError(
+                "grouped_covariance_n2 group exceeds 2^23 rows — the "
+                "int64 partial sums are no longer provably exact; "
+                "pre-scale or shard the group")
         cov = n * sxy - sx * sy  # Python ints: no silent wrap
         if len(cov) and max(abs(int(c)) for c in cov) >= 2 ** 62:
             raise OverflowError("cov_n2 exceeds int64 — pre-scale x/y")
@@ -951,11 +965,12 @@ c AS (
   QUALIFY ROW_NUMBER() OVER (PARTITION BY e.user_id
                              ORDER BY e.ts, e.event_id) = 1)
 SELECT stage, n_users FROM (
-  SELECT 1 AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM a
+  SELECT CAST(1 AS BIGINT) AS stage, CAST(COUNT(*) AS BIGINT)
+         AS n_users FROM a
   UNION ALL
-  SELECT 2, CAST(COUNT(*) AS BIGINT) FROM b
+  SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM b
   UNION ALL
-  SELECT 3, CAST(COUNT(*) AS BIGINT) FROM c)
+  SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM c)
 ORDER BY stage
 """
 
@@ -971,43 +986,17 @@ def grouped_ntile(ds, part_col: str, val_col: str, order_col: str,
     order)`` — the first ``n % k`` tiles of each partition get the
     extra row, like the spec says.
 
-    Shape (the same exact-scan primitive as sequence packing /
-    shuffle_shards, so NO partition needs to fit anywhere): rows are
-    range-bucketed on ``val`` (ORDER-PRESERVING); per-(bucket, part)
-    counts collect to the driver (n_buckets x partitions rows) whose
-    per-partition cumsums give each bucket's base rank AND each
-    partition's total n; per bucket a vectorized sort + arange gives
-    global ranks, and the NTILE formula maps rank -> tile."""
-    from .relational import _default_buckets, grouped_agg
-    from .shuffle import collect_pandas, schemaless_empty
-    if n_buckets is None:
-        n_buckets = _default_buckets()
+    Shape: ``relational.range_bucket_offsets`` — the SHARED
+    order-preserving exact-scan primitive (sequence packing, global
+    row numbering, token budget), so NO partition needs to fit
+    anywhere; per bucket a vectorized sort + arange gives global
+    ranks, and the NTILE formula maps rank -> tile.  The input
+    lineage executes exactly once (materialized inside the
+    primitive)."""
+    from .relational import range_bucket_offsets
 
-    # value range for order-preserving buckets (two tiny passes)
-    lo = ds.min(val_col)
-    hi = ds.max(val_col)
-    span = (hi - lo) or 1
-
-    def add_rb(batch: pd.DataFrame) -> pd.DataFrame:
-        if schemaless_empty(batch) or len(batch) == 0:
-            return batch
-        out = batch.copy()
-        rb = ((batch[val_col].to_numpy() - lo) / span
-              * n_buckets).astype(np.int64)
-        out["__rb"] = np.minimum(rb, n_buckets - 1)
-        return out
-
-    rbd = ds.map_batches(add_rb, batch_format="pandas").materialize()
-    counts = collect_pandas(
-        grouped_agg(rbd, ["__rb", part_col],
-                    {"c": (val_col, "size")}))
-    counts = counts.sort_values("__rb")
-    base: dict = {}
-    run: dict = {}
-    for rb, p, c in zip(counts["__rb"], counts[part_col], counts["c"]):
-        base[(int(rb), p)] = run.get(p, 0)
-        run[p] = run.get(p, 0) + int(c)
-    totals = dict(run)
+    rbd, base, totals = range_bucket_offsets(
+        ds, val_col, [part_col], weight_col=None, n_buckets=n_buckets)
 
     def tile_of(rank: np.ndarray, n: int) -> np.ndarray:
         q, m = divmod(n, k)
@@ -1030,7 +1019,7 @@ def grouped_ntile(ds, part_col: str, val_col: str, order_col: str,
         seg_id = np.cumsum(new) - 1
         seg_base = np.array([base.get((rb, p), 0)
                              for p in parts[new]], dtype=np.int64)
-        seg_n = np.array([totals[p] for p in parts[new]],
+        seg_n = np.array([totals[(p,)] for p in parts[new]],
                          dtype=np.int64)
         rank = seg_base[seg_id] + local
         tiles = np.empty(len(g), dtype=np.int64)
@@ -1071,29 +1060,41 @@ FROM events ORDER BY event_id
 # pivot (categorical wide aggregate) + ordered grouped string_agg
 # ---------------------------------------------------------------------------
 
-def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
-                 val_col: str | None = None,
-                 n_buckets: int | None = None):
-    """PIVOT: one output row per key, one int64 column per category
-    holding COUNT(*) (or SUM(val) with ``val_col``) — computed as ONE
-    ``grouped_agg`` over per-batch indicator partials (the categories
-    are fixed and known, so the wide schema is static and the shuffle
-    moves one partial row per (key, block))."""
+def pivot_agg(ds, key_col: str, cat_col: str,
+              outputs: dict[str, tuple[str, str | None]],
+              n_buckets: int | None = None):
+    """PIVOT: one output row per key, one int64 column per ``outputs``
+    entry {out_col: (category, val_col | None)} — COUNT(*) FILTER for
+    None, SUM(val) FILTER otherwise.  Computed as ONE ``grouped_agg``
+    over per-batch indicator partials (the category list is fixed and
+    known, so the wide schema is static and the shuffle moves one wide
+    partial row per (key, block)) — mixed count/sum outputs still need
+    only a single input pass and a single shuffle."""
     def widen(batch: pd.DataFrame) -> pd.DataFrame:
         from .shuffle import schemaless_empty
         if schemaless_empty(batch) or len(batch) == 0:
             return batch
         out = batch[[key_col]].copy()
         cat = batch[cat_col].to_numpy()
-        v = (batch[val_col].to_numpy().astype(np.int64)
-             if val_col else np.ones(len(batch), dtype=np.int64))
-        for c in categories:
-            out[f"c_{c}"] = np.where(cat == c, v, np.int64(0))
+        ones = np.ones(len(batch), dtype=np.int64)
+        for name, (c, val_col) in outputs.items():
+            v = (batch[val_col].to_numpy().astype(np.int64)
+                 if val_col else ones)
+            out[name] = np.where(cat == c, v, np.int64(0))
         return out
 
-    specs = {f"c_{c}": (f"c_{c}", "sum") for c in categories}
+    specs = {name: (name, "sum") for name in outputs}
     return grouped_agg(ds.map_batches(widen, batch_format="pandas"),
                        [key_col], specs, n_buckets=n_buckets)
+
+
+def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
+                 val_col: str | None = None,
+                 n_buckets: int | None = None):
+    """Uniform-output convenience wrapper over ``pivot_agg``."""
+    return pivot_agg(ds, key_col, cat_col,
+                     {f"c_{c}": (c, val_col) for c in categories},
+                     n_buckets=n_buckets)
 
 
 def grouped_string_agg(ds, key_col: str, val_col: str,
@@ -1134,37 +1135,22 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def q_pivot(sf_dir: str):
     """Per-user event counts pivoted wide over the five event types
-    plus a pivoted value-cents sum for purchases."""
+    plus a pivoted value-cents sum for purchases — ONE input pass, one
+    shuffle, no join (mixed count/sum outputs via ``pivot_agg``)."""
     from .relational import read
 
     ds = read(sf_dir, "events", ["user_id", "event_type", "value"])
-    counts = pivot_counts(ds, "user_id", "event_type", EVENT_TYPES)
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table({"user_id": batch["user_id"],
                          "event_type": batch["event_type"],
                          "value_c": _cents(batch["value"])})
 
-    sums = pivot_counts(ds.map_batches(prep, batch_format="pyarrow"),
-                        "user_id", "event_type", ["purchase"],
-                        val_col="value_c")
-
-    def rename(batch: pd.DataFrame) -> pd.DataFrame:
-        from .shuffle import schemaless_empty
-        if schemaless_empty(batch) or len(batch) == 0:
-            return batch
-        return batch.rename(columns={"c_purchase": "purchase_c"})
-
-    from .relational import bucketed_hash_join
-    joined = bucketed_hash_join(
-        counts, sums.map_batches(rename, batch_format="pandas"),
-        on="user_id",
-        schemas=(pa.schema([("user_id", pa.int64())]
-                           + [(f"c_{c}", pa.int64())
-                              for c in EVENT_TYPES]),
-                 pa.schema([("user_id", pa.int64()),
-                            ("purchase_c", pa.int64())])))
-    return joined.sort("user_id")
+    outputs: dict = {f"c_{c}": (c, None) for c in EVENT_TYPES}
+    outputs["purchase_c"] = ("purchase", "value_c")
+    out = pivot_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                    "user_id", "event_type", outputs)
+    return out.sort("user_id")
 
 
 def q_pivot_sql() -> str:

@@ -774,7 +774,7 @@ def token_budget_select(docs_ds, budget: int = TOKEN_BUDGET,
     import polars as pl
     import pyarrow as pa
 
-    from .shuffle import collect_pandas, schemaless_empty
+    from .shuffle import schemaless_empty
 
     if n_buckets is None:
         from .relational import _default_buckets
@@ -787,7 +787,6 @@ def token_budget_select(docs_ds, budget: int = TOKEN_BUDGET,
     cnt_schema = pa.schema([("doc_id", pa.int64()),
                             (domain_col, pa.string()),
                             ("n_tokens", pa.int64())])
-    rb_schema = cnt_schema.append(pa.field("__rb", pa.int64()))
 
     def count_tokens(batch: pd.DataFrame):
         if schemaless_empty(batch) or len(batch) == 0:
@@ -800,32 +799,15 @@ def token_budget_select(docs_ds, budget: int = TOKEN_BUDGET,
         return pa.Table.from_pandas(out, schema=cnt_schema,
                                     preserve_index=False)
 
-    counts = docs_ds.map_batches(count_tokens,
-                                 batch_format="pandas").materialize()
-    mn = int(counts.min("doc_id"))
-    mx = int(counts.max("doc_id"))
-    width = max(1, (mx - mn + n_buckets) // n_buckets)
-
-    def add_rb(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return rb_schema.empty_table()
-        rb = (batch["doc_id"].to_numpy() - mn) // width
-        return batch.append_column("__rb",
-                                   pa.array(rb, pa.int64()))
-
-    cb_arrow = counts.map_batches(add_rb, batch_format="pyarrow")
-
-    cb = cb_arrow.materialize()
-    from .relational import grouped_agg
-    sums = collect_pandas(
-        grouped_agg(cb, ["__rb", domain_col],
-                    {"s": ("n_tokens", "sum")}))
-    sums = sums.sort_values(["__rb"])
-    base: dict = {}
-    run: dict = {}
-    for rb, dom, s in zip(sums["__rb"], sums[domain_col], sums["s"]):
-        base[(int(rb), dom)] = run.get(dom, 0)
-        run[dom] = run.get(dom, 0) + int(s)
+    # the shared order-preserving exact-scan primitive (also behind
+    # sequence packing, shuffle_shards and NTILE): one lineage
+    # execution, Arrow blocks throughout, per-(bucket, domain)
+    # exclusive prefix offsets on the driver
+    from .relational import range_bucket_offsets
+    counts = docs_ds.map_batches(count_tokens, batch_format="pandas")
+    cb, base, _totals = range_bucket_offsets(
+        counts, "doc_id", [domain_col], weight_col="n_tokens",
+        n_buckets=n_buckets)
 
     out_schema = pa.schema([("doc_id", pa.int64()),
                             (domain_col, pa.string()),

@@ -1834,7 +1834,12 @@ def edit1_pairs(tokens_ds, col: str = "t",
         out = pd.concat(outs, ignore_index=True).drop_duplicates()
         return out.rename(columns={"s_x": "a", "s_y": "b"})
 
-    return (tokens_ds.map_batches(explode, batch_format="pandas")
+    from .shuffle import coalesce_for_shuffle
+    exploded = tokens_ds.map_batches(explode, batch_format="pandas")
+    # explode multiplies rows ~|s|+1 per token — coalesce the narrow
+    # high-fanout stream before the AllToAll (CLAUDE.md invariant:
+    # tiny shuffle partitions inline into the driver heap)
+    return (coalesce_for_shuffle(exploded)
             .groupby("__b").map_groups(pairs, batch_format="pandas"))
 
 

@@ -492,6 +492,63 @@ def project_cols(cols: list[str]):
 _COMBINE = {"sum": "sum", "size": "sum", "min": "min", "max": "max"}
 
 
+def range_bucket_offsets(ds, order_col: str, key_cols: list[str],
+                         weight_col: str | None = None,
+                         n_buckets: int | None = None):
+    """The shared order-preserving exact-scan primitive behind
+    sequence packing (C2), global row numbering / sharding (C9),
+    NTILE (G19) and token-budget selection (C17): range-bucket the
+    rows on ``order_col`` (monotone float mapping — every bucket holds
+    a contiguous value range) and compute, per (bucket, key), the
+    EXCLUSIVE prefix weight of all lower buckets.
+
+    Returns ``(rbd, base, totals)``: ``rbd`` = the input materialized
+    with ``__rb`` (the input lineage executes exactly once);
+    ``base[(rb,) + key]`` = that key's total weight in lower buckets;
+    ``totals[key]`` = the key's overall weight.  ``weight_col`` None
+    counts rows.  Callers finish with one ``groupby('__rb')`` pass:
+    sort within the bucket, local cumsum/rank, add the base."""
+    from .shuffle import collect_pandas, schemaless_empty
+    if n_buckets is None:
+        n_buckets = _default_buckets()
+    base_ds = ds.materialize()
+    lo = base_ds.min(order_col)
+    hi = base_ds.max(order_col)
+    if lo is None or hi is None:      # empty input: degenerate span,
+        lo, hi = 0.0, 1.0             # no partials, empty output flows
+    span = (float(hi) - float(lo)) or 1.0
+
+    def add_rb(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        v = batch[order_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        rb = np.clip(((v - float(lo)) / span
+                      * n_buckets).astype(np.int64),
+                     0, n_buckets - 1)
+        return batch.append_column("__rb", pa.array(rb, pa.int64()))
+
+    # Arrow in, Arrow out: string key columns stay typed through the
+    # downstream groupby AllToAll (CLAUDE.md object-column invariant)
+    rbd = base_ds.map_batches(add_rb, batch_format="pyarrow") \
+        .materialize()
+    specs = ({"__w": (weight_col, "sum")} if weight_col
+             else {"__w": (order_col, "size")})
+    counts = collect_pandas(
+        grouped_agg(rbd, ["__rb"] + key_cols, specs))
+    counts = counts.sort_values("__rb")
+    keys_arr = [counts[c].to_numpy() for c in key_cols]
+    rbs = counts["__rb"].to_numpy()
+    ws = counts["__w"].to_numpy()
+    base: dict = {}
+    run: dict = {}
+    for i in range(len(counts)):
+        key = tuple(a[i] for a in keys_arr)
+        base[(int(rbs[i]),) + key] = run.get(key, 0)
+        run[key] = run.get(key, 0) + int(ws[i])
+    return rbd, base, dict(run)
+
+
 def _default_buckets() -> int:
     """Shuffle-bucket count sized to the cluster (>= 32): per-bucket
     combine stays vectorized while buckets ~ cores at any scale."""

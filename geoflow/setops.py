@@ -26,9 +26,11 @@ def _tagged_union(left_ds, right_ds, cols: list[str]):
     def tag(side: int):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             from .shuffle import schemaless_empty
-            if schemaless_empty(batch) or len(batch) == 0:
-                out = pd.DataFrame({c: pd.Series(dtype=object)
-                                    for c in cols})
+            if schemaless_empty(batch):
+                return batch  # concat-neutral pass-through: a
+                # fabricated empty would type int64 keys as object
+            if len(batch) == 0:
+                out = batch[cols].copy()  # keeps the real dtypes
                 out["__s"] = pd.Series(dtype=np.int64)
                 return out
             out = batch[cols].drop_duplicates().copy()
@@ -97,6 +99,10 @@ def q_setops(sf_dir: str):
         return ds.map_batches(pick, batch_format="pyarrow")
 
     l, r = year_keys(1995), year_keys(1996)
+    # ONE presence aggregate serves both ops (materialized — the two
+    # filters would otherwise re-run the whole tagged-union shuffle
+    # and re-read/filter orders twice; probe-then-consume rule)
+    presence = _side_presence(l, r, ["o_custkey"]).materialize()
 
     def tag_op(name: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -110,9 +116,13 @@ def q_setops(sf_dir: str):
             return out
         return fn
 
-    both = intersect_distinct(l, r, ["o_custkey"]).map_batches(
+    both = _filter_presence(
+        presence, ["o_custkey"],
+        lambda mn, mx: (mn == 0) & (mx == 1)).map_batches(
         tag_op("intersect"), batch_format="pandas")
-    only95 = except_distinct(l, r, ["o_custkey"]).map_batches(
+    only95 = _filter_presence(
+        presence, ["o_custkey"],
+        lambda mn, mx: (mn == 0) & (mx == 0)).map_batches(
         tag_op("except"), batch_format="pandas")
     return both.union(only95).sort(["op", "o_custkey"])
 

@@ -84,11 +84,12 @@ def main():
             # float64 1593.0): numeric KIND must agree per column — DuckDB
             # HUGEINT sums come back float64, the SQL must CAST AS BIGINT
             kind_bad = [c for c in got.columns
-                        if {got[c].dtype.kind, want[c].dtype.kind}
-                        == {"i", "f"}]
+                        if got[c].dtype.kind in "if"
+                        and want[c].dtype.kind in "if"
+                        and got[c].dtype != want[c].dtype]
             if kind_bad:
                 ok_cols = False
-                failures.append((name, f"DTYPE int-vs-float: {kind_bad} "
+                failures.append((name, f"DTYPE mismatch: {kind_bad} "
                                  f"(ray {[str(got[c].dtype) for c in kind_bad]}"
                                  f" vs sql "
                                  f"{[str(want[c].dtype) for c in kind_bad]})"))
