@@ -502,6 +502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_full_outer": relational.q_full_outer,
         "q_pivot": analytics.q_pivot,
         "q_string_agg": analytics.q_string_agg,
+        "q_grouping_sets": analytics.q_grouping_sets,
+        "q_bernoulli_sample": analytics.q_bernoulli_sample,
         # ---- rows-only from here (pytest + local gate hold the exact
         # byte/value-level oracles), ranked by evidence value ----
         "q_flagship_tiles": _q_flagship_tiles,
@@ -604,6 +606,8 @@ def oracle_sql() -> dict[str, str]:
         "q_edit1_pairs": dedup.Q_EDIT1_SQL,
         "q_pivot": analytics.q_pivot_sql(),
         "q_string_agg": analytics.q_string_agg_sql(),
+        "q_grouping_sets": analytics.q_grouping_sets_sql(),
+        "q_bernoulli_sample": analytics.q_bernoulli_sample_sql(),
         "q_distance_join": spatial_queries.q_distance_join_sql(),
         "q_heavy_hitters": analytics.q_heavy_hitters_sql(),
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,

@@ -167,7 +167,9 @@ def run_bench() -> dict:
                      "q_covariance", "q_pareto", "q_setops",
                      "q_token_budget", "q_full_outer", "q_funnel",
                      "q_ntile", "q_edit1_pairs", "q_traj_simplify",
-                     "q_convex_hull"]:
+                     "q_convex_hull", "q_pivot", "q_string_agg",
+                     "q_grouping_sets", "q_bernoulli_sample",
+                     "q_approx_quantiles"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data

@@ -52,16 +52,21 @@ LOCAL_REAGG_LIMIT = 200_000
 
 
 def _local_levels(finest_pd: pd.DataFrame, keys: list[str],
-                  specs: dict, subsets: list[tuple], sentinel: str):
+                  specs: dict, subsets: list[tuple], sentinel: str,
+                  include_finest: bool = True):
     """Driver-side re-aggregation of every coarser grouping set from
     the (bounded) finest-level frame — bit-identical to the
     distributed path (same associative _RE_AGG fns over the same
-    partials)."""
+    partials).  ``include_finest`` False emits only the requested
+    ``subsets`` (GROUPING SETS semantics, where the full key set
+    appears only if asked for)."""
     aggs = {alias: (alias, _RE_AGG[fn])
             for alias, (_src, fn) in specs.items()}
-    parts = [finest_pd[keys + list(specs)]]
+    parts = [finest_pd[keys + list(specs)]] if include_finest else []
     for sub in subsets:
-        if sub:
+        if len(sub) == len(keys):
+            lvl = finest_pd.copy()
+        elif sub:
             lvl = finest_pd.groupby(list(sub), as_index=False,
                                     sort=False).agg(**aggs)
         else:
@@ -1288,3 +1293,151 @@ def q_approx_quantiles(sf_dir: str):
     out = approx_quantiles(prepped, "price_c", APPROX_QS)
     out["value"] = out["value"].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# arbitrary GROUPING SETS (generalizes ROLLUP / CUBE) + deterministic
+# Bernoulli stratified sampling
+# ---------------------------------------------------------------------------
+
+def grouped_sets(ds, keys: list[str], sets: list[list[str]],
+                 specs: dict[str, tuple[str, str]],
+                 sentinel: str = ROLLUP_ALL,
+                 local_limit: int = LOCAL_REAGG_LIMIT):
+    """SQL ``GROUP BY GROUPING SETS (sets)`` — the general form behind
+    ROLLUP and CUBE: ONE distributed pass at the finest level (the
+    union of all requested keys), every requested set re-aggregated
+    from that bounded result (locally below ``local_limit`` finest
+    groups, else one ``grouped_agg`` per set).  Requested sets must be
+    subsets of ``keys``; duplicates are the caller's choice (SQL
+    allows them)."""
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} not a subset of {keys}")
+    finest = grouped_agg(ds, keys, specs).materialize()
+    subsets = [tuple(k for k in keys if k in s) for s in sets]
+    if finest.count() <= local_limit:
+        import ray.data
+
+        from .shuffle import collect_pandas
+        return ray.data.from_pandas(_local_levels(
+            collect_pandas(finest), keys, specs, subsets, sentinel,
+            include_finest=False))
+    re_specs = {alias: (alias, _RE_AGG[fn])
+                for alias, (_src, fn) in specs.items()}
+    out = None
+    for sub in subsets:
+        if len(sub) == len(keys):
+            lvl = finest
+        elif sub:
+            lvl = grouped_agg(finest, list(sub), re_specs)
+        else:
+            def add_all(batch: pd.DataFrame) -> pd.DataFrame:
+                batch = batch.copy()
+                batch["__all"] = np.int64(0)
+                return batch
+
+            lvl = grouped_agg(finest.map_batches(add_all,
+                                                 batch_format="pandas"),
+                              ["__all"], re_specs)
+
+        def fill(batch: pd.DataFrame, sub=sub):
+            batch = batch.copy()
+            if "__all" in batch.columns:
+                batch = batch.drop(columns=["__all"])
+            for k in keys:
+                if k not in sub:
+                    batch[k] = sentinel
+            return batch[keys + list(specs)]
+
+        shaped = lvl.map_batches(fill, batch_format="pandas")
+        out = shaped if out is None else out.union(shaped)
+    return out
+
+
+def bernoulli_stratified_sample(ds, strata_col: str, id_col: str,
+                                pct: dict[str, int]):
+    """Deterministic per-stratum Bernoulli sample: keep a row iff
+    ``md5(str(id)) mod 100 < pct[stratum]`` — reproducible across
+    runs, engines and the SQL oracle (CLAUDE.md md5 string-hash
+    parity), map-only (no shuffle, no state)."""
+    import hashlib
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        ids = batch[id_col].to_numpy()
+        strata = batch[strata_col].to_numpy()
+        h = np.array([int(hashlib.md5(str(int(i)).encode())
+                          .hexdigest()[:8], 16) % 100
+                      for i in ids], dtype=np.int64)
+        thr = np.array([pct.get(s, 0) for s in strata],
+                       dtype=np.int64)
+        return batch[h < thr]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+SAMPLE_PCT = {"en": 50, "de": 25, "fr": 10, "es": 75, "zh": 100}
+
+
+def q_grouping_sets(sf_dir: str):
+    """GROUPING SETS ((returnflag, linestatus), (linestatus), ()) over
+    lineitem — the arbitrary-set form (cf. q_rollup / q_cube)."""
+    from .relational import read
+
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_c": _cents(batch["l_quantity"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_sets(prepped, ["l_returnflag", "l_linestatus"],
+                       [["l_returnflag", "l_linestatus"],
+                        ["l_linestatus"], []],
+                       {"sum_qty_c": ("qty_c", "sum"),
+                        "n": ("qty_c", "size")})
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def q_grouping_sets_sql() -> str:
+    return f"""
+SELECT COALESCE(l_returnflag, '{ROLLUP_ALL}') AS l_returnflag,
+       COALESCE(l_linestatus, '{ROLLUP_ALL}') AS l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_qty_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_linestatus), ())
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_bernoulli_sample(sf_dir: str):
+    """Per-lang deterministic Bernoulli document sample at fixed
+    per-stratum rates — md5-hash parity with the SQL oracle."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    out = bernoulli_stratified_sample(docs, "lang", "doc_id",
+                                      SAMPLE_PCT)
+    return out.sort("doc_id")
+
+
+def q_bernoulli_sample_sql() -> str:
+    cases = " ".join(f"WHEN '{s}' THEN {p}"
+                     for s, p in SAMPLE_PCT.items())
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+           AS BIGINT) % 100
+      < CASE lang {cases} ELSE 0 END
+ORDER BY doc_id
+"""

@@ -499,3 +499,37 @@ def test_approx_quantiles_rank_error_bound(ray_session, rng):
                 else:
                     err = min(abs(target - r_lo), abs(target - r_hi))
                 assert err <= 3 * n / m, (dist, blocks, q, err)
+
+
+def test_grouped_sets_matches_pandas(ray_session, rng):
+    df = pd.DataFrame({
+        "a": rng.choice(list("xy"), 500),
+        "b": rng.choice(list("pqr"), 500),
+        "v": rng.integers(-40, 40, 500).astype(np.int64)})
+    sets = [["a", "b"], ["b"], []]
+    specs = {"s": ("v", "sum"), "n": ("v", "size")}
+    S = analytics.ROLLUP_ALL
+    for limit in (200_000, 0):      # local and forced-distributed
+        out = (analytics.grouped_sets(_ds(df, 4), ["a", "b"], sets,
+                                      specs, local_limit=limit)
+               .to_pandas().sort_values(["a", "b"])
+               .reset_index(drop=True))
+        parts = []
+        for sub in sets:
+            if sub:
+                lvl = df.groupby(sub, as_index=False).agg(
+                    s=("v", "sum"), n=("v", "size"))
+            else:
+                lvl = pd.DataFrame({"s": [df["v"].sum()],
+                                    "n": [np.int64(len(df))]})
+            for k in ["a", "b"]:
+                if k not in sub:
+                    lvl[k] = S
+            parts.append(lvl[["a", "b", "s", "n"]])
+        exp = (pd.concat(parts, ignore_index=True)
+               .sort_values(["a", "b"]).reset_index(drop=True))
+        exp["n"] = exp["n"].astype(np.int64)
+        pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+
+    with pytest.raises(ValueError, match="not a subset"):
+        analytics.grouped_sets(_ds(df, 2), ["a"], [["b"]], specs)
