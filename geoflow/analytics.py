@@ -1441,3 +1441,112 @@ WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
       < CASE lang {cases} ELSE 0 END
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# RANK / DENSE_RANK (tie-aware global window ranks)
+# ---------------------------------------------------------------------------
+
+def grouped_rank(ds, part_col: str, val_col: str, order_col: str,
+                 n_buckets: int | None = None):
+    """Exact SQL ``RANK()`` and ``DENSE_RANK() OVER (PARTITION BY part
+    ORDER BY val)`` per row (plus ROW_NUMBER ordered by (val, order)
+    for free) — completing the window family (NTILE, LAG, rolling,
+    string_agg).
+
+    Shape: ``relational.range_bucket_offsets`` twice over the SAME
+    materialized bucketed table — once counting rows, once counting
+    DISTINCT values per (bucket, partition) — is unnecessary: one pass
+    collects both (rows via the primitive, distinct-value counts from
+    a per-bucket dedup of the same driver-bound table).  Equal values
+    always land in one bucket (range buckets are value-contiguous), so
+    tie groups are bucket-local and both ranks are exact."""
+    from .relational import grouped_agg, range_bucket_offsets
+    from .shuffle import collect_pandas
+
+    rbd, base, _tot = range_bucket_offsets(
+        ds, val_col, [part_col], weight_col=None, n_buckets=n_buckets)
+    # distinct (val) counts per (bucket, part): bounded driver table
+    dv = collect_pandas(grouped_agg(
+        rbd, ["__rb", part_col, val_col],
+        {"__n": (val_col, "size")}))
+    dvc = (dv.groupby(["__rb", part_col], as_index=False)
+           .agg(c=("__n", "size")).sort_values("__rb"))
+    dbase: dict = {}
+    drun: dict = {}
+    for rb, p, c in zip(dvc["__rb"], dvc[part_col], dvc["c"]):
+        dbase[(int(rb), p)] = drun.get(p, 0)
+        drun[p] = drun.get(p, 0) + int(c)
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        cols = {order_col: pd.Series(dtype=np.int64),
+                "rnk": pd.Series(dtype=np.int64),
+                "dense_rnk": pd.Series(dtype=np.int64)}
+        if len(group) == 0:
+            return pd.DataFrame(cols)
+        g = group.sort_values([part_col, val_col, order_col],
+                              kind="mergesort")
+        parts = g[part_col].to_numpy()
+        vals = g[val_col].to_numpy()
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        new_p = np.concatenate(([True], parts[1:] != parts[:-1]))
+        new_v = np.concatenate(([True],
+                                (vals[1:] != vals[:-1])
+                                | (parts[1:] != parts[:-1])))
+        p_start = np.maximum.accumulate(np.where(new_p, idx, 0))
+        local_row = idx - p_start            # 0-based within (rb, part)
+        # RANK: first row index of the value-tie group, within part
+        tie_start = np.maximum.accumulate(np.where(new_v, idx, 0))
+        local_rank = tie_start - p_start
+        # DENSE_RANK: distinct value groups since the part start —
+        # new_v is True at every part boundary, so
+        # dv_cum[i] - dv_cum[p_start] counts the groups strictly
+        # between the part's first value group and row i's group
+        dv_cum = np.cumsum(new_v)
+        local_dense = dv_cum - dv_cum[p_start]
+        rb = int(g["__rb"].iloc[0])
+        seg_id = np.cumsum(new_p) - 1
+        rbase = np.array([base.get((rb, p), 0)
+                          for p in parts[new_p]], dtype=np.int64)
+        dbase_a = np.array([dbase.get((rb, p), 0)
+                            for p in parts[new_p]], dtype=np.int64)
+        return pd.DataFrame({
+            order_col: g[order_col].to_numpy(),
+            "rnk": rbase[seg_id] + local_rank + 1,
+            "dense_rnk": dbase_a[seg_id] + local_dense + 1})
+
+    return rbd.groupby("__rb").map_groups(assign,
+                                          batch_format="pandas")
+
+
+def q_rank(sf_dir: str):
+    """RANK + DENSE_RANK of event value within event_type (value ties
+    real: cents collide)."""
+    from .relational import read
+
+    ds = read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "value_c": _cents(batch["value"])})
+
+    out = grouped_rank(ds.map_batches(prep, batch_format="pyarrow"),
+                       "event_type", "value_c", "event_id")
+    return out.sort("event_id")
+
+
+def q_rank_sql() -> str:
+    return """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
+  FROM events)
+SELECT event_id,
+       CAST(RANK() OVER (PARTITION BY event_type ORDER BY value_c)
+            AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER (PARTITION BY event_type
+            ORDER BY value_c) AS BIGINT) AS dense_rnk
+FROM v ORDER BY event_id
+"""

@@ -533,3 +533,20 @@ def test_grouped_sets_matches_pandas(ray_session, rng):
 
     with pytest.raises(ValueError, match="not a subset"):
         analytics.grouped_sets(_ds(df, 2), ["a"], [["b"]], specs)
+
+
+def test_grouped_rank_matches_pandas_ties(ray_session, rng):
+    n = 2500
+    df = pd.DataFrame({
+        "o": np.arange(n, dtype=np.int64),
+        "p": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(0, 60, n).astype(np.int64)})  # dense ties
+    out = (analytics.grouped_rank(_ds(df, 6), "p", "v", "o")
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    exp = df.copy()
+    exp["rnk"] = (df.groupby("p")["v"].rank(method="min")
+                  .astype(np.int64))
+    exp["dense_rnk"] = (df.groupby("p")["v"].rank(method="dense")
+                        .astype(np.int64))
+    exp = exp[["o", "rnk", "dense_rnk"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
