@@ -504,19 +504,18 @@ def verify_pairs_by_signature(docs_ds, pairs_ds, threshold: float,
         need_map.setdefault(int(d), []).append(int(vb))
     need_ref = ray.put(need_map)
 
-    def emit_sigs(batch: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "__vb": pd.Series(dtype=np.int64),
-            "doc_id": pd.Series(dtype=np.int64),
-            "sig": pd.Series(dtype=object),
-            "a": pd.Series(dtype=np.int64),
-            "b": pd.Series(dtype=np.int64),
-            "__side": pd.Series(dtype=np.int8)})
+    # typed Arrow transport: sig as a binary column (not a pandas
+    # object column Ray's block-size estimator cannot size)
+    vschema = pa.schema([("__vb", pa.int64()), ("doc_id", pa.int64()),
+                         ("sig", pa.binary()), ("a", pa.int64()),
+                         ("b", pa.int64()), ("__side", pa.int8())])
+
+    def emit_sigs(batch: pd.DataFrame):
         from .shuffle import cached_get
         m = cached_get(need_ref)
         cand = batch[batch["doc_id"].isin(m)]
         if len(cand) == 0:
-            return empty
+            return vschema.empty_table()
         # sig as BYTES: a plain binary column unions cleanly with the
         # pair side's empty rows (ndarray cells trip Ray's tensor ext)
         if "sig" in cand.columns:          # precomputed sigs_ds source
@@ -532,23 +531,25 @@ def verify_pairs_by_signature(docs_ds, pairs_ds, threshold: float,
                 out_vb.append(vb)
                 out_sig.append(sig_bytes[i])
         n = len(out_id)
-        return pd.DataFrame({
-            "__vb": np.asarray(out_vb, dtype=np.int64),
-            "doc_id": np.asarray(out_id, dtype=np.int64),
-            "sig": out_sig,
-            "a": np.full(n, -1, dtype=np.int64),
-            "b": np.full(n, -1, dtype=np.int64),
-            "__side": np.zeros(n, dtype=np.int8)})
+        return pa.Table.from_arrays(
+            [pa.array(np.asarray(out_vb, dtype=np.int64)),
+             pa.array(np.asarray(out_id, dtype=np.int64)),
+             pa.array(out_sig, pa.binary()),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             pa.array(np.zeros(n, dtype=np.int8))],
+            schema=vschema)
 
-    def tag_pairrows(batch: pd.DataFrame) -> pd.DataFrame:
+    def tag_pairrows(batch: pd.DataFrame):
         n = len(batch)
-        return pd.DataFrame({
-            "__vb": batch["__vb"].to_numpy().astype(np.int64),
-            "doc_id": np.full(n, -1, dtype=np.int64),
-            "sig": [b""] * n,
-            "a": batch["a"].to_numpy().astype(np.int64),
-            "b": batch["b"].to_numpy().astype(np.int64),
-            "__side": np.ones(n, dtype=np.int8)})
+        return pa.Table.from_arrays(
+            [pa.array(batch["__vb"].to_numpy().astype(np.int64)),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             pa.array([b""] * n, pa.binary()),
+             pa.array(batch["a"].to_numpy().astype(np.int64)),
+             pa.array(batch["b"].to_numpy().astype(np.int64)),
+             pa.array(np.ones(n, dtype=np.int8))],
+            schema=vschema)
 
     src = sigs_ds if sigs_ds is not None else docs_ds
     unioned = (src.map_batches(emit_sigs, batch_format="pandas")

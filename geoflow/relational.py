@@ -33,8 +33,18 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 def read(sf_dir: str, table: str, columns=None):
     import ray.data
+
+    def strip_meta(batch: pa.Table) -> pa.Table:
+        # the driver's testdata parquet carries a b'pandas' metadata
+        # dict that Ray's per-block schema dedup cannot hash (logs
+        # 'Failed to hash the schemas' per read task and falls back to
+        # schema unification); dropping it is zero-copy and fuses with
+        # the read stage
+        return batch.replace_schema_metadata(None)
+
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
-                                 columns=columns)
+                                 columns=columns) \
+        .map_batches(strip_meta, batch_format="pyarrow")
 
 
 def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "inner"):
