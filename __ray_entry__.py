@@ -505,7 +505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouping_sets": analytics.q_grouping_sets,
         "q_bernoulli_sample": analytics.q_bernoulli_sample,
         "q_rank": analytics.q_rank,
-        # ---- rows-only from here (pytest + local gate hold the exact
+        "q_ols": analytics.q_ols,
+    # ---- rows-only from here (pytest + local gate hold the exact
         # byte/value-level oracles), ranked by evidence value ----
         "q_flagship_tiles": _q_flagship_tiles,
         "q_curate": curate.q_curate,
@@ -610,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
         "q_grouping_sets": analytics.q_grouping_sets_sql(),
         "q_bernoulli_sample": analytics.q_bernoulli_sample_sql(),
         "q_rank": analytics.q_rank_sql(),
+        "q_ols": analytics.q_ols_sql(),
         "q_distance_join": spatial_queries.q_distance_join_sql(),
         "q_heavy_hitters": analytics.q_heavy_hitters_sql(),
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,

@@ -1550,3 +1550,100 @@ SELECT event_id,
             ORDER BY value_c) AS BIGINT) AS dense_rnk
 FROM v ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped OLS fit (integer-exact normal equations)
+# ---------------------------------------------------------------------------
+
+def grouped_ols_int(ds, keys: list[str], x_col: str, y_col: str,
+                    n_buckets: int | None = None):
+    """Per-group least-squares slope of y on x as an EXACT integer
+    rational: slope = slope_num / slope_den with
+    slope_num = n*Sxy - Sx*Sy and slope_den = n*Sxx - Sx^2 (and the
+    intercept follows as (Sy - slope*Sx)/n).  Same combiner shape and
+    overflow contract as ``grouped_covariance_n2`` (|x|, |y| < 2^20
+    enforced at prep; groups capped at 2^23 rows)."""
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        out = batch[keys].copy()
+        x = batch[x_col].to_numpy().astype(np.int64)
+        y = batch[y_col].to_numpy().astype(np.int64)
+        if len(x) and (np.abs(x).max() >= 1 << 20
+                       or np.abs(y).max() >= 1 << 20):
+            raise OverflowError(
+                "grouped_ols_int requires |x|, |y| < 2^20 — "
+                "pre-scale the inputs")
+        out["__xy"] = x * y
+        out["__xx"] = x * x
+        out["__x"] = x
+        out["__y"] = y
+        return out
+
+    sums = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                       keys, {"sxy": ("__xy", "sum"),
+                              "sxx": ("__xx", "sum"),
+                              "sx": ("__x", "sum"),
+                              "sy": ("__y", "sum"),
+                              "n": ("__x", "size")},
+                       n_buckets=n_buckets)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        n = batch["n"].to_numpy().astype(object)
+        if len(n) and max(int(v) for v in n) >= 1 << 23:
+            raise OverflowError("group exceeds 2^23 rows — pre-scale "
+                                "or shard")
+        sxy = batch["sxy"].to_numpy().astype(object)
+        sxx = batch["sxx"].to_numpy().astype(object)
+        sx = batch["sx"].to_numpy().astype(object)
+        sy = batch["sy"].to_numpy().astype(object)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        for v in list(num) + list(den):
+            if abs(int(v)) >= 2 ** 62:
+                raise OverflowError("OLS terms exceed int64")
+        out = batch[keys + ["n"]].copy()
+        out["slope_num"] = np.array([int(v) for v in num],
+                                    dtype=np.int64)
+        out["slope_den"] = np.array([int(v) for v in den],
+                                    dtype=np.int64)
+        return out
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+def q_ols(sf_dir: str):
+    """Per-returnflag OLS slope terms of disc_c on qty_c — exact
+    integer rationals (the FP slope is num/den downstream)."""
+    from .relational import read
+
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "qty_c": _cents(batch["l_quantity"]),
+                         "disc_c": _cents(batch["l_discount"])})
+
+    out = grouped_ols_int(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["l_returnflag"], "qty_c", "disc_c")
+    return out.sort("l_returnflag")
+
+
+def q_ols_sql() -> str:
+    return """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) AS y
+  FROM lineitem)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*)*SUM(x*y) - SUM(x)*SUM(y) AS BIGINT) AS slope_num,
+       CAST(COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS BIGINT) AS slope_den
+FROM v GROUP BY l_returnflag ORDER BY l_returnflag
+"""

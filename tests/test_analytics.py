@@ -550,3 +550,32 @@ def test_grouped_rank_matches_pandas_ties(ray_session, rng):
                         .astype(np.int64))
     exp = exp[["o", "rnk", "dense_rnk"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+
+
+def test_grouped_ols_int_exact(ray_session, rng):
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.choice(list("ab"), n),
+        "x": rng.integers(0, 500, n).astype(np.int64),
+        "y": rng.integers(-80, 80, n).astype(np.int64)})
+    out = (analytics.grouped_ols_int(_ds(df, 4), ["k"], "x", "y")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for _, row in out.iterrows():
+        sub = df[df["k"] == row["k"]]
+        nn = len(sub)
+        num = nn * int((sub.x * sub.y).sum()) \
+            - int(sub.x.sum()) * int(sub.y.sum())
+        den = nn * int((sub.x * sub.x).sum()) - int(sub.x.sum()) ** 2
+        assert (row["n"], row["slope_num"], row["slope_den"]) \
+            == (nn, num, den)
+        # cross-check against the float OLS slope
+        slope = np.polyfit(sub["x"], sub["y"], 1)[0]
+        assert abs(row["slope_num"] / row["slope_den"] - slope) < 1e-9
+
+    # worker-raised OverflowError arrives wrapped in RayTaskError
+    with pytest.raises(Exception, match="pre-scale"):
+        big = pd.DataFrame({"k": ["a"], "x": np.array([1 << 21],
+                                                      dtype=np.int64),
+                            "y": np.array([1], dtype=np.int64)})
+        analytics.grouped_ols_int(_ds(big, 1), ["k"], "x",
+                                  "y").to_pandas()
