@@ -26,6 +26,7 @@ from geoflow import (analytics, bpe, classify, cluster,  # noqa: E402
                      corpus, curate, dedup, dsir, graph, jsonops, lines,
                      lm, multimodal, properties, relational, setops,
                      similarity, spatial_queries, textops, weburl)
+from geoflow.shuffle import read_parquet_clean  # noqa: E402
 
 # pages-table size per sf tier (synthesized deterministically, cached)
 _PAGES_N = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
@@ -45,7 +46,7 @@ def entry() -> Any:
 
     pages_dir = synth.pages_dir_for(2_000)
     import ray.data
-    pages = ray.data.read_parquet(pages_dir,
+    pages = read_parquet_clean(pages_dir,
                                   columns=pipeline.PAGE_COLUMNS)
     feats = pipeline.extract_features(pages)
     feats = feats.map_batches(pipeline.enrich, batch_format="pyarrow")
@@ -75,7 +76,7 @@ def _cell_feats(sf_dir: str, res: int = 8):
     import pyarrow as pa
     from geoflow import cells, pipeline
 
-    pages = ray.data.read_parquet(_pages_dir(sf_dir),
+    pages = read_parquet_clean(_pages_dir(sf_dir),
                                   columns=pipeline.PAGE_COLUMNS)
     feats = pipeline.extract_features(pages)
 
@@ -158,7 +159,7 @@ def _q_dedup_pages(sf_dir: str):
     from geoflow import pipeline
     from geoflow.relational import partial_grouped_agg
 
-    pages = ray.data.read_parquet(_pages_dir(sf_dir),
+    pages = read_parquet_clean(_pages_dir(sf_dir),
                                   columns=pipeline.PAGE_COLUMNS)
     feats = pipeline.extract_features(pages)
     feats = feats.map_batches(pipeline.enrich, batch_format="pyarrow")
@@ -226,7 +227,7 @@ def _tile_blob_rows(sf_dir: str):
     from geoflow import pipeline, synth
     from geoflow.pip import PIPJoiner
 
-    pages = ray.data.read_parquet(_pages_dir(sf_dir),
+    pages = read_parquet_clean(_pages_dir(sf_dir),
                                   columns=pipeline.PAGE_COLUMNS)
     feats = pipeline.extract_features(pages)
     feats = feats.map_batches(pipeline.enrich, batch_format="pyarrow")

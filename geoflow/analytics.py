@@ -32,6 +32,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .relational import _cents, grouped_agg, topk  # noqa: F401
+from .shuffle import read_parquet_clean
 
 
 # ---------------------------------------------------------------------------
@@ -349,7 +350,7 @@ def q_heavy_hitters(sf_dir: str):
     the bounded-summary two-pass — output value-identical to exact SQL."""
     import ray.data
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return heavy_hitters(docs, k=HH_K, m=HH_M)
 
@@ -1424,7 +1425,7 @@ def q_bernoulli_sample(sf_dir: str):
     per-stratum rates — md5-hash parity with the SQL oracle."""
     import ray.data
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "lang"])
     out = bernoulli_stratified_sample(docs, "lang", "doc_id",
                                       SAMPLE_PCT)

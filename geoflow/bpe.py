@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from .shuffle import read_parquet_clean
 
 
 def _merge_pieces(pieces: list[str], a: str, b: str) -> list[str]:
@@ -295,6 +296,6 @@ def q_bpe(sf_dir: str) -> pd.DataFrame:
     rows-only at the driver; serial-reference + layout-invariance
     oracles in pytest."""
     import ray.data
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["text"])
     return bpe_train(docs, n_merges=BPE_MERGES)

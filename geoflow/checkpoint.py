@@ -22,6 +22,7 @@ import pathlib
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+from .shuffle import read_parquet_clean
 
 
 def _manifest_path(out_dir: str, part: int) -> pathlib.Path:
@@ -192,7 +193,7 @@ def read_checkpoint(out_dir: str, empty_schema: pa.Schema | None = None):
                 [pa.array([], type=f.type) for f in empty_schema],
                 schema=empty_schema)
             if empty_schema is not None else pa.table({}))
-    ds = ray.data.read_parquet(files)
+    ds = read_parquet_clean(files)
     if "text_z" in pq.read_schema(files[0]).names:
         # the sink stores the carried page text zlib-compressed
         # (pipeline.add_part) — restore `text` transparently so readers

@@ -41,6 +41,7 @@ import math
 
 import numpy as np
 import pandas as pd
+from .shuffle import read_parquet_clean
 
 FP = 1_000_000
 
@@ -187,7 +188,7 @@ def q_nb_classifier(sf_dir: str):
     same table — (doc_id, pred_lang, score_fp) with a full fixed-point
     SQL oracle replicating both training counts and scoring."""
     import ray.data
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
     model = nb_train(docs)
     return nb_predict(docs, model).sort("doc_id")

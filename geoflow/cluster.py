@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from .shuffle import read_parquet_clean
 
 _Q = float(1 << 20)
 
@@ -156,7 +157,7 @@ def q_kmeans(sf_dir: str):
     oracle replays the identical exact-integer recurrence single-
     machine and matches bit-for-bit."""
     import ray.data
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     cent, emb = kmeans_fit(ds, k=10, n_iter=4)
     return kmeans_stats(kmeans_assign(emb, cent))

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from .shuffle import read_parquet_clean
 
 # Fibonacci multiplicative hash (Knuth): equidistributed on sequential
 # ids, exact in both numpy uint64 and DuckDB BIGINT for doc_id < 2^31
@@ -578,7 +579,7 @@ def write_shards(docs_ds, out_dir: str, n_shards: int = 16,
 
 def _docs(sf_dir: str):
     import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
 
@@ -630,7 +631,7 @@ def q_shuffle_shards(sf_dir: str):
     """Deterministic global training shuffle: seeded hash rank +
     round-robin shard assignment over the documents table."""
     import ray.data
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
     return global_shuffle_shards(ds, n_shards=16, seed=7)
 
@@ -729,7 +730,7 @@ def q_weighted_sample(sf_dir: str):
     """Weighted sample of 50 documents by ``n_chars`` — full SQL
     oracle (seeded Fibonacci-hash uniform + fixed-point ln key)."""
     import ray.data
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "n_chars"])
     return weighted_sample(docs, "n_chars", WSAMPLE_M,
                            exact_log=True).sort("doc_id")
@@ -849,7 +850,7 @@ def q_token_budget(sf_dir: str):
     """Greedy per-lang token-budget selection over documents."""
     import ray.data
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "lang", "text"])
     return token_budget_select(docs)
 

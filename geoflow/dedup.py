@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from .shuffle import read_parquet_clean
 
 _FNV_PRIME = np.uint64(1099511628211)
 
@@ -1271,7 +1272,7 @@ def jaccard_pairs(docs_ds, threshold: float = 0.7, shingle_n: int = 3,
 
 def _docs(sf_dir: str):
     import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
 
@@ -1386,7 +1387,7 @@ def q_dedup_jaccard(sf_dir: str):
 
 def q_embedding_dups(sf_dir: str):
     import ray.data
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     return embedding_dups(emb)
 
@@ -1484,7 +1485,7 @@ def q_embedding_dups_ivf(sf_dir: str):
     """Approximate IVF-bucketed near-dup pairs (rows-only driver check;
     recall vs the exact path oracled in pytest)."""
     import ray.data
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     return embedding_dups_ivf(emb)
 
@@ -1632,7 +1633,7 @@ def q_connected_components(sf_dir: str):
     import ray.data
     from .shuffle import schemaless_empty
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     pairs = embedding_dups(emb, threshold=0.3)
 
@@ -1752,7 +1753,7 @@ def q_semdedup(sf_dir: str):
     reference — lives in tests/test_analytics.py)."""
     import ray.data
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     return semdedup(emb, k=8, threshold=0.4)
 
@@ -1854,7 +1855,7 @@ def q_edit1_pairs(sf_dir: str):
 
     from .relational import grouped_agg
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id"])
 
     def derive(batch: pd.DataFrame) -> pd.DataFrame:

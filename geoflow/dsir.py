@@ -35,6 +35,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+from .shuffle import read_parquet_clean
 
 FP = 1_000_000
 N_FEAT = 256
@@ -187,7 +188,7 @@ def q_dsir_weights(sf_dir: str):
     lang='en' target slice, plus the deterministic top-100 selection
     flag — full fixed-point SQL oracle."""
     import ray.data
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang"])
     target = docs.map_batches(
         lambda b: b[b["lang"] == DSIR_TARGET_LANG],
@@ -284,7 +285,7 @@ def q_featurize(sf_dir: str):
     """Hashed-BOW long-format features over ``documents`` — full SQL
     oracle (md5 bucket hash + grouped counts)."""
     import ray.data
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return hashed_bow(docs).sort(["doc_id", "dim"])
 

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from .shuffle import read_parquet_clean
 
 SCALE = 10**12
 
@@ -235,7 +236,7 @@ def similarity_pairs(sf_dir: str):
 
     from .dedup import embedding_dups
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     return embedding_dups(emb, threshold=PR_THRESHOLD)
 

@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 from . import codec
+from .shuffle import read_parquet_clean
 
 
 def sort_keys_deep(value: Any) -> Any:
@@ -385,7 +386,7 @@ def q_json_normalize(sf_dir: str):
     from . import codec_batch
     from .spatial_queries import derive_lnglat
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id"])
 
     def norm(batch: pa.Table) -> pa.Table:

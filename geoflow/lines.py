@@ -44,6 +44,7 @@ import numpy as np
 import pandas as pd
 
 from .shuffle import pad_array
+from .shuffle import read_parquet_clean
 
 
 def _default_buckets() -> int:
@@ -269,7 +270,7 @@ def _structured_docs(sf_dir: str):
             _INJECT_PD[0], _INJECT_PD[1], regex=False)
         return batch
 
-    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    return (read_parquet_clean(f"{sf_dir}/documents.parquet",
                                   columns=["doc_id", "text"])
             .map_batches(inject, batch_format="pandas"))
 
@@ -550,7 +551,7 @@ def q_dedup_spans(sf_dir: str):
     oracle (window generation, duplicate marking, coverage and the
     rebuilt text are all expressible in DuckDB list/agg SQL)."""
     import ray.data
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return dedup_spans(docs, k=SPAN_K,
                        min_count=SPAN_MIN_COUNT).sort("doc_id")

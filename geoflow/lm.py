@@ -57,6 +57,7 @@ import numpy as np
 import pandas as pd
 
 from .classify import FP, _fp_log
+from .shuffle import read_parquet_clean
 
 
 class LMModel:
@@ -224,7 +225,7 @@ def q_lm_perplexity(sf_dir: str):
     avg_nll_fp) with a full fixed-point SQL oracle replicating both the
     training counts and the scoring."""
     import ray.data
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     model = lm_train(docs)
     return lm_score(docs, model).sort("doc_id")

@@ -20,6 +20,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from .shuffle import read_parquet_clean
 
 try:                                    # guarded: not in this container
     from PIL import Image as _PILImage  # pragma: no cover
@@ -451,7 +452,7 @@ def media_from_documents(sf_dir: str):
     """Documents' text bytes as stand-in media payloads (deterministic)."""
     import ray.data
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def to_media(batch: pa.Table) -> pa.Table:
@@ -561,7 +562,7 @@ def q_media_decode(sf_dir: str):
     pytest holds the bit-exact oracle (test_multimodal)."""
     import ray.data
 
-    ids_ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ids_ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                    columns=["doc_id"])
 
     def synth_png(batch: pa.Table) -> pa.Table:

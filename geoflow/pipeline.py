@@ -24,6 +24,7 @@ TILE_Z = 12
 PAGE_COLUMNS = ["url", "warc_ts", "text", "lang"]
 
 from .extract import FEATURES_SCHEMA  # noqa: E402
+from .shuffle import read_parquet_clean
 
 _SINK_FEATURE_FIELDS = [
     pa.field("text", pa.large_string()) if f.name == "text" else f
@@ -200,7 +201,7 @@ def flagship(pages_dir: str, out_dir: str | None = None,
     # split the read into ~4 tasks per core so no stage is
     # read-parallelism-bound (scale shape: fragments >> cores)
     n_read = int(ray.cluster_resources().get("CPU", 32)) * 4
-    pages = ray.data.read_parquet(pages_dir, columns=PAGE_COLUMNS,
+    pages = read_parquet_clean(pages_dir, columns=PAGE_COLUMNS,
                                   override_num_blocks=n_read)
     feats = extract_features(pages, concurrency)
     feats = feats.map_batches(enrich, batch_format="pyarrow",
@@ -295,7 +296,7 @@ def verify_text_invariant(pages_dir: str, features_ds,
             return out
         return fn
 
-    src = ray.data.read_parquet(pages_dir, columns=["url", "text"]) \
+    src = read_parquet_clean(pages_dir, columns=["url", "text"]) \
         .map_batches(digest(0), batch_format="pandas")
     feats = features_ds.select_columns(["url", "text"]) \
         .map_batches(digest(1), batch_format="pandas")

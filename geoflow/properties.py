@@ -41,6 +41,7 @@ import numpy as np
 import pyarrow as pa
 
 from .jsonops import dump_json
+from .shuffle import read_parquet_clean
 
 #: supported typed-projection targets
 _DTYPES = {
@@ -207,7 +208,7 @@ def q_properties_project(sf_dir: str):
     uses DuckDB json_extract."""
     import ray.data
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id", "props"])
 
     def op(batch: pa.Table) -> pa.Table:

@@ -23,6 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .shuffle import pad_array
+from .shuffle import read_parquet_clean
 
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -42,7 +43,7 @@ def read(sf_dir: str, table: str, columns=None):
         # the read stage
         return batch.replace_schema_metadata(None)
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet",
                                  columns=columns) \
         .map_batches(strip_meta, batch_format="pyarrow")
 
@@ -1057,7 +1058,7 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     # decoded and only the key column leaves storage
     import pyarrow.dataset as pds
     import ray.data
-    cust_keys = ray.data.read_parquet(
+    cust_keys = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"],
         filter=(pds.field("c_mktsegment") == segment))
 
@@ -1288,7 +1289,7 @@ def q_part_brand_stats(sf_dir: str):
     """Filter + project + grouped count (predicate pushed to the read)."""
     import pyarrow.dataset as pads
     import ray.data
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_brand", "p_size"],
         filter=pads.field("p_size") > 25)
     out = partial_grouped_agg(ds, ["p_brand"], {}, count_alias="n_parts")

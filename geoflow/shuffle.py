@@ -183,3 +183,18 @@ def add_salt_column(batch: pa.Table, key: str, salt_map: dict[int, int],
             if m.any():
                 salt[m] = (h[m] % n).astype(np.int32)
     return batch.append_column("salt", pa.array(salt))
+
+
+def read_parquet_clean(path, columns=None, **kw):
+    """``ray.data.read_parquet`` + a fused zero-copy strip of the
+    b'pandas' schema-metadata dict (the driver's testdata parquet
+    carries one; Ray's per-block schema dedup can't hash it and logs
+    'Failed to hash the schemas' per read task, falling back to
+    schema unification).  Use this for every parquet read."""
+    import ray.data
+
+    def strip(batch):
+        return batch.replace_schema_metadata(None)
+
+    return ray.data.read_parquet(path, columns=columns, **kw) \
+        .map_batches(strip, batch_format="pyarrow")

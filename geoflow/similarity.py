@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from .shuffle import read_parquet_clean
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -334,7 +335,7 @@ def _fixed_queries(sf_dir: str, n: int = 5):
 
 def _emb(sf_dir: str):
     import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                  columns=["vec_id", "embedding"])
 
 

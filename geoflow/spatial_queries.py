@@ -21,6 +21,7 @@ import pyarrow as pa
 
 from . import cells, codec_batch, tiles
 from .geom import points_in_polygon_batch
+from .shuffle import read_parquet_clean
 
 LNG_MUL, LNG_MOD, LNG_OFF = 2654435761, 3600000, 1800000
 LAT_MUL, LAT_MOD, LAT_OFF = 972461, 1700000, 850000
@@ -43,7 +44,7 @@ def _derive_sql(id_col: str) -> tuple[str, str]:
 
 def _events(sf_dir: str):
     import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    return read_parquet_clean(f"{sf_dir}/events.parquet",
                                  columns=["event_id"])
 
 
@@ -248,7 +249,7 @@ def q_geobuf_roundtrip(sf_dir: str):
     value equality."""
     import ray.data
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id"])
 
     def rt(batch: pa.Table) -> pa.Table:
@@ -466,7 +467,7 @@ def q_traj_simplify(sf_dir: str):
     the recursive-reference parity oracle)."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts"])
 
     def prep(batch):

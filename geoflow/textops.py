@@ -15,6 +15,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from .shuffle import read_parquet_clean
 
 _TOKEN = re.compile(r"\S+")
 _ALPHA = re.compile(r"[A-Za-z]")
@@ -149,7 +150,7 @@ SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id
 
 def _docs(sf_dir: str):
     import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
 
@@ -345,7 +346,7 @@ def q_regex_extract(sf_dir: str):
     """M15's regex flat-map over the documents table (one row per match
     with per-doc match index) — full value-hash SQL oracle."""
     import ray.data
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return regex_extract(docs, REGEX_EXTRACT_PATTERN) \
         .sort(["doc_id", "match_idx"])
@@ -383,7 +384,7 @@ def normalize_text(ds, text_col: str = "text", out_col: str = "norm"):
 def q_text_normalize(sf_dir: str):
     """Cleaning stage over documents with a byte-exact SQL oracle."""
     import ray.data
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     out = normalize_text(docs)
 

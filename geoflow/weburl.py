@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from .shuffle import read_parquet_clean
 
 
 def host_of(urls) -> pd.Series:
@@ -77,7 +78,7 @@ def q_domain_cap(sf_dir: str):
     profile the kept set per source — one result exercising both the
     cap and the profile, fully SQL-oracled."""
     import ray.data
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "source", "n_chars"])
     kept = domain_cap(docs, "source", ["doc_id"], 10)
