@@ -1532,9 +1532,13 @@ def incremental_dedup_exact(docs_ds, state_dir: str,
         # state_dirs are per-deployment, rebuild on upgrade.
         b = np.asarray([int.from_bytes(f[:8], "big") % n_buckets
                         for f in fps], dtype=np.int64)
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
-            "fp": fps, "__fb": b})
+        # typed Arrow out: fp as a binary column, not a pandas object
+        # column (Ray's block-size estimator can't size those)
+        return pa.table({
+            "doc_id": pa.array(batch["doc_id"].to_numpy()
+                               .astype(np.int64)),
+            "fp": pa.array(fps, pa.binary()),
+            "__fb": pa.array(b)})
 
     def bucket_mark(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) == 0:
@@ -1585,8 +1589,11 @@ def q_incremental_dedup(sf_dir: str):
     state = tempfile.mkdtemp(prefix="geoflow_incdedup_")
     try:
         docs = _docs(sf_dir)
+        import pyarrow.compute as _pc
         half = docs.map_batches(
-            lambda b: b[b["doc_id"] < 250], batch_format="pandas")
+            lambda b: b.filter(_pc.less(b["doc_id"],
+                                        pa.scalar(250))),
+            batch_format="pyarrow")
         incremental_dedup_exact(half, state,
                                 run_id="run1").materialize()
         from .shuffle import collect_pandas
