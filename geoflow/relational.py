@@ -1999,3 +1999,62 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                     AND o.o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+def cross_join_broadcast(big_ds, small_df: pd.DataFrame,
+                         suffix: str = "_r"):
+    """CROSS JOIN with a bounded small side: the small frame ships
+    once via ray.put and every batch emits the cartesian product
+    vectorized (np.repeat x np.tile) — no shuffle.  Collides column
+    names take ``suffix`` on the small side.  The large-side row count
+    multiplies by len(small_df); callers own that fan-out."""
+    import ray
+
+    from .shuffle import cached_get, schemaless_empty
+    ref = ray.put(small_df)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        small = cached_get(ref)
+        n, m = len(batch), len(small)
+        left = batch.iloc[np.repeat(np.arange(n), m)] \
+            .reset_index(drop=True)
+        right = small.iloc[np.tile(np.arange(m), n)] \
+            .reset_index(drop=True)
+        right.columns = [c + suffix if c in left.columns else c
+                         for c in right.columns]
+        return pd.concat([left, right], axis=1)
+
+    return big_ds.map_batches(join, batch_format="pandas")
+
+
+def q_cross_join(sf_dir: str):
+    """region x nation cartesian product (the small-side CROSS JOIN
+    surface) with a derived pair key."""
+    from .shuffle import collect_pandas
+
+    nation = read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    region = collect_pandas(
+        read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    out = cross_join_broadcast(nation, region)
+
+    def shape(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        out = batch.copy()
+        out["pair_key"] = (out["n_nationkey"].astype(np.int64) * 100
+                           + out["r_regionkey"].astype(np.int64))
+        return out[["pair_key", "n_name", "r_name"]]
+
+    return out.map_batches(shape, batch_format="pandas") \
+        .sort("pair_key")
+
+
+Q_CROSS_JOIN_SQL = """
+SELECT CAST(n_nationkey * 100 + r_regionkey AS BIGINT) AS pair_key,
+       n_name, r_name
+FROM nation CROSS JOIN region
+ORDER BY pair_key
+"""
