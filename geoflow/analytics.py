@@ -1359,9 +1359,11 @@ def grouped_sets(ds, keys: list[str], sets: list[list[str]],
 def bernoulli_stratified_sample(ds, strata_col: str, id_col: str,
                                 pct: dict[str, int]):
     """Deterministic per-stratum Bernoulli sample: keep a row iff
-    ``md5(str(id)) mod 100 < pct[stratum]`` — reproducible across
-    runs, engines and the SQL oracle (CLAUDE.md md5 string-hash
-    parity), map-only (no shuffle, no state)."""
+    ``md5(key) mod 100 < pct[stratum]`` where key is the id's string
+    form (string ids hash as-is; integer ids via str(int(id)), the
+    SQL ``CAST(id AS VARCHAR)`` parity) — reproducible across runs,
+    engines and the oracle (CLAUDE.md md5 string-hash parity),
+    map-only (no shuffle, no state)."""
     import hashlib
 
     def pick(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1370,7 +1372,12 @@ def bernoulli_stratified_sample(ds, strata_col: str, id_col: str,
             return batch
         ids = batch[id_col].to_numpy()
         strata = batch[strata_col].to_numpy()
-        h = np.array([int(hashlib.md5(str(int(i)).encode())
+
+        def key(v) -> bytes:
+            return (v if isinstance(v, str)
+                    else str(int(v))).encode()
+
+        h = np.array([int(hashlib.md5(key(i))
                           .hexdigest()[:8], 16) % 100
                       for i in ids], dtype=np.int64)
         thr = np.array([pct.get(s, 0) for s in strata],
@@ -1455,29 +1462,30 @@ def grouped_rank(ds, part_col: str, val_col: str, order_col: str,
     for free) — completing the window family (NTILE, LAG, rolling,
     string_agg).
 
-    Shape: ``relational.range_bucket_offsets`` twice over the SAME
-    materialized bucketed table — once counting rows, once counting
-    DISTINCT values per (bucket, partition) — is unnecessary: one pass
-    collects both (rows via the primitive, distinct-value counts from
-    a per-bucket dedup of the same driver-bound table).  Equal values
-    always land in one bucket (range buckets are value-contiguous), so
-    tie groups are bucket-local and both ranks are exact."""
+    Shape: ``relational.range_bucket_offsets`` for row ranks, plus
+    TWO chained distributed aggregates for the dense-rank offsets —
+    dedup to distinct (bucket, partition, value) tuples, then reduce
+    to per-(bucket, partition) distinct counts — so the driver only
+    ever holds n_buckets x partitions rows, never the distinct-value
+    set.  Equal values always land in one bucket (range buckets are
+    value-contiguous), so tie groups are bucket-local and both ranks
+    are exact."""
     from .relational import grouped_agg, range_bucket_offsets
     from .shuffle import collect_pandas
 
     rbd, base, _tot = range_bucket_offsets(
         ds, val_col, [part_col], weight_col=None, n_buckets=n_buckets)
-    # distinct (val) counts per (bucket, part): bounded driver table
-    dv = collect_pandas(grouped_agg(
-        rbd, ["__rb", part_col, val_col],
-        {"__n": (val_col, "size")}))
-    dvc = (dv.groupby(["__rb", part_col], as_index=False)
-           .agg(c=("__n", "size")).sort_values("__rb"))
+    uniq = grouped_agg(rbd, ["__rb", part_col, val_col],
+                       {"__n": (val_col, "size")})
+    dvc = collect_pandas(grouped_agg(
+        uniq, ["__rb", part_col], {"c": (part_col, "size")}))
     dbase: dict = {}
     drun: dict = {}
-    for rb, p, c in zip(dvc["__rb"], dvc[part_col], dvc["c"]):
-        dbase[(int(rb), p)] = drun.get(p, 0)
-        drun[p] = drun.get(p, 0) + int(c)
+    if len(dvc) and "__rb" in dvc.columns:   # empty input flows empty
+        dvc = dvc.sort_values("__rb")
+        for rb, p, c in zip(dvc["__rb"], dvc[part_col], dvc["c"]):
+            dbase[(int(rb), p)] = drun.get(p, 0)
+            drun[p] = drun.get(p, 0) + int(c)
 
     def assign(group: pd.DataFrame) -> pd.DataFrame:
         cols = {order_col: pd.Series(dtype=np.int64),

@@ -33,19 +33,8 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def read(sf_dir: str, table: str, columns=None):
-    import ray.data
-
-    def strip_meta(batch: pa.Table) -> pa.Table:
-        # the driver's testdata parquet carries a b'pandas' metadata
-        # dict that Ray's per-block schema dedup cannot hash (logs
-        # 'Failed to hash the schemas' per read task and falls back to
-        # schema unification); dropping it is zero-copy and fuses with
-        # the read stage
-        return batch.replace_schema_metadata(None)
-
     return read_parquet_clean(f"{sf_dir}/{table}.parquet",
-                                 columns=columns) \
-        .map_batches(strip_meta, batch_format="pyarrow")
+                              columns=columns)
 
 
 def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "inner"):
@@ -531,7 +520,10 @@ def range_bucket_offsets(ds, order_col: str, key_cols: list[str],
 
     def add_rb(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch
+            # keep the __rb column on empty blocks too, else the
+            # downstream groupby('__rb') KeyErrors on an empty input
+            return batch.append_column(
+                "__rb", pa.array([], pa.int64()))
         v = batch[order_col].to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         rb = np.clip(((v - float(lo)) / span
@@ -547,6 +539,8 @@ def range_bucket_offsets(ds, order_col: str, key_cols: list[str],
              else {"__w": (order_col, "size")})
     counts = collect_pandas(
         grouped_agg(rbd, ["__rb"] + key_cols, specs))
+    if len(counts) == 0 or "__rb" not in counts.columns:
+        return rbd, {}, {}               # empty input flows empty
     counts = counts.sort_values("__rb")
     keys_arr = [counts[c].to_numpy() for c in key_cols]
     rbs = counts["__rb"].to_numpy()
@@ -2022,8 +2016,15 @@ def cross_join_broadcast(big_ds, small_df: pd.DataFrame,
             .reset_index(drop=True)
         right = small.iloc[np.tile(np.arange(m), n)] \
             .reset_index(drop=True)
-        right.columns = [c + suffix if c in left.columns else c
-                         for c in right.columns]
+        renamed = [c + suffix if c in left.columns else c
+                   for c in right.columns]
+        clash = set(renamed) & set(left.columns) & \
+            {c + suffix for c in right.columns}
+        if clash:
+            raise ValueError(
+                f"cross_join suffix collision on {sorted(clash)}; "
+                f"pick a different suffix")
+        right.columns = renamed
         return pd.concat([left, right], axis=1)
 
     return big_ds.map_batches(join, batch_format="pandas")
