@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_traj_simplify": spatial_queries.q_traj_simplify,
         "q_convex_hull": spatial_queries.q_convex_hull,
         "q_approx_quantiles": analytics.q_approx_quantiles,
+        "q_kcore": graph.q_kcore,
     }
 
 

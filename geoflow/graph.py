@@ -41,6 +41,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
 from .shuffle import read_parquet_clean
 
 SCALE = 10**12
@@ -547,3 +549,139 @@ WITH e AS (
 SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
 FROM n GROUP BY node ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# ★G26: k-core decomposition (iterative BSP peel)
+# ---------------------------------------------------------------------------
+
+def kcore(edges_ds, k: int, n_buckets: int | None = None,
+          local_limit: int = 500_000, max_rounds: int = 100):
+    """Nodes of the k-core — the maximal subgraph where every node has
+    degree >= ``k`` — computed by the standard peel: repeatedly drop
+    nodes under degree ``k`` and the edges touching them until a
+    fixpoint.  Input: undirected edges as canonical (a < b) int64
+    rows.
+
+    Distributed shape (same BSP skeleton as pagerank/CC): each round
+    is one degree ``grouped_agg`` over both directions plus an
+    adaptive semijoin of the edges on the surviving-node set; the
+    working edge table is materialized per round so round N+1 never
+    replays rounds 1..N; the driver holds one scalar (surviving node
+    count) per round.  Below ``local_limit`` edges the identical peel
+    runs locally in numpy (bit-identical — the adaptive fast-path
+    pattern of BPE/PageRank).  Returns (node, deg) of the k-core,
+    where deg is the node's degree INSIDE the core."""
+    from .relational import adaptive_semijoin, grouped_agg
+    from .shuffle import collect_pandas, schemaless_empty
+
+    edges = edges_ds.materialize()
+    if edges.count() <= local_limit:
+        df = collect_pandas(edges)
+        if len(df) == 0:
+            return _empty_node_deg()
+        a = df["a"].to_numpy().astype(np.int64)
+        b = df["b"].to_numpy().astype(np.int64)
+        while True:
+            nodes, degs = np.unique(np.concatenate([a, b]),
+                                    return_counts=True)
+            keep = set(nodes[degs >= k].tolist())
+            if len(keep) == len(nodes):
+                break
+            m = (np.isin(a, list(keep)) & np.isin(b, list(keep)))
+            if m.all():
+                break
+            a, b = a[m], b[m]
+            if len(a) == 0:
+                return _empty_node_deg()
+        if len(a) == 0:
+            return _empty_node_deg()
+        nodes, degs = np.unique(np.concatenate([a, b]),
+                                return_counts=True)
+        sel = degs >= k
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes[sel]),
+            "deg": pa.array(degs[sel])}))
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"node": np.concatenate([
+            batch["a"].to_numpy().astype(np.int64),
+            batch["b"].to_numpy().astype(np.int64)])})
+
+    prev_nodes = -1
+    for _ in range(max_rounds):
+        deg = grouped_agg(edges.map_batches(both_dirs,
+                                            batch_format="pandas"),
+                          ["node"], {"deg": ("node", "size")},
+                          n_buckets=n_buckets)
+
+        def over(batch: pd.DataFrame) -> pd.DataFrame:
+            if schemaless_empty(batch) or len(batch) == 0:
+                return batch
+            return batch[batch["deg"] >= k]
+
+        surv = deg.map_batches(over,
+                               batch_format="pandas").materialize()
+        n_surv = surv.count()
+        if n_surv == 0:
+            return _empty_node_deg()
+        if n_surv == prev_nodes:
+            def shape(batch: pd.DataFrame) -> pd.DataFrame:
+                if schemaless_empty(batch) or len(batch) == 0:
+                    return batch
+                return batch[["node", "deg"]]
+            return surv.map_batches(shape, batch_format="pandas")
+        prev_nodes = n_surv
+        keep = surv.select_columns(["node"])
+
+        def ra(batch: pd.DataFrame) -> pd.DataFrame:
+            if schemaless_empty(batch) or len(batch) == 0:
+                return batch
+            return batch.rename(columns={"node": "a"})
+
+        def rb(batch: pd.DataFrame) -> pd.DataFrame:
+            if schemaless_empty(batch) or len(batch) == 0:
+                return batch
+            return batch.rename(columns={"node": "b"})
+
+        edges = adaptive_semijoin(
+            adaptive_semijoin(edges,
+                              keep.map_batches(ra,
+                                               batch_format="pandas"),
+                              "a"),
+            keep.map_batches(rb, batch_format="pandas"),
+            "b").materialize()
+    raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
+
+
+def _empty_node_deg():
+    import ray.data
+    return ray.data.from_arrow(pa.table(
+        {"node": pa.array([], pa.int64()),
+         "deg": pa.array([], pa.int64())}))
+
+
+KCORE_K = 3
+
+
+def q_kcore(sf_dir: str):
+    """3-core of the embedding-similarity graph (same edges as
+    q_graph_all) — rows-only; pytest holds the brute-force peel
+    oracle."""
+    from .shuffle import schemaless_empty
+
+    pairs = similarity_pairs(sf_dir)
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch):
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({
+            "a": batch["vec_id_a"].to_numpy().astype(np.int64),
+            "b": batch["vec_id_b"].to_numpy().astype(np.int64)})
+
+    edges = pairs.map_batches(canon, batch_format="pandas")
+    return kcore(edges, k=KCORE_K).sort("node")

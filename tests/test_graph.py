@@ -178,3 +178,53 @@ def test_triangle_counts_rejects_oversized_ids(ray_session):
     e = np.array([[1, 2], [2, 1 << 31], [1, 1 << 31]], dtype=np.int64)
     with pytest.raises(Exception, match="2\\^31"):
         graph.triangle_counts(_edges_ds(e)).to_pandas()
+
+
+def test_kcore_matches_bruteforce_peel(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geoflow.graph import kcore
+
+    rng = np.random.default_rng(17)
+
+    def brute(edges, k):
+        es = {tuple(e) for e in edges}
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            drop = {n for n, d in deg.items() if d < k}
+            if not drop:
+                return sorted(deg.items())
+            es = {(a, b) for a, b in es
+                  if a not in drop and b not in drop}
+            if not es:
+                return []
+
+    for trial in range(4):
+        n = 120
+        m = rng.integers(150, 400)
+        pairs = set()
+        while len(pairs) < m:
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        df = pd.DataFrame(sorted(pairs), columns=["a", "b"]) \
+            .astype(np.int64)
+        exp = brute(list(pairs), 3)
+        for limit in (500_000, 0):      # local and forced-BSP paths
+            out = kcore(ray.data.from_pandas(df).repartition(5), 3,
+                        local_limit=limit).to_pandas()
+            if len(out) == 0:
+                # Ray's to_pandas drops columns on an all-empty
+                # dataset (even Arrow-typed empties) — rows==0 is the
+                # whole signal
+                got = []
+            else:
+                out = out.sort_values("node").reset_index(drop=True)
+                got = list(zip(out["node"].tolist(),
+                               out["deg"].tolist()))
+            assert got == exp, (trial, limit, len(got), len(exp))
