@@ -535,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_convex_hull": spatial_queries.q_convex_hull,
         "q_approx_quantiles": analytics.q_approx_quantiles,
         "q_kcore": graph.q_kcore,
+        "q_geohash": spatial_queries.q_geohash,
     }
 
 

@@ -173,3 +173,46 @@ def cells_for_bbox(minx: float, miny: float, maxx: float, maxy: float,
     gx, gy = np.meshgrid(np.mod(xs, n), ys)
     return cell_from_xy(gx.ravel().astype(np.uint64),
                         gy.ravel().astype(np.uint64), res)
+
+
+# ---------------------------------------------------------------------------
+# geohash (public base32 interleaved encoding) — a second spatial
+# index encoding alongside the Morton cells, vectorized
+# ---------------------------------------------------------------------------
+
+_GH32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz", dtype="S1")
+
+
+def geohash_encode(lng, lat, precision: int = 7) -> np.ndarray:
+    """Standard geohash strings (Niemeyer's public base32 scheme),
+    fully vectorized: quantize each axis to its bit budget, interleave
+    lon/lat bits (lon first), slice 5-bit groups into base32 chars.
+    Returns an object array of length-``precision`` strings."""
+    lng = np.asarray(lng, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    qx = np.minimum(((lng + 180.0) / 360.0
+                     * (1 << lon_bits)).astype(np.uint64),
+                    (1 << lon_bits) - 1)
+    qy = np.minimum(((lat + 90.0) / 180.0
+                     * (1 << lat_bits)).astype(np.uint64),
+                    (1 << lat_bits) - 1)
+    # interleave: bit i (from the top) of the hash alternates lon/lat
+    h = np.zeros(len(qx), dtype=np.uint64)
+    for i in range(nbits):
+        if i % 2 == 0:              # lon bit, from the most significant
+            bit = (qx >> np.uint64(lon_bits - 1 - i // 2)) \
+                & np.uint64(1)
+        else:
+            bit = (qy >> np.uint64(lat_bits - 1 - i // 2)) \
+                & np.uint64(1)
+        h = (h << np.uint64(1)) | bit
+    chars = np.empty((precision, len(h)), dtype="S1")
+    for c in range(precision):
+        idx = (h >> np.uint64(5 * (precision - 1 - c))) \
+            & np.uint64(31)
+        chars[c] = _GH32[idx.astype(np.int64)]
+    out = np.ascontiguousarray(chars.T).view(f"S{precision}").ravel()
+    return out.astype(str)

@@ -540,3 +540,22 @@ def q_convex_hull(sf_dir: str):
                              "x_e4": x, "y_e4": y})
 
     return hull.map_batches(to_int, batch_format="pandas").sort("seq")
+
+
+def q_geohash(sf_dir: str):
+    """Per-geohash5 counts of the derived event points (second spatial
+    encoding beside Morton cells; rows-only — geohash base32 parity is
+    pinned by public test vectors in pytest)."""
+    import pandas as pd
+
+    from .cells import geohash_encode
+    from .relational import partial_grouped_agg
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["event_id"].to_numpy()
+        lng, lat = derive_lnglat(ids)
+        return pd.DataFrame({"gh": geohash_encode(lng, lat, 5)})
+
+    ds = _events(sf_dir).map_batches(assign, batch_format="pandas")
+    out = partial_grouped_agg(ds, ["gh"], {}, count_alias="n_points")
+    return out.sort("gh")

@@ -422,3 +422,28 @@ def test_trajectory_simplify_per_user(ray_session):
         row = out[out["user_id"] == uid].iloc[0]
         assert row["n_kept"] == m.sum()
         assert row["kept_sum"] == g["event_id"].to_numpy()[m].sum()
+
+
+def test_geohash_public_vectors_and_batch():
+    import numpy as np
+
+    from geoflow.cells import geohash_encode
+
+    # public reference vectors (original geohash spec examples)
+    cases = [((-5.6, 42.6), 5, "ezs42"),
+             ((-74.0060, 40.7128), 7, "dr5regw"),
+             ((2.3522, 48.8566), 6, "u09tvw"),
+             ((151.2093, -33.8688), 7, "r3gx2f7"),
+             ((0.0, 0.0), 5, "s0000")]
+    for (lng, lat), p, want in cases:
+        assert geohash_encode([lng], [lat], p)[0] == want
+    # batch == scalar loop, and prefixes nest across precisions
+    rng = np.random.default_rng(23)
+    lng = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    g7 = geohash_encode(lng, lat, 7)
+    g5 = geohash_encode(lng, lat, 5)
+    assert all(a.startswith(b) for a, b in zip(g7, g5))
+    one = [geohash_encode([x], [y], 7)[0] for x, y in
+           zip(lng[:50], lat[:50])]
+    assert list(g7[:50]) == one
