@@ -169,7 +169,8 @@ def run_bench() -> dict:
                      "q_ntile", "q_edit1_pairs", "q_traj_simplify",
                      "q_convex_hull", "q_pivot", "q_string_agg",
                      "q_grouping_sets", "q_bernoulli_sample",
-                     "q_approx_quantiles"]:
+                     "q_approx_quantiles", "q_rank", "q_ols",
+                     "q_cross_join", "q_kcore", "q_geohash"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data
