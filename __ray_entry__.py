@@ -508,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rank": analytics.q_rank,
         "q_ols": analytics.q_ols,
         "q_cross_join": relational.q_cross_join,
+        "q_segment_join": spatial_queries.q_segment_join,
     # ---- rows-only from here (pytest + local gate hold the exact
         # byte/value-level oracles), ranked by evidence value ----
         "q_flagship_tiles": _q_flagship_tiles,
@@ -617,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rank": analytics.q_rank_sql(),
         "q_ols": analytics.q_ols_sql(),
         "q_cross_join": relational.Q_CROSS_JOIN_SQL,
+        "q_segment_join": spatial_queries.q_segment_join_sql(),
         "q_distance_join": spatial_queries.q_distance_join_sql(),
         "q_heavy_hitters": analytics.q_heavy_hitters_sql(),
         "q_ann_topk": similarity.Q_ANN_TOPK_SQL,

@@ -559,3 +559,154 @@ def q_geohash(sf_dir: str):
     ds = _events(sf_dir).map_batches(assign, batch_format="pandas")
     out = partial_grouped_agg(ds, ["gh"], {}, count_alias="n_points")
     return out.sort("gh")
+
+
+# ---------------------------------------------------------------------------
+# ★J13: segment-intersection join (proper crossings, exact integer
+# orientation tests) — the third fully-SQL-oracled spatial join
+# ---------------------------------------------------------------------------
+
+SEG_LIMIT = 800        # segments i < SEG_LIMIT over event pairs (2i, 2i+1)
+#                        (global random segments cross ~40% of pairs, so
+#                        the check stays quadratic-bounded by design)
+SEG_CELL = 400_000     # 40-deg grid (1e-4-deg integer units)
+
+
+def _orient(ax, ay, bx, by, cx, cy):
+    """Exact integer orientation sign of C relative to AB — coords are
+    1e-4-deg int64 (|coord| <= 1.8e6), so the cross product is < 2^46
+    and int64-exact."""
+    return np.sign((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+
+
+def segment_intersection_join(segs_ds, cell: int = SEG_CELL,
+                              n_buckets: int | None = None):
+    """All unordered pairs of segments that PROPERLY cross (strict
+    crossing: each segment's endpoints strictly straddle the other's
+    supporting line — touching/collinear excluded, keeping the
+    predicate a pure sign test).
+
+    Input: (seg_id, x1, y1, x2, y2) int64 1e-4-deg coordinates.
+    Shape: each segment replicates to the grid cells covering its
+    bbox (two crossing segments' bboxes overlap, and any point of the
+    overlap's cell is in BOTH covers — so every crossing pair shares
+    >= 1 cell); one co-partition shuffle on the mixed cell key; per
+    cell a vectorized merge + exact orientation filter; one bounded
+    pair-dedup aggregate (a pair can surface in several shared
+    cells)."""
+    from .relational import _default_buckets, grouped_agg
+    from .shuffle import coalesce_for_shuffle, schemaless_empty
+    if n_buckets is None:
+        n_buckets = _default_buckets()
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("seg_id", "x1", "y1",
+                                           "x2", "y2", "__c", "__b")})
+        rows = []
+        sid = batch["seg_id"].to_numpy()
+        x1 = batch["x1"].to_numpy(); y1 = batch["y1"].to_numpy()
+        x2 = batch["x2"].to_numpy(); y2 = batch["y2"].to_numpy()
+        gx0 = np.minimum(x1, x2) // cell
+        gx1 = np.maximum(x1, x2) // cell
+        gy0 = np.minimum(y1, y2) // cell
+        gy1 = np.maximum(y1, y2) // cell
+        reps = ((gx1 - gx0 + 1) * (gy1 - gy0 + 1)).astype(np.int64)
+        idx = np.repeat(np.arange(len(sid)), reps)
+        # per-row local cell enumeration, vectorized per batch
+        offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        local = np.arange(int(reps.sum())) - np.repeat(offs, reps)
+        w = np.repeat(gx1 - gx0 + 1, reps)
+        cgx = np.repeat(gx0, reps) + local % w
+        cgy = np.repeat(gy0, reps) + local // w
+        key = _cell_key(cgx, cgy)
+        out = pd.DataFrame({
+            "seg_id": sid[idx], "x1": x1[idx], "y1": y1[idx],
+            "x2": x2[idx], "y2": y2[idx], "__c": key})
+        out["__b"] = (out["__c"].to_numpy()
+                      % np.int64(n_buckets)).astype(np.int64)
+        return out
+
+    def per_cell(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"seg_a": pd.Series(dtype=np.int64),
+                              "seg_b": pd.Series(dtype=np.int64)})
+        if len(group) == 0:
+            return empty
+        m = group.merge(group, on="__c")
+        m = m[m["seg_id_x"] < m["seg_id_y"]]
+        if len(m) == 0:
+            return empty
+        ax, ay = m["x1_x"].to_numpy(), m["y1_x"].to_numpy()
+        bx, by = m["x2_x"].to_numpy(), m["y2_x"].to_numpy()
+        cx, cy = m["x1_y"].to_numpy(), m["y1_y"].to_numpy()
+        dx, dy = m["x2_y"].to_numpy(), m["y2_y"].to_numpy()
+        o1 = _orient(ax, ay, bx, by, cx, cy)
+        o2 = _orient(ax, ay, bx, by, dx, dy)
+        o3 = _orient(cx, cy, dx, dy, ax, ay)
+        o4 = _orient(cx, cy, dx, dy, bx, by)
+        hit = (o1 * o2 < 0) & (o3 * o4 < 0)
+        out = pd.DataFrame({"seg_a": m["seg_id_x"].to_numpy()[hit],
+                            "seg_b": m["seg_id_y"].to_numpy()[hit]})
+        return out.drop_duplicates()
+
+    exploded = coalesce_for_shuffle(
+        segs_ds.map_batches(explode, batch_format="pandas"))
+    pairs = exploded.groupby("__b").map_groups(per_cell,
+                                               batch_format="pandas")
+    # global exactly-once: a crossing pair shares every cell of its
+    # bbox overlap — dedup the (bounded) crossing set
+    return grouped_agg(pairs, ["seg_a", "seg_b"],
+                       {"__n": ("seg_a", "size")},
+                       n_buckets=8).select_columns(["seg_a", "seg_b"])
+
+
+def _derived_segments(sf_dir: str, limit: int = SEG_LIMIT):
+    """Segments i < limit with endpoints derived from event ids 2i and
+    2i+1 (pure closed form, SQL-mirrorable)."""
+    ev = _events(sf_dir)
+
+    def segs(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["event_id"].to_numpy().astype(np.int64)
+        keep = (ids % 2 == 0) & (ids < 2 * limit)
+        ids = ids[keep]
+        x1, y1 = derive_xy_int(ids)
+        x2, y2 = derive_xy_int(ids + 1)
+        return pd.DataFrame({"seg_id": ids // 2,
+                             "x1": x1, "y1": y1,
+                             "x2": x2, "y2": y2})
+
+    return ev.map_batches(segs, batch_format="pandas")
+
+
+def q_segment_join(sf_dir: str):
+    """Properly-crossing segment pairs over the derived segment set."""
+    out = segment_intersection_join(_derived_segments(sf_dir))
+    return out.sort(["seg_a", "seg_b"])
+
+
+def q_segment_join_sql(limit: int = SEG_LIMIT) -> str:
+    def pt(idex: str, out_x: str, out_y: str) -> str:
+        return (f"({idex} * {LNG_MUL}) % {LNG_MOD} - {LNG_OFF} "
+                f"AS {out_x}, "
+                f"({idex} * {LAT_MUL}) % {LAT_MOD} - {LAT_OFF} "
+                f"AS {out_y}")
+
+    return f"""
+WITH segs AS (
+  SELECT event_id // 2 AS seg_id,
+         {pt('event_id', 'x1', 'y1')},
+         {pt('(event_id + 1)', 'x2', 'y2')}
+  FROM events WHERE event_id % 2 = 0 AND event_id < {2 * limit})
+SELECT a.seg_id AS seg_a, b.seg_id AS seg_b
+FROM segs a JOIN segs b ON a.seg_id < b.seg_id
+WHERE sign((a.x2 - a.x1) * (b.y1 - a.y1)
+         - (a.y2 - a.y1) * (b.x1 - a.x1))
+    * sign((a.x2 - a.x1) * (b.y2 - a.y1)
+         - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0
+  AND sign((b.x2 - b.x1) * (a.y1 - b.y1)
+         - (b.y2 - b.y1) * (a.x1 - b.x1))
+    * sign((b.x2 - b.x1) * (a.y2 - b.y1)
+         - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0
+ORDER BY seg_a, seg_b
+"""

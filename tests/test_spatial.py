@@ -447,3 +447,41 @@ def test_geohash_public_vectors_and_batch():
     one = [geohash_encode([x], [y], 7)[0] for x, y in
            zip(lng[:50], lat[:50])]
     assert list(g7[:50]) == one
+
+
+def test_segment_intersection_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geoflow.spatial_queries import segment_intersection_join
+
+    rng = np.random.default_rng(29)
+    n = 250
+    # SHORT segments (the grid's design case) in a 100x100 integer box
+    x1 = rng.integers(0, 1_000_000, n)
+    y1 = rng.integers(0, 1_000_000, n)
+    x2 = x1 + rng.integers(-80_000, 80_000, n)
+    y2 = y1 + rng.integers(-80_000, 80_000, n)
+    df = pd.DataFrame({"seg_id": np.arange(n, dtype=np.int64),
+                       "x1": x1, "y1": y1, "x2": x2, "y2": y2}) \
+        .astype(np.int64)
+    out = (segment_intersection_join(
+        ray.data.from_pandas(df).repartition(5), cell=100_000)
+        .to_pandas().sort_values(["seg_a", "seg_b"])
+        .reset_index(drop=True))
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return np.sign((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+
+    exp = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            o1 = orient(x1[i], y1[i], x2[i], y2[i], x1[j], y1[j])
+            o2 = orient(x1[i], y1[i], x2[i], y2[i], x2[j], y2[j])
+            o3 = orient(x1[j], y1[j], x2[j], y2[j], x1[i], y1[i])
+            o4 = orient(x1[j], y1[j], x2[j], y2[j], x2[i], y2[i])
+            if o1 * o2 < 0 and o3 * o4 < 0:
+                exp.append((i, j))
+    assert len(exp) > 10
+    assert list(map(tuple, out.to_numpy())) == exp
