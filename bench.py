@@ -170,7 +170,8 @@ def run_bench() -> dict:
                      "q_convex_hull", "q_pivot", "q_string_agg",
                      "q_grouping_sets", "q_bernoulli_sample",
                      "q_approx_quantiles", "q_rank", "q_ols",
-                     "q_cross_join", "q_kcore", "q_geohash"]:
+                     "q_cross_join", "q_kcore", "q_geohash",
+                     "q_segment_join"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data
