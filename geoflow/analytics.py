@@ -215,13 +215,17 @@ def heavy_hitters(docs_ds, k: int = 500, m: int = 2048,
     from .corpus import _token_frame
     from .shuffle import schemaless_empty
 
-    _TOTAL = "\x00total"  # impossible token (split on ' ' never yields it)
-
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # the block's total token count rides in a separate ``tot``
+        # column (summed alongside the pruned counts) — a sentinel row
+        # in the token stream would collide with a document that
+        # happens to contain the sentinel literal, inflating N and
+        # shadowing the real token
         import polars as pl
         if schemaless_empty(batch) or len(batch) == 0:
             return pd.DataFrame({"tok": pd.Series(dtype=object),
-                                 "cnt": pd.Series(dtype=np.int64)})
+                                 "cnt": pd.Series(dtype=np.int64),
+                                 "tot": pd.Series(dtype=np.int64)})
         t = _token_frame(batch.rename(columns={id_col: "doc_id",
                                                text_col: "text"}))
         vc = (t.group_by("t").agg(cnt=pl.len().cast(pl.Int64))
@@ -229,19 +233,21 @@ def heavy_hitters(docs_ds, k: int = 500, m: int = 2048,
               .head(m)
               .rename({"t": "tok"})
               .to_pandas())
-        total = pd.DataFrame({"tok": [_TOTAL],
-                              "cnt": [np.int64(t.height)]})
-        return pd.concat([vc, total], ignore_index=True)
+        vc["tot"] = np.zeros(len(vc), dtype=np.int64)
+        if len(vc):
+            vc.loc[vc.index[0], "tot"] = np.int64(t.height)
+        return vc
 
     summaries = grouped_agg(
         docs_ds.map_batches(partial, batch_format="pandas"),
-        ["tok"], {"cnt": ("cnt", "sum")}).materialize()
+        ["tok"], {"cnt": ("cnt", "sum"),
+                  "tot": ("tot", "sum")}).materialize()
 
     from .shuffle import collect_pandas
     cand = collect_pandas(summaries)
-    n_total = int(cand.loc[cand["tok"] == _TOTAL, "cnt"].iloc[0])
+    n_total = int(cand["tot"].sum()) if len(cand) else 0
     threshold = n_total // k
-    cand_set = set(cand.loc[cand["tok"] != _TOTAL, "tok"])
+    cand_set = set(cand["tok"])
     ref = ray.put(cand_set)
 
     def exact(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1264,6 +1270,9 @@ def approx_quantiles(ds, col: str, qs: list[float], m: int = 1024,
     merged = collect_pandas(
         ds.map_batches(summarize, batch_format="pandas")
         .groupby("__g").map_groups(combine, batch_format="pandas"))
+    if len(merged) == 0:  # all-empty input: no quantiles to report
+        return pd.DataFrame({"q": pd.Series(dtype=np.float64),
+                             "value": pd.Series(dtype=np.float64)})
     order = np.argsort(merged["v"].to_numpy(), kind="mergesort")
     v = merged["v"].to_numpy()[order]
     w = merged["w"].to_numpy()[order]

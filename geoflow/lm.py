@@ -43,10 +43,18 @@ Ray shape (100-TB):
   100-TB input.
 - scoring: the model ships once via ``ray.put`` and is read through the
   per-worker ``cached_get``; scoring is a single stateless
-  ``map_batches`` (polars bigram tf + two vectorized merges).  If the
-  model outgrew a worker heap, scoring becomes a bucketed join on
-  ``hash(t1)`` + a (doc) grouped_agg — same primitives, noted not
-  built.
+  ``map_batches`` (polars bigram tf + two vectorized merges).
+- model residency contract: ``lm_train`` COLLECTS the fitted model to
+  the driver, so its training input must be driver-bounded (CCNet's
+  shape: the reference corpus is Wikipedia-sized, orders of magnitude
+  smaller than the scored crawl).  ``train_mod`` makes that bound
+  explicit on any input — train on the deterministic
+  ``doc_id % train_mod == 0`` slice (the decontaminate ``id_mod``
+  pattern), score everything.  When even the slice's model outgrows a
+  worker heap, ``lm_train_distributed`` + ``lm_score_bucketed`` keep
+  the model AS DATASETS end-to-end: scoring is two bucketed hash joins
+  (t1; t1\\x00t2) + one per-doc grouped_agg — no driver or worker ever
+  holds the model (cross-path equality pytest-enforced).
 - tokenization parity: single-space split, empties dropped
   (``corpus._token_frame`` convention shared by every text op).
 """
@@ -87,13 +95,29 @@ def _bigram_frame(batch: pd.DataFrame):
 
 def lm_train(docs_ds, text_col: str = "text",
              id_col: str = "doc_id",
-             n_buckets: int | None = None) -> LMModel:
+             n_buckets: int | None = None,
+             train_mod: int | None = None) -> LMModel:
     """Fit the add-one bigram LM distributed; the returned model is
-    exact (integer counts + fixed-point logs of integer ratios)."""
+    exact (integer counts + fixed-point logs of integer ratios).
+
+    The model is COLLECTED to the driver, so the training corpus must
+    be driver-bounded.  ``train_mod`` enforces that deterministically:
+    only the ``doc_id % train_mod == 0`` slice trains (the
+    decontaminate ``id_mod`` eval-subset pattern) — the model size is
+    then bounded by the slice's vocabulary, a fixed fraction of the
+    input, regardless of how large the scored corpus grows."""
     from .relational import grouped_agg
     from .shuffle import collect_pandas, schemaless_empty
 
+    def slice_train(batch: pd.DataFrame) -> pd.DataFrame:
+        if train_mod is None or schemaless_empty(batch) \
+                or len(batch) == 0:
+            return batch
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        return batch[ids % train_mod == 0]
+
     def bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = slice_train(batch)
         if schemaless_empty(batch) or len(batch) == 0:
             return pd.DataFrame({"t1": pd.Series(dtype=object),
                                  "t2": pd.Series(dtype=object)})
@@ -101,6 +125,7 @@ def lm_train(docs_ds, text_col: str = "text",
         return _bigram_frame(b).select(["t1", "t2"]).to_pandas()
 
     def unigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = slice_train(batch)
         if schemaless_empty(batch) or len(batch) == 0:
             return pd.DataFrame({"t": pd.Series(dtype=object)})
         from .corpus import _token_frame
@@ -170,9 +195,12 @@ def lm_score(docs_ds, model: LMModel, id_col: str = "doc_id",
               .rename({"len": "tf"}).to_pandas())
         tf["tf"] = tf["tf"].astype(np.int64)
 
+        # reindex(fill_value=0) keeps the int64 accumulation integer
+        # end-to-end; map()+fillna() would round-trip through float64
+        # whenever any doc lacks the key (>= 2^53 exactness hazard)
         ids = b["doc_id"].to_numpy().astype(np.int64)
         nb = tf.groupby("doc_id")["tf"].sum()
-        n_bigrams = pd.Series(ids).map(nb).fillna(0) \
+        n_bigrams = nb.reindex(ids, fill_value=0) \
             .to_numpy().astype(np.int64)
 
         total = n_bigrams * np.int64(lp_unk)
@@ -183,7 +211,7 @@ def lm_score(docs_ds, model: LMModel, id_col: str = "doc_id",
             s1 = (m1["tf"].to_numpy() * m1["d1"].to_numpy()) \
                 .astype(np.int64)
             agg1 = pd.Series(s1).groupby(m1["doc_id"].to_numpy()).sum()
-            total = total + pd.Series(ids).map(agg1).fillna(0) \
+            total = total + agg1.reindex(ids, fill_value=0) \
                 .to_numpy().astype(np.int64)
         # known-bigram deltas
         m12 = tf.merge(delta12, on=["t1", "t2"], how="inner")
@@ -192,7 +220,7 @@ def lm_score(docs_ds, model: LMModel, id_col: str = "doc_id",
                 .astype(np.int64)
             agg12 = pd.Series(s12).groupby(
                 m12["doc_id"].to_numpy()).sum()
-            total = total + pd.Series(ids).map(agg12).fillna(0) \
+            total = total + agg12.reindex(ids, fill_value=0) \
                 .to_numpy().astype(np.int64)
 
         nll = -total  # every term <= 0, so nll >= 0
@@ -207,6 +235,217 @@ def lm_score(docs_ds, model: LMModel, id_col: str = "doc_id",
     return docs_ds.map_batches(score, batch_format="pandas")
 
 
+def lm_score_distributed(docs_ds, train_ds=None,
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         train_mod: int | None = None,
+                         n_buckets: int | None = None):
+    """Bucketed-join LM scoring with DISTRIBUTED model residency — the
+    scale path for when even the training slice's model outgrows a
+    worker heap (the broadcast in ``lm_score`` stops being free).
+
+    The model never exists as one object: bigram counts (t1, t2, c)
+    and prefix totals (t1, cp) stay Datasets, and scoring moves them
+    plus the per-doc bigram tf rows through ONE co-partitioned shuffle
+    on ``stable_hash(t1) % n_buckets`` — every row a bucket needs
+    (tf rows, the prefix totals, the bigram counts) shares its t1, so
+    the fixed-point deltas are computed vectorized inside the bucket
+    and reduced to per-doc partials; a final per-doc ``grouped_agg``
+    sums partials across buckets.  Only two scalars (vocab size,
+    lp_unk) touch the driver.  Output is bit-identical to
+    ``lm_score(docs, lm_train(train))`` (pytest-enforced).
+
+    ``train_ds`` defaults to ``docs_ds`` (optionally sliced by
+    ``train_mod``, same contract as ``lm_train``)."""
+    from .relational import _default_buckets, grouped_agg
+    from .shuffle import schemaless_empty, stable_hash_strings
+    if train_ds is None:
+        train_ds = docs_ds
+    if n_buckets is None:
+        n_buckets = _default_buckets()
+
+    def slice_train(batch: pd.DataFrame) -> pd.DataFrame:
+        if train_mod is None or schemaless_empty(batch) \
+                or len(batch) == 0:
+            return batch
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        return batch[ids % train_mod == 0]
+
+    _BG_EMPTY = pd.DataFrame({"t1": pd.Series(dtype=object),
+                              "t2": pd.Series(dtype=object)})
+
+    def train_bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = slice_train(batch)
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _BG_EMPTY
+        b = batch.rename(columns={id_col: "doc_id", text_col: "text"})
+        return _bigram_frame(b).select(["t1", "t2"]).to_pandas()
+
+    def train_unigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = slice_train(batch)
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"t": pd.Series(dtype=object)})
+        from .corpus import _token_frame
+        b = batch.rename(columns={id_col: "doc_id", text_col: "text"})
+        return _token_frame(b).select(["t"]).to_pandas()
+
+    # distributed model tables (never collected); c12 feeds both the
+    # prefix-total aggregate and the scoring shuffle -> materialize once
+    c12 = grouped_agg(
+        train_ds.map_batches(train_bigrams, batch_format="pandas"),
+        ["t1", "t2"], {"cnt": ("t1", "size")},
+        n_buckets=n_buckets).materialize()
+    cpre = grouped_agg(c12, ["t1"], {"cnt": ("cnt", "sum")},
+                       n_buckets=n_buckets)
+    vocab = max(int(grouped_agg(
+        train_ds.map_batches(train_unigrams, batch_format="pandas"),
+        ["t"], {"n": ("t", "size")}, n_buckets=n_buckets).count()), 1)
+    lp_unk = int(_fp_log(1, vocab)[0])
+
+    _T_COLS = ("t1", "t2", "doc_id", "tf", "cnt", "__side", "__b")
+
+    def _transport(t1, t2, doc_id, tf, cnt, side) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "t1": t1, "t2": t2,
+            "doc_id": np.asarray(doc_id, dtype=np.int64),
+            "tf": np.asarray(tf, dtype=np.int64),
+            "cnt": np.asarray(cnt, dtype=np.int64),
+            "__side": np.full(len(t1), side, dtype=np.int8)})
+        out["__b"] = (stable_hash_strings(out["t1"])
+                      % np.int64(n_buckets)).astype(np.int64)
+        return out
+
+    _T_EMPTY = pd.DataFrame({
+        "t1": pd.Series(dtype=object), "t2": pd.Series(dtype=object),
+        "doc_id": pd.Series(dtype=np.int64),
+        "tf": pd.Series(dtype=np.int64),
+        "cnt": pd.Series(dtype=np.int64),
+        "__side": pd.Series(dtype=np.int8),
+        "__b": pd.Series(dtype=np.int64)})
+
+    def tag_tf(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _T_EMPTY
+        b = batch.rename(columns={id_col: "doc_id", text_col: "text"})
+        tf = (_bigram_frame(b).group_by(["doc_id", "t1", "t2"]).len()
+              .rename({"len": "tf"}).to_pandas())
+        if len(tf) == 0:
+            return _T_EMPTY
+        return _transport(tf["t1"], tf["t2"], tf["doc_id"], tf["tf"],
+                          np.zeros(len(tf)), 0)
+
+    def tag_cpre(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _T_EMPTY
+        n = len(batch)
+        # t2 pads with "" — tokens are never empty (split drops them)
+        return _transport(batch["t1"], [""] * n, np.zeros(n),
+                          np.zeros(n), batch["cnt"], 1)
+
+    def tag_c12(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _T_EMPTY
+        n = len(batch)
+        return _transport(batch["t1"], batch["t2"], np.zeros(n),
+                          np.zeros(n), batch["cnt"], 2)
+
+    unioned = (docs_ds.map_batches(tag_tf, batch_format="pandas")
+               .union(cpre.map_batches(tag_cpre, batch_format="pandas"))
+               .union(c12.map_batches(tag_c12, batch_format="pandas")))
+
+    _P_EMPTY = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "nb": pd.Series(dtype=np.int64),
+                             "d": pd.Series(dtype=np.int64)})
+
+    def score_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0 or "__side" not in group.columns:
+            return _P_EMPTY
+        side = group["__side"].to_numpy()
+        tf = group[side == 0]
+        if len(tf) == 0:
+            return _P_EMPTY
+        pre = group[side == 1][["t1", "cnt"]]
+        # in-bucket delta tables (vectorized): d1 once per known
+        # prefix, d12 once per known bigram — same decomposition as
+        # the broadcast path
+        lp1 = _fp_log(np.ones(len(pre)),
+                      pre["cnt"].to_numpy() + vocab)
+        d1 = pd.DataFrame({"t1": pre["t1"].to_numpy(),
+                           "d1": lp1 - lp_unk, "lp1": lp1})
+        cc = group[side == 2][["t1", "t2", "cnt"]]
+        c12m = cc.merge(d1[["t1", "lp1"]], on="t1")
+        # cp recovered from lp1's source: merge back cnt via pre
+        c12m = c12m.merge(pre.rename(columns={"cnt": "cp"}), on="t1")
+        d12 = pd.DataFrame({
+            "t1": c12m["t1"].to_numpy(), "t2": c12m["t2"].to_numpy(),
+            "d12": _fp_log(c12m["cnt"].to_numpy() + 1,
+                           c12m["cp"].to_numpy() + vocab)
+            - c12m["lp1"].to_numpy()})
+        ids = tf["doc_id"].to_numpy()
+        tfe = tf["tf"].to_numpy()
+        nb = pd.Series(tfe).groupby(ids).sum()
+        # reindex(fill_value=0) keeps every accumulation int64-exact
+        # (the repo's fixed-point convention; .add(fill_value=) widens
+        # through float64 on partial overlap)
+        total = np.zeros(len(nb), dtype=np.int64)
+        m1 = tf.merge(d1[["t1", "d1"]], on="t1", how="inner")
+        if len(m1):
+            s1 = (m1["tf"].to_numpy() * m1["d1"].to_numpy()) \
+                .astype(np.int64)
+            agg1 = pd.Series(s1).groupby(m1["doc_id"].to_numpy()).sum()
+            total = total + agg1.reindex(nb.index, fill_value=0) \
+                .to_numpy().astype(np.int64)
+        m12 = tf.merge(d12, on=["t1", "t2"], how="inner")
+        if len(m12):
+            s12 = (m12["tf"].to_numpy() * m12["d12"].to_numpy()) \
+                .astype(np.int64)
+            agg12 = pd.Series(s12).groupby(
+                m12["doc_id"].to_numpy()).sum()
+            total = total + agg12.reindex(nb.index, fill_value=0) \
+                .to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": nb.index.to_numpy().astype(np.int64),
+            "nb": nb.to_numpy().astype(np.int64),
+            "d": total})
+
+    from .shuffle import coalesce_for_shuffle
+    partials = coalesce_for_shuffle(unioned) \
+        .groupby("__b").map_groups(score_bucket, batch_format="pandas")
+
+    # base row per doc so zero-bigram docs surface with nb = d = 0
+    def base(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _P_EMPTY
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        z = np.zeros(len(ids), dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids, "nb": z, "d": z})
+
+    per_doc = grouped_agg(
+        partials.union(docs_ds.map_batches(base,
+                                           batch_format="pandas")),
+        ["doc_id"], {"nb": ("nb", "sum"), "d": ("d", "sum")},
+        n_buckets=n_buckets)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "n_bigrams": pd.Series(dtype=np.int64),
+                "nll_fp": pd.Series(dtype=np.int64),
+                "avg_nll_fp": pd.Series(dtype=np.int64)})
+        nb = batch["nb"].to_numpy().astype(np.int64)
+        nll = -(nb * np.int64(lp_unk) + batch["d"].to_numpy()
+                .astype(np.int64))
+        avg = np.zeros(len(nb), dtype=np.int64)
+        nz = nb > 0
+        avg[nz] = nll[nz] // nb[nz]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+            "n_bigrams": nb, "nll_fp": nll, "avg_nll_fp": avg})
+
+    return per_doc.map_batches(finish, batch_format="pandas")
+
+
 def lm_filter(docs_ds, model: LMModel, max_avg_nll_fp: int,
               id_col: str = "doc_id", text_col: str = "text"):
     """CCNet-style keep set: documents whose per-bigram average NLL is
@@ -219,15 +458,24 @@ def lm_filter(docs_ds, model: LMModel, max_avg_nll_fp: int,
         lambda r: r["avg_nll_fp"] <= thr and r["n_bigrams"] > 0)
 
 
+#: q_lm_perplexity's deterministic CCNet-style training slice: the
+#: model trains on doc_id % TRAIN_MOD == 0 only (a fixed fraction of
+#: the input — the driver-collected model stays bounded at any scale),
+#: while every document is scored.
+TRAIN_MOD = 3
+
+
 def q_lm_perplexity(sf_dir: str):
-    """Train the bigram LM on the full documents table and score the
-    same table (self-perplexity) — (doc_id, n_bigrams, nll_fp,
-    avg_nll_fp) with a full fixed-point SQL oracle replicating both the
-    training counts and the scoring."""
+    """Train the bigram LM on the deterministic ``doc_id % TRAIN_MOD
+    == 0`` reference slice (driver-bounded model at any input scale —
+    the CCNet shape: small reference corpus, full crawl scored) and
+    score the WHOLE documents table — (doc_id, n_bigrams, nll_fp,
+    avg_nll_fp) with a full fixed-point SQL oracle replicating both
+    the sliced training counts and the scoring."""
     import ray.data
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    model = lm_train(docs)
+    model = lm_train(docs, train_mod=TRAIN_MOD)
     return lm_score(docs, model).sort("doc_id")
 
 
@@ -237,17 +485,21 @@ WITH toks AS (
   FROM (SELECT doc_id,
                list_filter(string_split(text, ' '), x -> x <> '') AS l
         FROM documents)
+), tr_toks AS (
+  SELECT * FROM toks WHERE doc_id % {TRAIN_MOD} = 0
 ), bg AS (
   SELECT a.doc_id, a.t AS t1, b.t AS t2
   FROM toks a JOIN toks b
     ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+), tr_bg AS (
+  SELECT * FROM bg WHERE doc_id % {TRAIN_MOD} = 0
 ), c12 AS (
   SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c
-  FROM bg GROUP BY t1, t2
+  FROM tr_bg GROUP BY t1, t2
 ), cpre AS (
   SELECT t1, CAST(SUM(c) AS BIGINT) AS cp FROM c12 GROUP BY t1
 ), vocab AS (
-  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM toks
+  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM tr_toks
 ), term AS (
   SELECT bg.doc_id,
          CAST(floor(ln(CAST(COALESCE(c12.c, 0) + 1 AS DOUBLE) /

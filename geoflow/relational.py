@@ -2020,9 +2020,14 @@ def cross_join_broadcast(big_ds, small_df: pd.DataFrame,
                    for c in right.columns]
         clash = set(renamed) & set(left.columns) & \
             {c + suffix for c in right.columns}
-        if clash:
+        # a right-side self-collision (small frame has both 'k' and
+        # 'k_r' while the big side has 'k') would silently yield a
+        # duplicated-name frame out of pd.concat
+        if clash or len(set(renamed)) != len(renamed):
+            dups = sorted(clash) or sorted(
+                c for c in renamed if renamed.count(c) > 1)
             raise ValueError(
-                f"cross_join suffix collision on {sorted(clash)}; "
+                f"cross_join suffix collision on {dups}; "
                 f"pick a different suffix")
         right.columns = renamed
         return pd.concat([left, right], axis=1)

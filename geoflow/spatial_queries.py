@@ -579,8 +579,35 @@ def _orient(ax, ay, bx, by, cx, cy):
     return np.sign((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
 
 
+#: segment-join salting: cells whose estimated exploded row count
+#: exceeds this split into hash strata (triangle self-join scheme) so
+#: one metro cell never serializes on one reduce task.
+SEG_SALT_TARGET = 200_000
+_SEG_MAX_STRATA = 16
+#: candidate-pair chunk bound inside one banding unit — peak memory of
+#: the pair-generation arrays is O(this), independent of cell density.
+_SEG_CHUNK_PAIRS = 4_000_000
+
+_SEG_T_COLS = ("seg_id", "x1", "y1", "x2", "y2",
+               "__c", "__g", "__s", "__d", "__b")
+
+
+def _mix_sub(key: np.ndarray, subcode: np.ndarray) -> np.ndarray:
+    """Mix the cell key with the salt-subgroup code into a positive
+    int64 banding-unit id.  A (negligible-probability) collision only
+    merges two units — extra candidates for the exact orientation
+    test, never a wrong pair (the per-pair diag/stratum rule below is
+    collision-safe by construction)."""
+    k = key.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15) \
+        * subcode.astype(np.uint64)
+    k = (k ^ (k >> np.uint64(29))) * np.uint64(0xBF58476D1CE4E5B9)
+    return (k & np.uint64((1 << 62) - 1)).astype(np.int64)
+
+
 def segment_intersection_join(segs_ds, cell: int = SEG_CELL,
-                              n_buckets: int | None = None):
+                              n_buckets: int | None = None,
+                              salt_target: int = SEG_SALT_TARGET,
+                              max_chunk_pairs: int = _SEG_CHUNK_PAIRS):
     """All unordered pairs of segments that PROPERLY cross (strict
     crossing: each segment's endpoints strictly straddle the other's
     supporting line — touching/collinear excluded, keeping the
@@ -591,80 +618,309 @@ def segment_intersection_join(segs_ds, cell: int = SEG_CELL,
     bbox (two crossing segments' bboxes overlap, and any point of the
     overlap's cell is in BOTH covers — so every crossing pair shares
     >= 1 cell); one co-partition shuffle on the mixed cell key; per
-    cell a vectorized merge + exact orientation filter; one bounded
-    pair-dedup aggregate (a pair can surface in several shared
-    cells)."""
+    banding unit a SORT + X-INTERVAL BAND (sort by x-lo, searchsorted
+    the x-hi bound — only bbox-x-overlapping pairs are ever
+    materialized, in chunks of <= ``max_chunk_pairs``) + y-overlap
+    mask + exact orientation filter; one bounded pair-dedup aggregate
+    (a pair can surface in several shared cells/subgroups).
+
+    Skew (the 100x clustered case): cells whose sampled density
+    exceeds ``salt_target`` split into ``s = ceil(count/target)``
+    hash strata; stratum ``t`` replicates to the ``s`` subgroups
+    ``(min(t,u), max(t,u))`` (triangle self-join partitioning), so a
+    metro cell fans out to s(s+1)/2 parallel reduce units of ~2n/s
+    rows each.  Mixed subgroups keep only cross-stratum pairs (the
+    per-pair ``diag | s_i != s_j`` rule — intra-stratum pairs belong
+    to the diagonal subgroup), so no pair is lost and duplicate work
+    is bounded; the final dedup aggregate was already exactly-once."""
+    import ray
+
     from .relational import _default_buckets, grouped_agg
-    from .shuffle import coalesce_for_shuffle, schemaless_empty
+    from .shuffle import (cached_get, coalesce_for_shuffle,
+                          schemaless_empty)
     if n_buckets is None:
         n_buckets = _default_buckets()
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        if schemaless_empty(batch) or len(batch) == 0:
-            return pd.DataFrame({c: pd.Series(dtype=np.int64)
-                                 for c in ("seg_id", "x1", "y1",
-                                           "x2", "y2", "__c", "__b")})
-        rows = []
-        sid = batch["seg_id"].to_numpy()
-        x1 = batch["x1"].to_numpy(); y1 = batch["y1"].to_numpy()
-        x2 = batch["x2"].to_numpy(); y2 = batch["y2"].to_numpy()
-        gx0 = np.minimum(x1, x2) // cell
-        gx1 = np.maximum(x1, x2) // cell
-        gy0 = np.minimum(y1, y2) // cell
-        gy1 = np.maximum(y1, y2) // cell
-        reps = ((gx1 - gx0 + 1) * (gy1 - gy0 + 1)).astype(np.int64)
-        idx = np.repeat(np.arange(len(sid)), reps)
-        # per-row local cell enumeration, vectorized per batch
-        offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
-        local = np.arange(int(reps.sum())) - np.repeat(offs, reps)
-        w = np.repeat(gx1 - gx0 + 1, reps)
-        cgx = np.repeat(gx0, reps) + local % w
-        cgy = np.repeat(gy0, reps) + local // w
-        key = _cell_key(cgx, cgy)
-        out = pd.DataFrame({
-            "seg_id": sid[idx], "x1": x1[idx], "y1": y1[idx],
-            "x2": x2[idx], "y2": y2[idx], "__c": key})
-        out["__b"] = (out["__c"].to_numpy()
-                      % np.int64(n_buckets)).astype(np.int64)
-        return out
+    _T_EMPTY = pd.DataFrame({c: pd.Series(dtype=np.int64)
+                             for c in _SEG_T_COLS})
 
-    def per_cell(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"seg_a": pd.Series(dtype=np.int64),
-                              "seg_b": pd.Series(dtype=np.int64)})
-        if len(group) == 0:
-            return empty
-        m = group.merge(group, on="__c")
-        m = m[m["seg_id_x"] < m["seg_id_y"]]
-        if len(m) == 0:
-            return empty
-        ax, ay = m["x1_x"].to_numpy(), m["y1_x"].to_numpy()
-        bx, by = m["x2_x"].to_numpy(), m["y2_x"].to_numpy()
-        cx, cy = m["x1_y"].to_numpy(), m["y1_y"].to_numpy()
-        dx, dy = m["x2_y"].to_numpy(), m["y2_y"].to_numpy()
-        o1 = _orient(ax, ay, bx, by, cx, cy)
-        o2 = _orient(ax, ay, bx, by, dx, dy)
-        o3 = _orient(cx, cy, dx, dy, ax, ay)
-        o4 = _orient(cx, cy, dx, dy, bx, by)
-        hit = (o1 * o2 < 0) & (o3 * o4 < 0)
-        out = pd.DataFrame({"seg_a": m["seg_id_x"].to_numpy()[hit],
-                            "seg_b": m["seg_id_y"].to_numpy()[hit]})
+    def make_explode(plan_ref):
+        def explode(batch: pd.DataFrame) -> pd.DataFrame:
+            if schemaless_empty(batch) or len(batch) == 0:
+                return _T_EMPTY
+            if plan_ref is not None:
+                hot, dense0, hot_lut, sblocks = cached_get(plan_ref)
+            else:
+                hot, dense0, hot_lut, sblocks = {}, {}, {}, 1
+            sid = batch["seg_id"].to_numpy()
+            x1 = batch["x1"].to_numpy(); y1 = batch["y1"].to_numpy()
+            x2 = batch["x2"].to_numpy(); y2 = batch["y2"].to_numpy()
+            gx0 = np.minimum(x1, x2) // cell
+            gx1 = np.maximum(x1, x2) // cell
+            gy0 = np.minimum(y1, y2) // cell
+            gy1 = np.maximum(y1, y2) // cell
+            reps = ((gx1 - gx0 + 1) * (gy1 - gy0 + 1)).astype(np.int64)
+            idx = np.repeat(np.arange(len(sid)), reps)
+            # per-row local cell enumeration, vectorized per batch
+            offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            local = np.arange(int(reps.sum())) - np.repeat(offs, reps)
+            w = np.repeat(gx1 - gx0 + 1, reps)
+            cgx = np.repeat(gx0, reps) + local % w
+            cgy = np.repeat(gy0, reps) + local // w
+            key = _cell_key(cgx, cgy)
+            sid = sid[idx]
+            x1 = x1[idx]; y1 = y1[idx]; x2 = x2[idx]; y2 = y2[idx]
+            n = len(sid)
+            sub = np.zeros(n, dtype=np.int64)
+            strat = np.zeros(n, dtype=np.int64)
+            diag = np.ones(n, dtype=np.int64)
+            parts = []
+            if hot:
+                hot_keys = np.array(sorted(hot), dtype=np.int64)
+                is_hot = np.isin(key, hot_keys)
+                for k in hot_keys[np.isin(hot_keys, key)]:
+                    rows = np.flatnonzero(key == k)
+                    s = min(int(hot[int(k)]), _SEG_MAX_STRATA)
+                    if s < 2 or len(rows) == 0:
+                        is_hot[rows] = False
+                        continue
+                    t = sid[rows] % s
+                    lut = hot_lut.get(int(k))
+                    for u in range(s):
+                        i = np.minimum(t, u)
+                        j = np.maximum(t, u)
+                        subcode = i * _SEG_MAX_STRATA + j + 1
+                        gg = _mix_sub(
+                            np.full(len(rows), k, dtype=np.int64),
+                            subcode)
+                        bb = (lut[subcode] if lut is not None
+                              else gg % np.int64(sblocks))
+                        parts.append(pd.DataFrame({
+                            "seg_id": sid[rows], "x1": x1[rows],
+                            "y1": y1[rows], "x2": x2[rows],
+                            "y2": y2[rows],
+                            "__c": np.full(len(rows), k,
+                                           dtype=np.int64),
+                            "__g": gg,
+                            "__s": t,
+                            "__d": (t == u).astype(np.int64),
+                            "__b": bb.astype(np.int64)}))
+                keep = ~is_hot
+                sid = sid[keep]; x1 = x1[keep]; y1 = y1[keep]
+                x2 = x2[keep]; y2 = y2[keep]; key = key[keep]
+                sub = sub[:len(sid)]; strat = strat[:len(sid)]
+                diag = diag[:len(sid)]
+            gg = _mix_sub(key, np.zeros(len(key), dtype=np.int64))
+            # dense bucket ids from the sampled unit list guarantee
+            # every reduce partition of the groupby is NON-EMPTY (no
+            # schemaless empty blocks / executor schema warnings);
+            # unsampled rare cells fall back to the hash
+            if dense0:
+                bser = pd.Series(key).map(dense0)
+                bb = np.where(bser.isna(),
+                              gg % np.int64(sblocks),
+                              bser.fillna(0).to_numpy()) \
+                    .astype(np.int64)
+            else:
+                bb = (gg % np.int64(sblocks)).astype(np.int64)
+            base = pd.DataFrame({
+                "seg_id": sid, "x1": x1, "y1": y1, "x2": x2, "y2": y2,
+                "__c": key, "__g": gg,
+                "__s": np.zeros(len(key), dtype=np.int64),
+                "__d": np.ones(len(key), dtype=np.int64),
+                "__b": bb})
+            out = pd.concat([base] + parts, ignore_index=True) \
+                if parts else base
+            return out
+
+        return explode
+
+    _P_EMPTY = pd.DataFrame({"seg_a": pd.Series(dtype=np.int64),
+                             "seg_b": pd.Series(dtype=np.int64)})
+
+    def per_unit(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0 or "__g" not in group.columns:
+            return _P_EMPTY
+        sid = group["seg_id"].to_numpy()
+        x1 = group["x1"].to_numpy(); y1 = group["y1"].to_numpy()
+        x2 = group["x2"].to_numpy(); y2 = group["y2"].to_numpy()
+        g = group["__g"].to_numpy()
+        ss = group["__s"].to_numpy()
+        dd = group["__d"].to_numpy()
+        xlo = np.minimum(x1, x2); xhi = np.maximum(x1, x2)
+        ylo = np.minimum(y1, y2); yhi = np.maximum(y1, y2)
+        order = np.lexsort((sid, xlo, g))
+        sid = sid[order]; x1 = x1[order]; y1 = y1[order]
+        x2 = x2[order]; y2 = y2[order]
+        xlo = xlo[order]; xhi = xhi[order]
+        ylo = ylo[order]; yhi = yhi[order]
+        g = g[order]; ss = ss[order]; dd = dd[order]
+
+        starts = np.flatnonzero(
+            np.concatenate(([True], g[1:] != g[:-1])))
+        ends = np.append(starts[1:], len(g))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for a, b in zip(starts, ends):
+            n = b - a
+            if n < 2:
+                continue
+            xl = xlo[a:b]; xh = xhi[a:b]
+            # band: for row i, candidates j in (i, hi_i) have
+            # xlo_j <= xhi_i (and xhi_j >= xlo_j >= xlo_i), i.e.
+            # exactly the bbox-x-overlapping successors
+            hi = np.searchsorted(xl, xh, side="right")
+            cnt = np.maximum(hi - np.arange(1, n + 1), 0)
+            cum = np.cumsum(cnt)
+            total = int(cum[-1])
+            if total == 0:
+                continue
+            # chunk rows so the pair arrays stay O(max_chunk_pairs)
+            bnds = np.searchsorted(
+                cum, np.arange(max_chunk_pairs, total,
+                               max_chunk_pairs), side="left") + 1
+            row_chunks = np.concatenate(([0], bnds, [n]))
+            for r0, r1 in zip(row_chunks[:-1], row_chunks[1:]):
+                c_cnt = cnt[r0:r1]
+                tot = int(c_cnt.sum())
+                if tot == 0:
+                    continue
+                ii = np.repeat(np.arange(r0, r1), c_cnt)
+                offs = np.concatenate(([0], np.cumsum(c_cnt)[:-1]))
+                jj = (np.arange(tot) - np.repeat(offs, c_cnt)) \
+                    + ii + 1
+                gi = a + ii; gj = a + jj
+                # y-overlap prune, then the collision-safe salting
+                # rule: keep diagonal/unsalted pairs, or cross-stratum
+                # pairs in mixed subgroups
+                m = (ylo[gj] <= yhi[gi]) & (yhi[gj] >= ylo[gi])
+                m &= ((dd[gi] & dd[gj]) == 1) | (ss[gi] != ss[gj])
+                gi = gi[m]; gj = gj[m]
+                if len(gi) == 0:
+                    continue
+                o1 = _orient(x1[gi], y1[gi], x2[gi], y2[gi],
+                             x1[gj], y1[gj])
+                o2 = _orient(x1[gi], y1[gi], x2[gi], y2[gi],
+                             x2[gj], y2[gj])
+                o3 = _orient(x1[gj], y1[gj], x2[gj], y2[gj],
+                             x1[gi], y1[gi])
+                o4 = _orient(x1[gj], y1[gj], x2[gj], y2[gj],
+                             x2[gi], y2[gi])
+                hit = (o1 * o2 < 0) & (o3 * o4 < 0)
+                sa = sid[gi[hit]]; sb = sid[gj[hit]]
+                lo = np.minimum(sa, sb); hi2 = np.maximum(sa, sb)
+                real = lo < hi2  # collision-merged self rows
+                out_a.append(lo[real]); out_b.append(hi2[real])
+        if not out_a:
+            return _P_EMPTY
+        out = pd.DataFrame({"seg_a": np.concatenate(out_a),
+                            "seg_b": np.concatenate(out_b)})
         return out.drop_duplicates()
 
+    # sampled hot-cell detection on the pre-salt explode (the probe
+    # re-executes only the sampled fraction of the cheap explode map).
+    # The same sample sizes the shuffle: reduce partitions beyond the
+    # distinct banding-unit count come out EMPTY (schemaless blocks +
+    # executor schema warnings), so cap partitions at the sampled unit
+    # estimate.
+    import math
+
+    from .shuffle import collect_pandas
+    frac = 0.1
+    probe = segs_ds.map_batches(make_explode(None),
+                                batch_format="pandas")
+
+    def thin(batch: pd.DataFrame) -> pd.DataFrame:
+        # deterministic every-k-th-row thinning: Dataset.random_sample
+        # emits SCHEMALESS empty blocks for fully-sampled-out blocks
+        # (they propagate through every downstream operator as
+        # names=[] schema warnings), and a typed map keeps the stream
+        # uniform
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"__c": pd.Series(dtype=np.int64)})
+        k = max(1, int(round(1.0 / frac)))
+        return batch.iloc[(k - 1)::k][["__c"]]
+
+    counts = collect_pandas(grouped_agg(
+        coalesce_for_shuffle(
+            probe.map_batches(thin, batch_format="pandas"),
+            max_blocks=8),
+        ["__c"], {"n": ("__c", "size")}))
+    hot: dict[int, int] = {}
+    if len(counts):
+        for k, nvis in zip(counts["__c"], counts["n"]):
+            est = nvis / frac
+            if est > salt_target:
+                s = min(int(math.ceil(est / salt_target)),
+                        _SEG_MAX_STRATA)
+                if s >= 2:
+                    hot[int(k)] = s
+    # dense bucket plan: enumerate every sampled banding unit (one per
+    # plain cell, s(s+1)/2 per salted cell) and assign round-robin
+    # bucket ids — with n_units >= shuffle_blocks every bucket id is
+    # hit, so the groupby has zero empty reduce partitions
+    try:
+        cpus = max(4, int(ray.cluster_resources().get("CPU", 32)))
+    except Exception:
+        cpus = 32
+    units: list[tuple[int, int]] = []
+    for k in counts["__c"] if len(counts) else []:
+        k = int(k)
+        if k in hot:
+            s = hot[k]
+            for i in range(s):
+                for j in range(i, s):
+                    units.append((k, i * _SEG_MAX_STRATA + j + 1))
+        else:
+            units.append((k, 0))
+    # the groupby is a sort-range exchange with SAMPLED quantile
+    # boundaries: ranges only reliably stay non-empty when the key
+    # space is several times denser than the partition count, so give
+    # __b ~4 round-robin values per reduce partition
+    shuffle_blocks = max(1, min(2 * cpus, max(1, len(units) // 4),
+                                n_buckets))
+    n_bvals = max(1, min(len(units), 4 * shuffle_blocks))
+    dense0: dict[int, int] = {}
+    hot_lut: dict[int, np.ndarray] = {}
+    for d, (k, sub) in enumerate(units):
+        b = d % n_bvals
+        if sub == 0:
+            dense0[k] = b
+        else:
+            lut = hot_lut.setdefault(
+                k, np.zeros(_SEG_MAX_STRATA * _SEG_MAX_STRATA + 1,
+                            dtype=np.int64))
+            lut[sub] = b
+    plan_ref = ray.put((hot, dense0, hot_lut, n_bvals))
+
     exploded = coalesce_for_shuffle(
-        segs_ds.map_batches(explode, batch_format="pandas"))
-    pairs = exploded.groupby("__b").map_groups(per_cell,
+        segs_ds.map_batches(make_explode(plan_ref),
+                            batch_format="pandas"),
+        max_blocks=shuffle_blocks)
+    pairs = exploded.groupby("__b").map_groups(per_unit,
                                                batch_format="pandas")
     # global exactly-once: a crossing pair shares every cell of its
-    # bbox overlap — dedup the (bounded) crossing set
-    return grouped_agg(pairs, ["seg_a", "seg_b"],
-                       {"__n": ("seg_a", "size")},
-                       n_buckets=8).select_columns(["seg_a", "seg_b"])
+    # bbox overlap — dedup the (bounded) crossing set.  Pair blocks
+    # inherit the unit partitioning; coalesce to the dedup bucket
+    # count so its reduce has no empty partitions either.
+    n_dedup = max(1, min(32, shuffle_blocks))
+    return grouped_agg(
+        coalesce_for_shuffle(pairs, max_blocks=n_dedup),
+        ["seg_a", "seg_b"], {"__n": ("seg_a", "size")},
+        n_buckets=4 * n_dedup).select_columns(["seg_a", "seg_b"])
 
 
 def _derived_segments(sf_dir: str, limit: int = SEG_LIMIT):
     """Segments i < limit with endpoints derived from event ids 2i and
-    2i+1 (pure closed form, SQL-mirrorable)."""
-    ev = _events(sf_dir)
+    2i+1 (pure closed form, SQL-mirrorable).  The id range is known
+    up front, so the parquet read prunes to the matching row groups
+    (prune-at-the-read rule) instead of scanning the whole events
+    table and emitting empty blocks."""
+    import pyarrow.compute as pc
+    import ray.data
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id"],
+                            filter=pc.field("event_id") < 2 * limit)
 
     def segs(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["event_id"].to_numpy().astype(np.int64)

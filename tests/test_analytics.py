@@ -579,3 +579,39 @@ def test_grouped_ols_int_exact(ray_session, rng):
                             "y": np.array([1], dtype=np.int64)})
         analytics.grouped_ols_int(_ds(big, 1), ["k"], "x",
                                   "y").to_pandas()
+
+
+def test_heavy_hitters_sentinel_literal_token(ray_session):
+    # a document CONTAINING the old sentinel literal must count as a
+    # normal token (ADVICE r4: sentinel rows merged with it)
+    lit = "\x00total"
+    texts = [f"{lit} {lit} a b" for _ in range(20)] + \
+            ["c d e f"] * 5
+    df = pd.DataFrame({"doc_id": np.arange(25, dtype=np.int64),
+                       "text": texts})
+    out = analytics.heavy_hitters(_ds(df, 4), k=4, m=16).to_pandas()
+    toks = pd.Series(" ".join(texts).split(" "))
+    vc = toks.value_counts()
+    thr = len(toks) // 4
+    exp = (vc[vc > thr].rename_axis("tok").reset_index(name="cnt")
+           .astype({"cnt": np.int64}).sort_values("tok")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp, check_dtype=True)
+    assert lit in set(out["tok"])  # counted exactly, not absorbed
+
+
+def test_approx_quantiles_all_empty_input(ray_session):
+    df = pd.DataFrame({"v": pd.Series(dtype=np.float64)})
+    out = analytics.approx_quantiles(_ds(df, 2), "v", [0.5, 0.9])
+    assert list(out.columns) == ["q", "value"]
+    assert len(out) == 0
+
+
+def test_cross_join_right_side_self_collision(ray_session):
+    from geoflow.relational import cross_join_broadcast
+    big = pd.DataFrame({"k": np.arange(3, dtype=np.int64)})
+    small = pd.DataFrame({"k": [1], "k_r": [2]})
+    ds = cross_join_broadcast(_ds(big, 1), small)
+    with pytest.raises(Exception):
+        ds.to_pandas()

@@ -107,3 +107,55 @@ def test_lm_edge_docs(ray_session):
     assert list(out["n_bigrams"]) == [0, 0, 1]
     assert list(out["nll_fp"])[:2] == [0, 0]
     assert list(out["avg_nll_fp"])[:2] == [0, 0]
+
+
+def test_lm_train_mod_slices_training(ray_session):
+    # train_mod trains on doc_id % mod == 0 ONLY: model must equal a
+    # model trained on the pre-filtered slice
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).head(150)
+    full = ray.data.from_pandas(docs)
+    sliced = ray.data.from_pandas(
+        docs[docs["doc_id"] % 3 == 0].reset_index(drop=True))
+    m_mod = lm.lm_train(full, train_mod=3)
+    m_ref = lm.lm_train(sliced)
+    assert m_mod.vocab == m_ref.vocab
+    assert m_mod.lp_unk == m_ref.lp_unk
+    a = m_mod.delta12.sort_values(["t1", "t2"]).reset_index(drop=True)
+    b = m_ref.delta12.sort_values(["t1", "t2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # scoring the full set with the sliced model: bit-identical paths
+    s1 = lm.lm_score(full, m_mod).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    s2 = lm.lm_score(full, m_ref).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s1, s2)
+
+
+def test_lm_distributed_matches_broadcast(ray_session):
+    # the distributed-model-residency path (bucketed hash(t1) shuffle,
+    # model never collected) is bit-identical to the broadcast path
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).head(200)
+    ds = ray.data.from_pandas(
+        [docs.iloc[i::5].reset_index(drop=True) for i in range(5)])
+    model = lm.lm_train(ds, train_mod=3)
+    want = lm.lm_score(ds, model).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = lm.lm_score_distributed(ds, train_mod=3, n_buckets=7) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["nll_fp"].dtype == np.int64
+
+
+def test_lm_distributed_zero_bigram_docs(ray_session):
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2, 3], dtype=np.int64),
+        "text": ["", "solo", "a b a", "b a"]})
+    ds = ray.data.from_pandas(docs)
+    model = lm.lm_train(ds)
+    want = lm.lm_score(ds, model).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = lm.lm_score_distributed(ds, n_buckets=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)

@@ -485,3 +485,48 @@ def test_segment_intersection_matches_bruteforce(ray_session):
                 exp.append((i, j))
     assert len(exp) > 10
     assert list(map(tuple, out.to_numpy())) == exp
+
+
+def test_segment_intersection_salted_skew_matches_bruteforce(ray_session):
+    # 100x-skew shape: most segments clustered inside ONE grid cell,
+    # salt_target forced low so the triangle-strata path actually runs
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geoflow.spatial_queries import segment_intersection_join
+
+    rng = np.random.default_rng(31)
+    n = 400
+    # 90% in a dense "metro" corner of one cell, 10% spread wide
+    metro = int(n * 0.9)
+    x1 = np.concatenate([rng.integers(0, 60_000, metro),
+                         rng.integers(0, 900_000, n - metro)])
+    y1 = np.concatenate([rng.integers(0, 60_000, metro),
+                         rng.integers(0, 900_000, n - metro)])
+    x2 = x1 + rng.integers(-30_000, 30_000, n)
+    y2 = y1 + rng.integers(-30_000, 30_000, n)
+    df = pd.DataFrame({"seg_id": np.arange(n, dtype=np.int64),
+                       "x1": x1, "y1": y1, "x2": x2, "y2": y2}) \
+        .astype(np.int64)
+    # salt_target=40 forces the dense cell into >= 2 strata
+    out = (segment_intersection_join(
+        ray.data.from_pandas(df).repartition(5), cell=100_000,
+        salt_target=40, max_chunk_pairs=1000)
+        .to_pandas().sort_values(["seg_a", "seg_b"])
+        .reset_index(drop=True))
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return np.sign((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+
+    exp = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            o1 = orient(x1[i], y1[i], x2[i], y2[i], x1[j], y1[j])
+            o2 = orient(x1[i], y1[i], x2[i], y2[i], x2[j], y2[j])
+            o3 = orient(x1[j], y1[j], x2[j], y2[j], x1[i], y1[i])
+            o4 = orient(x1[j], y1[j], x2[j], y2[j], x2[i], y2[i])
+            if o1 * o2 < 0 and o3 * o4 < 0:
+                exp.append((i, j))
+    assert len(exp) > 100
+    assert list(map(tuple, out.to_numpy())) == exp
