@@ -372,6 +372,98 @@ ORDER BY op, node
 """
 
 
+def _q_media_all(sf_dir: str):
+    """Multimodal features (X1 byte-level stats) + frame sampling
+    fused into one driver slot on (op, media_id, i1, i2, i3, s1) —
+    both halves keep their full SQL value check."""
+    import pandas as pd
+
+    def shape_feat(batch: pd.DataFrame) -> pd.DataFrame:
+        from geoflow.shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        out = pd.DataFrame({
+            "op": "features", "media_id": batch["media_id"],
+            "i1": batch["n_bytes"], "i2": batch["hist0"],
+            "i3": batch["hist6"], "s1": ""})
+        return out
+
+    def shape_frame(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        from geoflow.shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        z = np.zeros(len(batch), dtype=np.int64)
+        return pd.DataFrame({
+            "op": "frames", "media_id": batch["media_id"],
+            "i1": batch["frame_idx"], "i2": z, "i3": z,
+            "s1": batch["frame"]})
+
+    a = multimodal.q_media_features(sf_dir).map_batches(
+        shape_feat, batch_format="pandas")
+    b = multimodal.q_media_frames(sf_dir).map_batches(
+        shape_frame, batch_format="pandas")
+    return a.union(b).sort(["op", "media_id", "i1"])
+
+
+def _Q_MEDIA_ALL_SQL() -> str:
+    return f"""
+SELECT 'features' AS op, media_id, CAST(n_bytes AS BIGINT) AS i1,
+       CAST(hist0 AS BIGINT) AS i2, CAST(hist6 AS BIGINT) AS i3,
+       '' AS s1
+FROM ({multimodal.Q_MEDIA_SQL})
+UNION ALL
+SELECT 'frames' AS op, media_id, frame_idx AS i1,
+       CAST(0 AS BIGINT) AS i2, CAST(0 AS BIGINT) AS i3, frame AS s1
+FROM ({multimodal.Q_MEDIA_FRAMES_SQL})
+ORDER BY op, media_id, i1
+"""
+
+
+def _q_lines_all(sf_dir: str):
+    """Line-level dedup (C6) + C4-style line filter (C7) fused into
+    one driver slot on (op, doc_id, text, n1, n2)."""
+    import pandas as pd
+
+    def shape_ld(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        from geoflow.shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        return pd.DataFrame({
+            "op": "line_dedup", "doc_id": batch["doc_id"],
+            "text": batch["text_dedup"], "n1": batch["n_lines_kept"],
+            "n2": np.zeros(len(batch), dtype=np.int64)})
+
+    def shape_c4(batch: pd.DataFrame) -> pd.DataFrame:
+        from geoflow.shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        return pd.DataFrame({
+            "op": "c4", "doc_id": batch["doc_id"],
+            "text": batch["text_clean"], "n1": batch["n_kept"],
+            "n2": batch["n_dropped"]})
+
+    a = lines.q_line_dedup(sf_dir).map_batches(
+        shape_ld, batch_format="pandas")
+    b = lines.q_c4_filter(sf_dir).map_batches(
+        shape_c4, batch_format="pandas")
+    return a.union(b).sort(["op", "doc_id"])
+
+
+def _Q_LINES_ALL_SQL() -> str:
+    return f"""
+SELECT 'line_dedup' AS op, doc_id, text_dedup AS text,
+       n_lines_kept AS n1, CAST(0 AS BIGINT) AS n2
+FROM ({lines.Q_LINE_DEDUP_SQL})
+UNION ALL
+SELECT 'c4' AS op, doc_id, text_clean AS text, n_kept AS n1,
+       n_dropped AS n2
+FROM ({lines.Q_C4_FILTER_SQL})
+ORDER BY op, doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver value-checks the FIRST 50 entries
     # only.  All SQL-oracled queries come first (every one of them gets
@@ -416,8 +508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_topk": corpus.q_ngram_topk,
         "q_redact": corpus.q_redact,
         "q_shuffle_shards": corpus.q_shuffle_shards,
-        "q_line_dedup": lines.q_line_dedup,
-        "q_c4_filter": lines.q_c4_filter,
+        # combined-evidence slot (r5): line dedup + C4 filter fused
+        # (★C6+★C7) — freed slot goes to q_segment_join below
+        "q_lines_all": _q_lines_all,
         "q_dedup_spans": lines.q_dedup_spans,
         "q_nb_classifier": classify.q_nb_classifier,
         "q_dsir_weights": dsir.q_dsir_weights,
@@ -432,9 +525,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_graph_all": _q_graph_all,
         # similarity search
         "q_ann_topk": similarity.q_ann_topk,
-        # multimodal plumbing
-        "q_media_features": multimodal.q_media_features,
-        "q_media_frames": multimodal.q_media_frames,
+        # combined-evidence slot (r5): multimodal features + frame
+        # sampling fused (★X1) — freed slot goes to q_rank below
+        "q_media_all": _q_media_all,
         # property-column surface (M14): typed get + set + del
         "q_properties_project": properties.q_properties_project,
         # spatial operators with exact SQL oracles (derived coordinates)
@@ -462,16 +555,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_funnel": analytics.q_funnel,
         "q_ntile": analytics.q_ntile,
         "q_edit1_pairs": dedup.q_edit1_pairs,
+        # session-5 window rotation (VERDICT r4 #6): the two deepest
+        # never-driver-checked r4 operators, pulled inside by the two
+        # fused slots above (q_lines_all, q_media_all)
+        "q_segment_join": spatial_queries.q_segment_join,
+        "q_rank": analytics.q_rank,
         # ==== DRIVER WINDOW BOUNDARY ====
         # Exactly 50 SQL-oracled entries precede this line (verified by
         # importing this module and counting — see
         # tests/test_entry.py::test_first_50_entries_sql_oracled, which
-        # asserts position 50 == "q_edit1_pairs" and that every one of
+        # asserts position 50 == "q_rank" and that every one of
         # the first 50 keys has an oracle_sql() entry).  Everything
         # below is SQL-oracled overflow for the local gate (simplest
         # oracles overflow first, per CLAUDE.md), then rows-only.
         "q_events_window": relational.q_events_window,
         "q_events_hopwindow": relational.q_events_hopwindow,
+        "q_line_dedup": lines.q_line_dedup,
+        "q_c4_filter": lines.q_c4_filter,
+        "q_media_features": multimodal.q_media_features,
+        "q_media_frames": multimodal.q_media_frames,
         "q_cell_grid": spatial_queries.q_cell_grid,
         "q_tile_assign": spatial_queries.q_tile_assign,
         "q_pagerank": graph.q_pagerank,
@@ -505,10 +607,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_string_agg": analytics.q_string_agg,
         "q_grouping_sets": analytics.q_grouping_sets,
         "q_bernoulli_sample": analytics.q_bernoulli_sample,
-        "q_rank": analytics.q_rank,
         "q_ols": analytics.q_ols,
         "q_cross_join": relational.q_cross_join,
-        "q_segment_join": spatial_queries.q_segment_join,
     # ---- rows-only from here (pytest + local gate hold the exact
         # byte/value-level oracles), ranked by evidence value ----
         "q_flagship_tiles": _q_flagship_tiles,
@@ -550,6 +650,8 @@ def oracle_sql() -> dict[str, str]:
         "q_windows_all": _Q_WINDOWS_ALL_SQL(),
         "q_spatial_grid": _Q_SPATIAL_GRID_SQL(),
         "q_graph_all": _Q_GRAPH_ALL_SQL(),
+        "q_media_all": _Q_MEDIA_ALL_SQL(),
+        "q_lines_all": _Q_LINES_ALL_SQL(),
         "q_orders_topk": relational.Q_ORDERS_TOPK_SQL,
         "q_part_brand_stats": relational.Q_PART_SQL,
         "q_supplier_balance": relational.Q_SUPPLIER_BALANCE_SQL,

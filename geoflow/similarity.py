@@ -22,9 +22,34 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(N, d) float64 matrix from an Arrow ``list<float>`` column —
+    one zero-copy flatten + reshape (the M12 numpy-view pattern), no
+    pandas hop and no per-row object boxing on the hottest matmul
+    path."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = batch.num_rows
+    if hasattr(arr, "flatten"):  # list<float> / fixed_size_list
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(n, -1).astype(np.float64)
+    # Ray tensor extension array (from_pandas of ndarray columns)
+    m = arr.to_numpy(zero_copy_only=False)
+    if m.dtype == object:
+        m = np.stack(m)
+    return np.asarray(m, dtype=np.float64).reshape(n, -1)
+
+
+def _ids64(batch: pa.Table, col: str) -> np.ndarray:
+    return batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 class BatchCosineTopK:
     """map_batches stage: local top-k of each embedding batch vs all
-    queries (queries broadcast via ray.put)."""
+    queries (queries broadcast via ray.put).  Arrow batches in
+    (zero-copy flatten of the fixed-width embedding column), Arrow
+    batches out."""
 
     def __init__(self, queries_ref=None, queries: dict | None = None,
                  k: int = 10):
@@ -36,18 +61,22 @@ class BatchCosineTopK:
                                         dtype=np.float64))
         self.k = k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch["vec_id"].to_numpy()
-        m = _normalize(np.stack(batch["embedding"].to_numpy())
-                       .astype(np.float64))
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        ids = _ids64(batch, "vec_id")
+        m = _normalize(_emb_matrix(batch))
         sim = self.qm @ m.T  # Q x N
         k = min(self.k, sim.shape[1])
         idx = np.argpartition(-sim, k - 1, axis=1)[:, :k]
         rows = idx.ravel()
-        return pd.DataFrame({
-            "query_id": np.repeat(self.qid, k),
-            "vec_id": ids[rows].astype(np.int64),
-            "cos": np.take_along_axis(sim, idx, axis=1).ravel(),
+        return pa.table({
+            "query_id": pa.array(np.repeat(self.qid, k)),
+            "vec_id": pa.array(ids[rows]),
+            "cos": pa.array(
+                np.take_along_axis(sim, idx, axis=1).ravel()),
         })
 
 
@@ -57,7 +86,7 @@ def ann_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
     local = emb_ds.map_batches(
         BatchCosineTopK(queries={"query_id": query_ids,
                                  "matrix": query_matrix}, k=k),
-        batch_format="pandas", batch_size=4096)
+        batch_format="pyarrow", batch_size=4096)
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["cos", "vec_id"],
@@ -109,17 +138,19 @@ def ann_lsh_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
     planes_ref = ray.put(planes)
     probes_ref = ray.put(probe_arr)
 
-    def bucket_filter(batch: pd.DataFrame) -> pd.DataFrame:
+    def bucket_filter(batch: pa.Table) -> pa.Table:
         from .shuffle import cached_get
+        if batch.num_rows == 0:
+            return batch
         pl = cached_get(planes_ref)
         pr = cached_get(probes_ref)
-        m = _normalize(np.stack(batch["embedding"].to_numpy())
-                       .astype(np.float64))
+        m = _normalize(_emb_matrix(batch))
         sig = lsh_signatures(m, pl)
         keep = np.isin(sig, pr)
-        return batch[keep]
+        return batch.filter(pa.array(keep))
 
-    candidates = emb_ds.map_batches(bucket_filter, batch_format="pandas")
+    candidates = emb_ds.map_batches(bucket_filter,
+                                    batch_format="pyarrow")
     return ann_topk(candidates, query_ids, qm, k)
 
 
@@ -152,23 +183,25 @@ def ann_ivf_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
     path measured in tests."""
     import ray
 
-    sample = emb_ds.limit(train_sample).to_pandas()
-    sm = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    sm = _emb_matrix(emb_ds.limit(train_sample)
+                     .take_batch(train_sample, batch_format="pyarrow"))
     cents = kmeans_centroids(sm, n_centroids)
     qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
     qprobe = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
     probe_set = np.unique(qprobe.ravel())
     cents_ref = ray.put((cents, probe_set))
 
-    def bucket_filter(batch: pd.DataFrame) -> pd.DataFrame:
+    def bucket_filter(batch: pa.Table) -> pa.Table:
         from .shuffle import cached_get
+        if batch.num_rows == 0:
+            return batch
         c, probes = cached_get(cents_ref)
-        m = _normalize(np.stack(batch["embedding"].to_numpy())
-                       .astype(np.float64))
+        m = _normalize(_emb_matrix(batch))
         assign = np.argmax(m @ c.T, axis=1)
-        return batch[np.isin(assign, probes)]
+        return batch.filter(pa.array(np.isin(assign, probes)))
 
-    candidates = emb_ds.map_batches(bucket_filter, batch_format="pandas")
+    candidates = emb_ds.map_batches(bucket_filter,
+                                    batch_format="pyarrow")
     return ann_topk(candidates, query_ids, qm, k)
 
 
@@ -203,9 +236,9 @@ def pq_train(emb_ds, m_sub: int = 8, n_codes: int = 256,
     with one LUT gather per subspace instead of a matmul."""
     if n_codes > 256:
         raise ValueError("n_codes must fit uint8 (<= 256)")
-    sample = emb_ds.limit(train_sample).to_pandas()
-    sm = _normalize(np.stack(sample["embedding"].to_numpy())
-                    .astype(np.float64))
+    sm = _normalize(_emb_matrix(
+        emb_ds.limit(train_sample)
+        .take_batch(train_sample, batch_format="pyarrow")))
     dim = sm.shape[1]
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
@@ -237,19 +270,20 @@ def pq_encode(emb_ds, codebooks: np.ndarray):
 
     cb_ref = ray.put(codebooks)
 
-    def encode(batch: pd.DataFrame) -> pa.Table:
+    def encode(batch: pa.Table) -> pa.Table:
         from .shuffle import cached_get
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.binary())})
         cb = cached_get(cb_ref)
-        m = _normalize(np.stack(batch["embedding"].to_numpy())
-                       .astype(np.float64))
+        m = _normalize(_emb_matrix(batch))
         codes = _pq_codes(m, cb)
         return pa.table({
-            "vec_id": pa.array(batch["vec_id"].to_numpy()
-                               .astype(np.int64)),
+            "vec_id": pa.array(_ids64(batch, "vec_id")),
             "code": pa.array([c.tobytes() for c in codes],
                              type=pa.binary())})
 
-    return emb_ds.map_batches(encode, batch_format="pandas")
+    return emb_ds.map_batches(encode, batch_format="pyarrow")
 
 
 def pq_decode_matrix(codes: np.ndarray, codebooks: np.ndarray
@@ -289,12 +323,15 @@ def ann_pq_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
         lut[:, s, :] = (diff ** 2).sum(axis=2)
     bundle_ref = ray.put((codebooks, lut))
 
-    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(batch: pa.Table) -> pa.Table:
         from .shuffle import cached_get
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
         cb, lt = cached_get(bundle_ref)
-        ids = batch["vec_id"].to_numpy().astype(np.int64)
-        m = _normalize(np.stack(batch["embedding"].to_numpy())
-                       .astype(np.float64))
+        ids = _ids64(batch, "vec_id")
+        m = _normalize(_emb_matrix(batch))
         codes = _pq_codes(m, cb)
         # dist[q, n] = sum_s lut[q, s, codes[n, s]]
         ms = codes.shape[1]
@@ -302,12 +339,13 @@ def ann_pq_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
         kk = min(k, dist.shape[1])
         idx = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
         rows = idx.ravel()
-        return pd.DataFrame({
-            "query_id": np.repeat(qid, kk),
-            "vec_id": ids[rows],
-            "adc": np.take_along_axis(dist, idx, axis=1).ravel()})
+        return pa.table({
+            "query_id": pa.array(np.repeat(qid, kk)),
+            "vec_id": pa.array(ids[rows]),
+            "adc": pa.array(
+                np.take_along_axis(dist, idx, axis=1).ravel())})
 
-    local = emb_ds.map_batches(local_topk, batch_format="pandas",
+    local = emb_ds.map_batches(local_topk, batch_format="pyarrow",
                                batch_size=4096)
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:

@@ -23,7 +23,7 @@ def test_first_50_entries_sql_oracled():
     # window (VERDICT r3 #3)
     assert "q_bm25" in window
     assert "q_graph_all" in window       # pagerank+triangles fused slot
-    assert window[49] == "q_edit1_pairs"
+    assert window[49] == "q_rank"
 
 
 def test_oracle_keys_subset_of_queries():
