@@ -609,6 +609,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bernoulli_sample": analytics.q_bernoulli_sample,
         "q_ols": analytics.q_ols,
         "q_cross_join": relational.q_cross_join,
+        # session-5 SQL-oracled additions (overflow; local-gate checked)
+        "q_percent_rank": analytics.q_percent_rank,
+        "q_range_window": analytics.q_range_window,
     # ---- rows-only from here (pytest + local gate hold the exact
         # byte/value-level oracles), ranked by evidence value ----
         "q_flagship_tiles": _q_flagship_tiles,
@@ -720,6 +723,8 @@ def oracle_sql() -> dict[str, str]:
         "q_rank": analytics.q_rank_sql(),
         "q_ols": analytics.q_ols_sql(),
         "q_cross_join": relational.Q_CROSS_JOIN_SQL,
+        "q_percent_rank": analytics.q_percent_rank_sql(),
+        "q_range_window": analytics.q_range_window_sql(),
         "q_segment_join": spatial_queries.q_segment_join_sql(),
         "q_distance_join": spatial_queries.q_distance_join_sql(),
         "q_heavy_hitters": analytics.q_heavy_hitters_sql(),

@@ -1665,3 +1665,203 @@ SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS BIGINT) AS slope_den
 FROM v GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# PERCENT_RANK / CUME_DIST windows (relative-rank family)
+# ---------------------------------------------------------------------------
+
+def grouped_cume(ds, part_col: str, val_col: str, order_col: str,
+                 n_buckets: int | None = None):
+    """Exact SQL ``PERCENT_RANK()`` and ``CUME_DIST() OVER (PARTITION
+    BY part ORDER BY val)`` per row — the relative-rank siblings of
+    ★G24 RANK/DENSE_RANK, on the same range-bucket scan.
+
+    Exactness argument: range buckets are value-contiguous, so (a)
+    every row in a lower bucket has a strictly smaller value and (b)
+    tie groups are bucket-local — the CUME_DIST numerator (rows with
+    value <= current) is the lower-bucket base offset plus the local
+    tie-group END offset, and PERCENT_RANK reuses the tie-group START
+    (= RANK - 1).  Both emit IEEE doubles from exact int64 operands
+    (< 2^53), the same division DuckDB computes, so the value hash
+    matches bitwise."""
+    from .relational import range_bucket_offsets
+
+    rbd, base, totals = range_bucket_offsets(
+        ds, val_col, [part_col], weight_col=None, n_buckets=n_buckets)
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        cols = {order_col: pd.Series(dtype=np.int64),
+                "pr": pd.Series(dtype=np.float64),
+                "cd": pd.Series(dtype=np.float64)}
+        if len(group) == 0:
+            return pd.DataFrame(cols)
+        g = group.sort_values([part_col, val_col, order_col],
+                              kind="mergesort")
+        parts = g[part_col].to_numpy()
+        vals = g[val_col].to_numpy()
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        new_p = np.concatenate(([True], parts[1:] != parts[:-1]))
+        new_v = np.concatenate(([True],
+                                (vals[1:] != vals[:-1])
+                                | (parts[1:] != parts[:-1])))
+        p_start = np.maximum.accumulate(np.where(new_p, idx, 0))
+        tie_start = np.maximum.accumulate(np.where(new_v, idx, 0))
+        # tie-group END (exclusive): next group's start, or n
+        gid = np.cumsum(new_v) - 1
+        gstarts = np.flatnonzero(new_v)
+        gends = np.append(gstarts[1:], n)
+        tie_end = gends[gid]
+        rb = int(g["__rb"].iloc[0])
+        seg_id = np.cumsum(new_p) - 1
+        rbase = np.array([base.get((rb, p), 0)
+                          for p in parts[new_p]], dtype=np.int64)
+        n_tot = np.array([totals[(p,)] for p in parts[new_p]],
+                         dtype=np.int64)
+        rnk0 = rbase[seg_id] + (tie_start - p_start)   # RANK - 1
+        cume_n = rbase[seg_id] + (tie_end - p_start)
+        den = n_tot[seg_id] - 1
+        pr = np.where(den > 0, rnk0 / np.maximum(den, 1), 0.0)
+        cd = cume_n / n_tot[seg_id]
+        return pd.DataFrame({order_col: g[order_col].to_numpy(),
+                             "pr": pr, "cd": cd})
+
+    return rbd.groupby("__rb").map_groups(assign,
+                                          batch_format="pandas")
+
+
+def q_percent_rank(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST of event value cents within
+    event_type (real ties: cents collide)."""
+    from .relational import read
+
+    ds = read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "value_c": _cents(batch["value"])})
+
+    out = grouped_cume(ds.map_batches(prep, batch_format="pyarrow"),
+                       "event_type", "value_c", "event_id")
+    return out.sort("event_id")
+
+
+def q_percent_rank_sql() -> str:
+    return """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
+  FROM events)
+SELECT event_id,
+       PERCENT_RANK() OVER (PARTITION BY event_type
+            ORDER BY value_c) AS pr,
+       CUME_DIST() OVER (PARTITION BY event_type
+            ORDER BY value_c) AS cd
+FROM v ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# time-RANGE rolling window (RANGE BETWEEN w PRECEDING AND CURRENT ROW)
+# ---------------------------------------------------------------------------
+
+def range_rolling_sum(ds, key_col: str, time_col: str, order_col: str,
+                      val_col: str, preceding: int,
+                      out_col: str = "rsum", n_buckets: int = 32):
+    """Per-key ``SUM(val) OVER (PARTITION BY key ORDER BY time RANGE
+    BETWEEN preceding PRECEDING AND CURRENT ROW)`` — int64-exact, the
+    value-window sibling of ★G12's ROWS window.
+
+    RANGE semantics: the frame holds every row of the key whose time
+    lies in ``[t_i - preceding, t_i]`` INCLUDING later-ordered peers
+    with equal time (SQL peer rows).  Shape: the rolling_sum skeleton
+    (hash co-partition on the key, one vectorized pass per bucket);
+    inside a bucket the rows sort by (key, time, order), each key's
+    times rebase to its own start and shift by segment_index * span so
+    ONE global searchsorted pair yields every per-key window — windows
+    cannot cross keys because span > any in-key time range + preceding.
+    Falls back to a per-key-segment searchsorted loop when the packed
+    composite would overflow int64 (> 2^62)."""
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__b"] = (batch[key_col].to_numpy()
+                        % n_buckets).astype(np.int64)
+        return batch
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame({order_col: pd.Series(dtype=np.int64),
+                                 out_col: pd.Series(dtype=np.int64)})
+        g = group.sort_values([key_col, time_col, order_col],
+                              kind="mergesort")
+        v = g[val_col].to_numpy().astype(np.int64)
+        t = g[time_col].to_numpy().astype(np.int64)
+        k = g[key_col].to_numpy()
+        n = len(v)
+        new_k = np.concatenate(([True], k[1:] != k[:-1]))
+        seg = np.cumsum(new_k) - 1
+        seg_t0 = t[np.maximum.accumulate(
+            np.where(new_k, np.arange(n), 0))]
+        t_rel = t - seg_t0
+        span = int(t_rel.max()) + int(preceding) + 1 if n else 1
+        c = np.concatenate(([np.int64(0)], np.cumsum(v)))
+        n_seg = int(seg[-1]) + 1
+        if n_seg * span < (1 << 62):
+            tt = t_rel + seg * span
+            hi = np.searchsorted(tt, tt, side="right")
+            lo = np.searchsorted(tt, tt - preceding, side="left")
+        else:  # composite would overflow: per-segment windows
+            hi = np.empty(n, dtype=np.int64)
+            lo = np.empty(n, dtype=np.int64)
+            starts = np.flatnonzero(new_k)
+            ends = np.append(starts[1:], n)
+            for a, b in zip(starts, ends):
+                ts = t[a:b]
+                hi[a:b] = a + np.searchsorted(ts, ts, side="right")
+                lo[a:b] = a + np.searchsorted(ts, ts - preceding,
+                                              side="left")
+        return pd.DataFrame({order_col: g[order_col].to_numpy(),
+                             out_col: c[hi] - c[lo]})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__b").map_groups(build, batch_format="pandas"))
+
+
+RANGE_W_S = 3600  # one hour
+
+
+def q_range_window(sf_dir: str):
+    """Per-user one-hour RANGE rolling sum of event value cents."""
+    from .relational import read
+
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        te = pc.divide(batch["ts"].cast(pa.int64()),
+                       pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "te": te,
+                         "value_c": _cents(batch["value"])})
+
+    out = range_rolling_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "te", "event_id", "value_c", preceding=RANGE_W_S)
+    return out.sort("event_id")
+
+
+def q_range_window_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS te,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
+  FROM events)
+SELECT event_id,
+       CAST(SUM(value_c) OVER (PARTITION BY user_id ORDER BY te
+            RANGE BETWEEN {RANGE_W_S} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rsum
+FROM v ORDER BY event_id
+"""

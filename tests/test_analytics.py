@@ -615,3 +615,73 @@ def test_cross_join_right_side_self_collision(ray_session):
     ds = cross_join_broadcast(_ds(big, 1), small)
     with pytest.raises(Exception):
         ds.to_pandas()
+
+
+def test_grouped_cume_matches_pandas(ray_session, rng):
+    n = 2500
+    df = pd.DataFrame({
+        "o": np.arange(n, dtype=np.int64),
+        "p": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(0, 60, n).astype(np.int64)})  # dense ties
+    out = (analytics.grouped_cume(_ds(df, 6), "p", "v", "o")
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    g = df.groupby("p")["v"]
+    rnk = g.rank(method="min")
+    nn = df["p"].map(df.groupby("p").size())
+    exp = pd.DataFrame({
+        "o": df["o"],
+        "pr": np.where(nn > 1, (rnk - 1) / np.maximum(nn - 1, 1), 0.0),
+        "cd": g.rank(method="max") / nn}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+
+
+def test_grouped_cume_single_row_partition(ray_session):
+    df = pd.DataFrame({"o": np.arange(3, dtype=np.int64),
+                       "p": ["a", "a", "solo"],
+                       "v": np.array([5, 5, 9], dtype=np.int64)})
+    out = (analytics.grouped_cume(_ds(df, 2), "p", "v", "o")
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    # n=1 partition: PERCENT_RANK = 0 (SQL spec), CUME_DIST = 1
+    assert out.loc[2, "pr"] == 0.0 and out.loc[2, "cd"] == 1.0
+    # full-tie pair: pr 0, cd 1 for both
+    assert (out.loc[:1, "pr"] == 0.0).all()
+    assert (out.loc[:1, "cd"] == 1.0).all()
+
+
+def _range_ref(df, w):
+    out = np.empty(len(df), dtype=np.int64)
+    for i, r in df.iterrows():
+        m = (df["k"] == r["k"]) & (df["t"] >= r["t"] - w) \
+            & (df["t"] <= r["t"])
+        out[i] = int(df.loc[m, "v"].sum())
+    return out
+
+
+def test_range_rolling_sum_matches_bruteforce(ray_session, rng):
+    n = 800
+    df = pd.DataFrame({
+        "o": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 7, n).astype(np.int64),
+        "t": rng.integers(0, 300, n).astype(np.int64),  # real t ties
+        "v": rng.integers(-50, 50, n).astype(np.int64)})
+    out = (analytics.range_rolling_sum(_ds(df, 5), "k", "t", "o", "v",
+                                       preceding=20)
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    exp = _range_ref(df, 20)
+    np.testing.assert_array_equal(out["rsum"].to_numpy(), exp)
+    assert out["rsum"].dtype == np.int64
+
+
+def test_range_rolling_sum_overflow_fallback(ray_session, rng):
+    # composite packing would overflow: huge time span x many keys
+    n = 400
+    df = pd.DataFrame({
+        "o": np.arange(n, dtype=np.int64),
+        "k": np.arange(n, dtype=np.int64) % 200,   # 200 segs/bucket
+        "t": rng.integers(0, 1 << 55, n).astype(np.int64),
+        "v": rng.integers(-50, 50, n).astype(np.int64)})
+    out = (analytics.range_rolling_sum(_ds(df, 3), "k", "t", "o", "v",
+                                       preceding=1 << 54, n_buckets=1)
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    exp = _range_ref(df, 1 << 54)
+    np.testing.assert_array_equal(out["rsum"].to_numpy(), exp)
