@@ -76,13 +76,25 @@ def except_distinct(left_ds, right_ds, cols: list[str],
                             lambda mn, mx: (mn == 0) & (mx == 0))
 
 
+def union_distinct(left_ds, right_ds, cols: list[str],
+                   n_buckets: int | None = None):
+    """SQL ``UNION`` (DISTINCT): every distinct key tuple from either
+    side — the presence aggregate's full key set, completing the
+    INTERSECT/EXCEPT/UNION family on the same unique-tuples-only
+    shuffle."""
+    presence = _side_presence(left_ds, right_ds, cols, n_buckets)
+    return _filter_presence(presence, cols,
+                            lambda mn, mx: np.ones(len(mn), dtype=bool))
+
+
 # ---------------------------------------------------------------------------
 # driver query + oracle
 # ---------------------------------------------------------------------------
 
 def q_setops(sf_dir: str):
-    """One query exercising both operators: customers who ordered in
-    1995 INTERSECT/EXCEPT customers who ordered in 1996, tagged by op."""
+    """One query exercising all three operators: customers who ordered
+    in 1995 INTERSECT/EXCEPT/UNION customers who ordered in 1996,
+    tagged by op — the single presence aggregate serves all three."""
     import pyarrow as pa
 
     from .relational import read
@@ -124,7 +136,11 @@ def q_setops(sf_dir: str):
         presence, ["o_custkey"],
         lambda mn, mx: (mn == 0) & (mx == 0)).map_batches(
         tag_op("except"), batch_format="pandas")
-    return both.union(only95).sort(["op", "o_custkey"])
+    either = _filter_presence(
+        presence, ["o_custkey"],
+        lambda mn, mx: np.ones(len(mn), dtype=bool)).map_batches(
+        tag_op("union"), batch_format="pandas")
+    return both.union(only95).union(either).sort(["op", "o_custkey"])
 
 
 def q_setops_sql() -> str:
@@ -138,5 +154,8 @@ FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
 UNION ALL
 SELECT 'except' AS op, o_custkey
 FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT 'union' AS op, o_custkey
+FROM (SELECT o_custkey FROM y95 UNION SELECT o_custkey FROM y96)
 ORDER BY op, o_custkey
 """

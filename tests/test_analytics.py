@@ -320,16 +320,20 @@ def test_pareto_frontier_matches_bruteforce(ray_session, rng):
 
 
 def test_set_ops_match_python_sets(ray_session, rng):
-    from geoflow.setops import except_distinct, intersect_distinct
+    from geoflow.setops import (except_distinct, intersect_distinct,
+                                union_distinct)
     l = pd.DataFrame({"k": rng.integers(0, 300, 900).astype(np.int64)})
     r = pd.DataFrame({"k": rng.integers(150, 450, 900).astype(np.int64)})
     inter = (intersect_distinct(_ds(l, 5), _ds(r, 5), ["k"])
              .to_pandas()["k"].sort_values().tolist())
     exc = (except_distinct(_ds(l, 5), _ds(r, 5), ["k"])
            .to_pandas()["k"].sort_values().tolist())
+    uni = (union_distinct(_ds(l, 5), _ds(r, 5), ["k"])
+           .to_pandas()["k"].sort_values().tolist())
     ls, rs = set(l["k"]), set(r["k"])
     assert inter == sorted(ls & rs)
     assert exc == sorted(ls - rs)
+    assert uni == sorted(ls | rs)
     assert len(inter) > 0 and len(exc) > 0
 
 
