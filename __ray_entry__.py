@@ -612,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session-5 SQL-oracled additions (overflow; local-gate checked)
         "q_percent_rank": analytics.q_percent_rank,
         "q_range_window": analytics.q_range_window,
+        "q_first_last": analytics.q_first_last,
     # ---- rows-only from here (pytest + local gate hold the exact
         # byte/value-level oracles), ranked by evidence value ----
         "q_flagship_tiles": _q_flagship_tiles,
@@ -640,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_approx_quantiles": analytics.q_approx_quantiles,
         "q_kcore": graph.q_kcore,
         "q_geohash": spatial_queries.q_geohash,
+        "q_hilbert": spatial_queries.q_hilbert,
     }
 
 
@@ -725,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cross_join": relational.Q_CROSS_JOIN_SQL,
         "q_percent_rank": analytics.q_percent_rank_sql(),
         "q_range_window": analytics.q_range_window_sql(),
+        "q_first_last": analytics.q_first_last_sql(),
         "q_segment_join": spatial_queries.q_segment_join_sql(),
         "q_distance_join": spatial_queries.q_distance_join_sql(),
         "q_heavy_hitters": analytics.q_heavy_hitters_sql(),

@@ -1865,3 +1865,96 @@ SELECT event_id,
             AS BIGINT) AS rsum
 FROM v ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# FIRST_VALUE / LAST_VALUE windows (per-key boundary values on every row)
+# ---------------------------------------------------------------------------
+
+def first_last_value(ds, key_col: str, time_col: str, order_col: str,
+                     val_col: str, n_buckets: int | None = None):
+    """Per row: SQL ``FIRST_VALUE(val) OVER (PARTITION BY key ORDER BY
+    time, order)`` and ``LAST_VALUE(...) OVER (... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)``.
+
+    Mergeable combiner shape (the grouped_argmax pattern, both bounds
+    in ONE pass): each block contributes one (first-candidate,
+    last-candidate) row per key, the per-bucket final reduces
+    candidates by (time, order) min/max, and the tiny per-key boundary
+    table re-attaches to the rows via the adaptive broadcast/bucketed
+    lookup join."""
+    from .relational import _default_buckets, adaptive_lookup_join
+    if n_buckets is None:
+        n_buckets = _default_buckets()
+    bcols = [key_col, "__ft", "__fo", "first_v", "__lt", "__lo",
+             "last_v"]
+
+    def bounds(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values([key_col, "__ft", "__fo"], kind="mergesort")
+        first = g.groupby(key_col, sort=False, as_index=False).head(1)
+        g2 = df.sort_values([key_col, "__lt", "__lo"], kind="mergesort")
+        last = g2.groupby(key_col, sort=False, as_index=False).tail(1)
+        return first[[key_col, "__ft", "__fo", "first_v"]].merge(
+            last[[key_col, "__lt", "__lo", "last_v"]], on=key_col)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        w = pd.DataFrame({
+            key_col: batch[key_col],
+            "__ft": batch[time_col], "__fo": batch[order_col],
+            "first_v": batch[val_col],
+            "__lt": batch[time_col], "__lo": batch[order_col],
+            "last_v": batch[val_col]})
+        out = bounds(w)
+        h = pd.util.hash_pandas_object(out[[key_col]],
+                                       index=False).to_numpy()
+        out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return group
+        return bounds(group[bcols])[
+            [key_col, "first_v", "last_v"]]
+
+    per_key = (ds.map_batches(partial, batch_format="pandas")
+               .groupby("__b").map_groups(final,
+                                          batch_format="pandas"))
+    return adaptive_lookup_join(ds, per_key, key_col)
+
+
+def q_first_last(sf_dir: str):
+    """Per-user first/last event value cents on every event row."""
+    from .relational import read
+
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "tu": batch["ts"].cast(pa.int64()),
+                         "value_c": _cents(batch["value"])})
+
+    out = first_last_value(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "tu", "event_id", "value_c")
+    return out.select_columns(["event_id", "first_v", "last_v"]) \
+        .sort("event_id")
+
+
+def q_first_last_sql() -> str:
+    return """
+WITH v AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tu,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
+  FROM events)
+SELECT event_id,
+       FIRST_VALUE(value_c) OVER w AS first_v,
+       LAST_VALUE(value_c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+            AND UNBOUNDED FOLLOWING) AS last_v
+FROM v
+WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+ORDER BY event_id
+"""

@@ -561,6 +561,34 @@ def q_geohash(sf_dir: str):
     return out.sort("gh")
 
 
+HILBERT_ORDER = 16          # 2^16 grid, d < 2^32
+HILBERT_PREFIX_SHIFT = 22   # coarse cell = d >> shift (~1k cells hit)
+
+
+def q_hilbert(sf_dir: str):
+    """Per-Hilbert-prefix counts of the derived event points (third
+    spatial encoding beside Morton cells and geohash; rows-only —
+    bijection/adjacency/orientation are pinned in pytest).  Prefixes of
+    the Hilbert distance are contiguous curve runs, so range-bucketing
+    on them keeps spatial locality through shuffles (better worst-case
+    neighbor distance than Morton's diagonal jumps)."""
+    import pandas as pd
+
+    from .cells import hilbert_from_lnglat
+    from .relational import partial_grouped_agg
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["event_id"].to_numpy()
+        lng, lat = derive_lnglat(ids)
+        d = hilbert_from_lnglat(lng, lat, HILBERT_ORDER)
+        return pd.DataFrame({"hcell": (d >> np.uint64(
+            HILBERT_PREFIX_SHIFT)).astype(np.int64)})
+
+    ds = _events(sf_dir).map_batches(assign, batch_format="pandas")
+    out = partial_grouped_agg(ds, ["hcell"], {}, count_alias="n_points")
+    return out.sort("hcell")
+
+
 # ---------------------------------------------------------------------------
 # ★J13: segment-intersection join (proper crossings, exact integer
 # orientation tests) — the third fully-SQL-oracled spatial join

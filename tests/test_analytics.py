@@ -689,3 +689,22 @@ def test_range_rolling_sum_overflow_fallback(ray_session, rng):
            .to_pandas().sort_values("o").reset_index(drop=True))
     exp = _range_ref(df, 1 << 54)
     np.testing.assert_array_equal(out["rsum"].to_numpy(), exp)
+
+
+def test_first_last_value_matches_pandas(ray_session, rng):
+    n = 1200
+    df = pd.DataFrame({
+        "o": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 40, n).astype(np.int64),
+        "t": rng.integers(0, 90, n).astype(np.int64),   # real t ties
+        "v": rng.integers(-500, 500, n).astype(np.int64)})
+    out = (analytics.first_last_value(_ds(df, 6), "k", "t", "o", "v")
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    s = df.sort_values(["k", "t", "o"], kind="mergesort")
+    fl = s.groupby("k").agg(first_v=("v", "first"), last_v=("v", "last"))
+    exp = df.join(fl, on="k")
+    np.testing.assert_array_equal(out["first_v"].to_numpy(),
+                                  exp["first_v"].to_numpy())
+    np.testing.assert_array_equal(out["last_v"].to_numpy(),
+                                  exp["last_v"].to_numpy())
+    assert out["first_v"].dtype == np.int64

@@ -530,3 +530,45 @@ def test_segment_intersection_salted_skew_matches_bruteforce(ray_session):
                 exp.append((i, j))
     assert len(exp) > 100
     assert list(map(tuple, out.to_numpy())) == exp
+
+
+def test_hilbert_bijection_adjacency_and_orientation():
+    import numpy as np
+
+    from geoflow.cells import (hilbert_decode, hilbert_encode,
+                               hilbert_from_lnglat)
+
+    # order-1 pinned orientation (the standard U: (0,0)->0, (0,1)->1,
+    # (1,1)->2, (1,0)->3)
+    x = np.array([0, 0, 1, 1]); y = np.array([0, 1, 1, 0])
+    assert hilbert_encode(x, y, 1).tolist() == [0, 1, 2, 3]
+    # order-6 grid: bijection, decode roundtrip, and the DEFINING
+    # property — consecutive d values are grid-adjacent (Morton fails
+    # this with diagonal jumps)
+    o = 6; n = 1 << o
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    d = hilbert_encode(xs.ravel(), ys.ravel(), o)
+    assert sorted(d.tolist()) == list(range(n * n))
+    dx, dy = hilbert_decode(np.arange(n * n, dtype=np.uint64), o)
+    steps = np.abs(np.diff(dx.astype(np.int64))) \
+        + np.abs(np.diff(dy.astype(np.int64)))
+    assert (steps == 1).all()
+    assert (hilbert_encode(dx, dy, o) == np.arange(n * n)).all()
+    # quadrant nesting: the top two bits of d pick the quadrant in
+    # curve order (lower-left, upper-left, upper-right, lower-right)
+    quad = d >> np.uint64(2 * (o - 1))
+    half = n // 2
+    left = xs.ravel() < half; low = ys.ravel() < half
+    assert set(quad[left & low].tolist()) == {0}
+    assert set(quad[left & ~low].tolist()) == {1}
+    assert set(quad[~left & ~low].tolist()) == {2}
+    assert set(quad[~left & low].tolist()) == {3}
+    # lnglat wrapper quantizes like the Morton cells and range-checks
+    dg = hilbert_from_lnglat([-180.0, 0.0, 179.9999],
+                             [-90.0, 0.0, 89.9999], 10)
+    assert dg.dtype == np.uint64 and len(set(dg.tolist())) == 3
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hilbert_encode(np.array([4]), np.array([0]), 2)
+    with _pt.raises(ValueError):
+        hilbert_encode(np.array([0]), np.array([0]), 0)
