@@ -111,36 +111,32 @@ def q_setops(sf_dir: str):
         return ds.map_batches(pick, batch_format="pyarrow")
 
     l, r = year_keys(1995), year_keys(1996)
-    # ONE presence aggregate serves both ops (materialized — the two
-    # filters would otherwise re-run the whole tagged-union shuffle
-    # and re-read/filter orders twice; probe-then-consume rule)
-    presence = _side_presence(l, r, ["o_custkey"]).materialize()
+    # ONE presence aggregate feeds ONE vectorized pass emitting all
+    # three ops (a per-batch concat of the three tagged selections) —
+    # no per-op filter re-pass, no dataset unions, one final sort
+    presence = _side_presence(l, r, ["o_custkey"])
 
-    def tag_op(name: str):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            from .shuffle import schemaless_empty
-            if schemaless_empty(batch) or len(batch) == 0:
-                return pd.DataFrame({
-                    "op": pd.Series(dtype=object),
-                    "o_custkey": pd.Series(dtype=np.int64)})
-            out = batch[["o_custkey"]].copy()
+    def tag_all(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({
+                "op": pd.Series(dtype=object),
+                "o_custkey": pd.Series(dtype=np.int64)})
+        mn = batch["mn"].to_numpy()
+        mx = batch["mx"].to_numpy()
+        keys = batch["o_custkey"]
+        parts = []
+        for name, mask in (
+                ("intersect", (mn == 0) & (mx == 1)),
+                ("except", (mn == 0) & (mx == 0)),
+                ("union", np.ones(len(mn), dtype=bool))):
+            out = keys[mask].to_frame()
             out.insert(0, "op", name)
-            return out
-        return fn
+            parts.append(out)
+        return pd.concat(parts, ignore_index=True)
 
-    both = _filter_presence(
-        presence, ["o_custkey"],
-        lambda mn, mx: (mn == 0) & (mx == 1)).map_batches(
-        tag_op("intersect"), batch_format="pandas")
-    only95 = _filter_presence(
-        presence, ["o_custkey"],
-        lambda mn, mx: (mn == 0) & (mx == 0)).map_batches(
-        tag_op("except"), batch_format="pandas")
-    either = _filter_presence(
-        presence, ["o_custkey"],
-        lambda mn, mx: np.ones(len(mn), dtype=bool)).map_batches(
-        tag_op("union"), batch_format="pandas")
-    return both.union(only95).union(either).sort(["op", "o_custkey"])
+    return presence.map_batches(
+        tag_all, batch_format="pandas").sort(["op", "o_custkey"])
 
 
 def q_setops_sql() -> str:
