@@ -587,6 +587,68 @@ def q_repetition_stats(sf_dir: str):
     return repetition_stats(_docs(sf_dir))
 
 
+def doc_entropy(docs_ds):
+    """Per-document token-distribution Shannon entropy as an EXACT
+    fixed-point int64: ``ent_fp = -SUM(tf * floor(ln(tf/n)*1e6+0.5))``
+    (the float entropy is ent_fp/1e6/n downstream).  The Gopher-family
+    low-entropy signal repetition_stats doesn't capture (a doc of 50
+    distinct tokens each repeated twice and one of 98 copies + 2
+    distinct have the same dup_tokens but very different entropy).
+
+    Map-only like repetition_stats (per-doc aggregation never leaves
+    the batch); the per-(doc, token) log volume goes through the
+    vectorized ``classify._fp_log_vec`` (bit-identical to the libm
+    elementwise path, so the DuckDB ``ln`` oracle compares exactly).
+    Docs with zero tokens are absent (same as the SQL GROUP BY)."""
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        from .classify import _fp_log_vec
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"doc_id": np.int64, "n_tokens": np.int64,
+                           "ent_fp": np.int64})
+        tf = (_token_frame(batch).group_by(["doc_id", "t"]).len()
+              .with_columns(pl.col("len").sum().over("doc_id")
+                            .alias("n")))
+        c = tf["len"].to_numpy().astype(np.int64)
+        n = tf["n"].to_numpy().astype(np.int64)
+        contrib = c * _fp_log_vec(c, n)
+        out = (tf.with_columns(pl.Series("contrib", contrib))
+               .group_by("doc_id")
+               .agg(n_tokens=pl.col("len").sum(),
+                    ent_fp=-pl.col("contrib").sum())
+               .to_pandas())
+        return out.astype({c: np.int64 for c in out.columns})
+
+    return docs_ds.map_batches(stats, batch_format="pandas") \
+        .sort("doc_id")
+
+
+ENTROPY_SQL = """
+WITH toks AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS t
+        FROM documents) u
+  GROUP BY doc_id, t),
+n AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n
+      FROM toks GROUP BY doc_id)
+SELECT t.doc_id,
+       n.n AS n_tokens,
+       CAST(-SUM(t.tf * CAST(FLOOR(LN(CAST(t.tf AS DOUBLE) / n.n)
+            * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS ent_fp
+FROM toks t JOIN n USING (doc_id)
+GROUP BY t.doc_id, n.n ORDER BY doc_id
+"""
+
+
+def q_entropy(sf_dir: str):
+    """Per-document token entropy (fixed-point) over documents."""
+    return doc_entropy(_docs(sf_dir))
+
+
 def q_pack_sequences(sf_dir: str):
     """Distributed prefix-sum packing at window=512 + hash split."""
     return pack_sequences(_docs(sf_dir), window=512)

@@ -84,3 +84,21 @@ def test_nb_single_class_corpus(ray_session):
         .to_pandas()
     assert set(out["pred_lang"]) == {"only"}
     assert len(out) == 3
+
+
+def test_fp_log_vec_bit_identical_to_elementwise():
+    import numpy as np
+
+    from geoflow.classify import _fp_log, _fp_log_vec
+
+    rng = np.random.default_rng(7)
+    num = rng.integers(1, 1_000_000, 200_000)
+    den = rng.integers(1, 1_000_000, 200_000)
+    np.testing.assert_array_equal(_fp_log_vec(num, den),
+                                  _fp_log(num, den))
+    # ratio == 1 (log exactly 0) and tiny/huge ratios hit the
+    # boundary-recheck path
+    edge_n = np.array([1, 1, 999_999, 5, 10], dtype=np.int64)
+    edge_d = np.array([1, 999_999, 1, 5, 10], dtype=np.int64)
+    np.testing.assert_array_equal(_fp_log_vec(edge_n, edge_d),
+                                  _fp_log(edge_n, edge_d))

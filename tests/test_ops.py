@@ -1720,3 +1720,36 @@ def test_token_budget_select_matches_pandas_scan(ray_session):
            .astype({"n_tokens": np.int64, "cum_tokens": np.int64}))
     pd.testing.assert_frame_equal(out, ref, check_dtype=True)
     assert len(ref) > 0 and len(ref) < n   # the budget actually bites
+
+
+def test_doc_entropy_matches_reference(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geoflow.corpus import doc_entropy
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a a a a",                  # zero entropy
+                 "a b c d",                  # max entropy for n=4
+                 "a a b b c",                # mixed, token ties
+                 "x"]})                      # single token
+    out = (doc_entropy(ray.data.from_pandas(docs).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    def ref(text):
+        toks = [t for t in text.split(" ") if t]
+        n = len(toks)
+        from collections import Counter
+        return n, -sum(c * math.floor(math.log(c / n) * 1e6 + 0.5)
+                       for c in Counter(toks).values())
+
+    for i, t in enumerate(docs["text"]):
+        n, e = ref(t)
+        assert out.loc[i, "n_tokens"] == n
+        assert out.loc[i, "ent_fp"] == e
+    assert out.loc[0, "ent_fp"] == 0          # uniform single token
+    assert out["ent_fp"].dtype == np.int64
