@@ -614,6 +614,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_window": analytics.q_range_window,
         "q_first_last": analytics.q_first_last,
         "q_entropy": corpus.q_entropy,
+        "q_mad": analytics.q_mad,
+        "q_pmi": corpus.q_pmi,
     # ---- rows-only from here (pytest + local gate hold the exact
         # byte/value-level oracles), ranked by evidence value ----
         "q_flagship_tiles": _q_flagship_tiles,
@@ -730,6 +732,8 @@ def oracle_sql() -> dict[str, str]:
         "q_range_window": analytics.q_range_window_sql(),
         "q_first_last": analytics.q_first_last_sql(),
         "q_entropy": corpus.ENTROPY_SQL,
+        "q_mad": analytics.q_mad_sql(),
+        "q_pmi": corpus.Q_PMI_SQL,
         "q_segment_join": spatial_queries.q_segment_join_sql(),
         "q_distance_join": spatial_queries.q_distance_join_sql(),
         "q_heavy_hitters": analytics.q_heavy_hitters_sql(),

@@ -171,7 +171,10 @@ def run_bench() -> dict:
                      "q_grouping_sets", "q_bernoulli_sample",
                      "q_approx_quantiles", "q_rank", "q_ols",
                      "q_cross_join", "q_kcore", "q_geohash",
-                     "q_segment_join"]:
+                     "q_segment_join",
+                     # round-5 operators
+                     "q_percent_rank", "q_range_window",
+                     "q_first_last", "q_entropy", "q_hilbert"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data

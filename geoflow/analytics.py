@@ -1958,3 +1958,101 @@ FROM v
 WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped MAD (median absolute deviation — robust dispersion)
+# ---------------------------------------------------------------------------
+
+def grouped_mad(ds, key_col: str, col: str,
+                n_buckets: int | None = None):
+    """Per-group median absolute deviation ``median(|x - median(x)|)``
+    — the robust-dispersion signal (outlier gating that variance-based
+    stats G17/G25 can't do on heavy-tailed web data), composed from
+    the EXACT distributed per-group quantiles (★G7, the fixed-point
+    histogram — both medians use the repo's floor((n-1)*q) disc
+    convention so the SQL oracle compares exactly).
+
+    Shape: the input is materialized ONCE (consumed by the median pass
+    and the deviation pass — the probe-then-consume rule); the tiny
+    per-group median table re-attaches via the adaptive
+    broadcast/bucketed lookup join."""
+    from .relational import adaptive_lookup_join, grouped_quantiles
+
+    base = ds.materialize()
+    med = grouped_quantiles(base, [key_col], col, [0.5],
+                            n_buckets=n_buckets)
+
+    def to_med(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({key_col: pd.Series(dtype=object),
+                                 "__med": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({key_col: batch[key_col],
+                             "__med": batch[col].astype(np.int64)})
+
+    joined = adaptive_lookup_join(
+        base, med.map_batches(to_med, batch_format="pandas"), key_col)
+
+    def dev(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({key_col: pd.Series(dtype=object),
+                                 "__dev": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({
+            key_col: batch[key_col],
+            "__dev": np.abs(batch[col].to_numpy().astype(np.int64)
+                            - batch["__med"].to_numpy()
+                            .astype(np.int64))})
+
+    out = grouped_quantiles(
+        joined.map_batches(dev, batch_format="pandas"),
+        [key_col], "__dev", [0.5], n_buckets=n_buckets)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({key_col: pd.Series(dtype=object),
+                                 "mad": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({key_col: batch[key_col],
+                             "mad": batch["__dev"].astype(np.int64)})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q_mad(sf_dir: str):
+    """Per-event_type MAD of value cents."""
+    from .relational import read
+
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "value_c": _cents(batch["value"])})
+
+    out = grouped_mad(ds.map_batches(prep, batch_format="pyarrow"),
+                      "event_type", "value_c")
+    return out.sort("event_type")
+
+
+def q_mad_sql() -> str:
+    return """
+WITH v AS (SELECT event_type,
+                  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
+           FROM events),
+r AS (SELECT event_type, value_c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value_c) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n FROM v),
+med AS (SELECT event_type, value_c AS med FROM r
+        WHERE rn = CAST(FLOOR((n - 1) * 0.5) AS BIGINT)),
+d AS (SELECT v.event_type, ABS(v.value_c - med.med) AS dev
+      FROM v JOIN med USING (event_type)),
+r2 AS (SELECT event_type, dev,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY dev) - 1 AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS n FROM d)
+SELECT event_type, CAST(dev AS BIGINT) AS mad FROM r2
+WHERE rn = CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+ORDER BY event_type
+"""

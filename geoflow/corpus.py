@@ -931,3 +931,120 @@ c AS (
 SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
 FROM c WHERE cum <= {TOKEN_BUDGET} ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (pointwise mutual information over bigrams)
+# ---------------------------------------------------------------------------
+
+def pmi_pairs(docs_ds, min_count: int = 5, k: int = 20):
+    """Top-``k`` bigram collocations by fixed-point PMI — the
+    collocation-mining pass of corpus analysis (multi-word expressions,
+    boilerplate phrase discovery).  Exact integer score:
+    ``pmi_fp = fplog(c12, N2) - fplog(c1, N1) - fplog(c2, N1)`` where
+    each term is the repo's ``floor(ln(a/b)*1e6+0.5)`` of a small-int
+    ratio (no int64 product can overflow, unlike the single-ratio
+    ``c12*N1^2 / (N2*c1*c2)`` form), mirrored term-by-term in DuckDB.
+
+    Shape: the input is materialized once (unigram + bigram passes);
+    two combiner count aggregates; unigram counts re-attach to the
+    ``min_count``-pruned bigram table via the adaptive
+    broadcast/bucketed lookup join; the pruned distributed ``topk``
+    ships <= k rows per block to the final sort."""
+    import polars as pl
+
+    from .classify import _fp_log_vec
+    from .relational import adaptive_lookup_join, grouped_agg, topk
+    from .shuffle import schemaless_empty
+
+    base = docs_ds.materialize()
+
+    def unigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"t": object})
+        return _token_frame(batch).select("t").to_pandas()
+
+    def bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"t1": object, "t2": object})
+        t = _token_frame(batch).with_columns(
+            pl.col("t").shift(-1).over("doc_id").alias("t2"))
+        return (t.filter(pl.col("t2").is_not_null())
+                .select([pl.col("t").alias("t1"), "t2"]).to_pandas())
+
+    uni = grouped_agg(base.map_batches(unigrams, batch_format="pandas"),
+                      ["t"], {"c": ("t", "size")}).materialize()
+    bi = grouped_agg(base.map_batches(bigrams, batch_format="pandas"),
+                     ["t1", "t2"],
+                     {"c12": ("t1", "size")}).materialize()
+    n1 = int(uni.sum("c"))
+    n2 = int(bi.sum("c12"))
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        return batch[batch["c12"] >= min_count]
+
+    def rename_uni(col: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            if schemaless_empty(batch) or len(batch) == 0:
+                return _empty({col: object, f"c_{col}": np.int64})
+            return pd.DataFrame({col: batch["t"],
+                                 f"c_{col}": batch["c"]})
+        return fn
+
+    joined = adaptive_lookup_join(
+        bi.map_batches(prune, batch_format="pandas"),
+        uni.map_batches(rename_uni("t1"), batch_format="pandas"), "t1")
+    joined = adaptive_lookup_join(
+        joined,
+        uni.map_batches(rename_uni("t2"), batch_format="pandas"), "t2")
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"t1": object, "t2": object,
+                           "c12": np.int64, "pmi_fp": np.int64})
+        c12 = batch["c12"].to_numpy().astype(np.int64)
+        pmi = (_fp_log_vec(c12, n2)
+               - _fp_log_vec(batch["c_t1"].to_numpy(), n1)
+               - _fp_log_vec(batch["c_t2"].to_numpy(), n1))
+        return pd.DataFrame({"t1": batch["t1"], "t2": batch["t2"],
+                             "c12": c12, "pmi_fp": pmi})
+
+    scored = joined.map_batches(score, batch_format="pandas")
+    return topk(scored, ["pmi_fp", "t1", "t2"], k,
+                descending=[True, False, False])
+
+
+def pmi_sql(min_count: int = 5, k: int = 20) -> str:
+    fpl = ("CAST(FLOOR(LN(CAST({num} AS DOUBLE) / "
+           "CAST({den} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)")
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ws) AS t FROM w) GROUP BY t),
+n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+pos AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM w),
+bi AS (SELECT ws[i] AS t1, ws[i + 1] AS t2,
+              CAST(COUNT(*) AS BIGINT) AS c12
+       FROM pos GROUP BY 1, 2),
+n2 AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM bi)
+SELECT t1, t2, c12,
+       {fpl.format(num='c12', den='(SELECT n FROM n2)')}
+       - {fpl.format(num='u1.c', den='(SELECT n FROM n1)')}
+       - {fpl.format(num='u2.c', den='(SELECT n FROM n1)')} AS pmi_fp
+FROM bi JOIN uni u1 ON bi.t1 = u1.t JOIN uni u2 ON bi.t2 = u2.t
+WHERE c12 >= {min_count}
+ORDER BY pmi_fp DESC, t1, t2 LIMIT {k}
+"""
+
+
+def q_pmi(sf_dir: str):
+    """Top-20 bigram collocations by fixed-point PMI over documents."""
+    return pmi_pairs(_docs(sf_dir), min_count=5, k=20)
+
+
+Q_PMI_SQL = pmi_sql(min_count=5, k=20)

@@ -708,3 +708,21 @@ def test_first_last_value_matches_pandas(ray_session, rng):
     np.testing.assert_array_equal(out["last_v"].to_numpy(),
                                   exp["last_v"].to_numpy())
     assert out["first_v"].dtype == np.int64
+
+
+def test_grouped_mad_matches_reference(ray_session, rng):
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64)})
+    out = (analytics.grouped_mad(_ds(df, 5), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    def disc_med(a):
+        a = np.sort(np.asarray(a))
+        return int(a[(len(a) - 1) // 2])   # floor((n-1)*0.5), 0-based
+
+    for _, r in out.iterrows():
+        sub = df.loc[df["k"] == r["k"], "v"].to_numpy()
+        assert int(r["mad"]) == disc_med(np.abs(sub - disc_med(sub)))
+    assert len(out) == 3 and out["mad"].dtype == np.int64

@@ -1753,3 +1753,50 @@ def test_doc_entropy_matches_reference(ray_session):
         assert out.loc[i, "ent_fp"] == e
     assert out.loc[0, "ent_fp"] == 0          # uniform single token
     assert out["ent_fp"].dtype == np.int64
+
+
+def test_pmi_pairs_matches_bruteforce(ray_session):
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geoflow.corpus import pmi_pairs
+
+    rng = np.random.default_rng(11)
+    # planted collocation: "new york" always adjacent; background
+    # tokens drawn independently
+    docs = []
+    vocab = [f"w{i}" for i in range(30)]
+    for i in range(60):
+        toks = list(rng.choice(vocab, 25))
+        if i % 2 == 0:
+            pos = rng.integers(0, 24)
+            toks[pos:pos] = ["new", "york"]
+        docs.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                       "text": docs})
+    out = (pmi_pairs(ray.data.from_pandas(df).repartition(4),
+                     min_count=3, k=10)
+           .to_pandas().reset_index(drop=True))
+
+    uni, bi = Counter(), Counter()
+    for t in docs:
+        ws = [w for w in t.split(" ") if w]
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    n1 = sum(uni.values()); n2 = sum(bi.values())
+
+    def fpl(a, b):
+        return math.floor(math.log(a / b) * 1e6 + 0.5)
+
+    scored = [(fpl(c, n2) - fpl(uni[a], n1) - fpl(uni[b], n1), a, b, c)
+              for (a, b), c in bi.items() if c >= 3]
+    scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+    exp = scored[:10]
+    got = list(zip(out["pmi_fp"], out["t1"], out["t2"], out["c12"]))
+    assert [(p, a, b, c) for p, a, b, c in exp] == \
+        [(int(p), a, b, int(c)) for p, a, b, c in got]
+    assert out.loc[0, "t1"] == "new" and out.loc[0, "t2"] == "york"
