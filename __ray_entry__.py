@@ -616,6 +616,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_entropy": corpus.q_entropy,
         "q_mad": analytics.q_mad,
         "q_pmi": corpus.q_pmi,
+        "q_interval_cover": analytics.q_interval_cover,
+        "q_bbox": spatial_queries.q_bbox,
+        "q_histogram": analytics.q_histogram,
     # ---- rows-only from here (pytest + local gate hold the exact
         # byte/value-level oracles), ranked by evidence value ----
         "q_flagship_tiles": _q_flagship_tiles,
@@ -734,6 +737,9 @@ def oracle_sql() -> dict[str, str]:
         "q_entropy": corpus.ENTROPY_SQL,
         "q_mad": analytics.q_mad_sql(),
         "q_pmi": corpus.Q_PMI_SQL,
+        "q_interval_cover": analytics.q_interval_cover_sql(),
+        "q_bbox": spatial_queries.q_bbox_sql(),
+        "q_histogram": analytics.q_histogram_sql(),
         "q_segment_join": spatial_queries.q_segment_join_sql(),
         "q_distance_join": spatial_queries.q_distance_join_sql(),
         "q_heavy_hitters": analytics.q_heavy_hitters_sql(),

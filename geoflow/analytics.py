@@ -2056,3 +2056,156 @@ SELECT event_type, CAST(dev AS BIGINT) AS mad FROM r2
 WHERE rn = CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# interval-union coverage (total covered length per key)
+# ---------------------------------------------------------------------------
+
+def interval_cover(ds, key_col: str, start_col: str, end_col: str,
+                   out_col: str = "covered", n_buckets: int = 32):
+    """Per-key total length of the UNION of [start, end) intervals —
+    overlaps counted once (session coverage / uptime; the
+    sweep-line sibling of the interval join ★J5).  Int64-exact.
+
+    Shape: hash co-partition on the key; per bucket ONE vectorized
+    pass — sort by (key, start, end), per-key running max of end
+    (pandas C-side groupby cummax + shift), each row contributes
+    ``max(0, end - max(start, prev_running_end))``; the per-key sums
+    aggregate in-bucket (rows of a key are co-located), so the output
+    is one row per key with no further shuffle."""
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__b"] = (batch[key_col].to_numpy()
+                        % n_buckets).astype(np.int64)
+        return batch
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame({key_col: pd.Series(dtype=np.int64),
+                                 out_col: pd.Series(dtype=np.int64)})
+        g = group.sort_values([key_col, start_col, end_col],
+                              kind="mergesort")
+        s = g[start_col].to_numpy().astype(np.int64)
+        e = g[end_col].to_numpy().astype(np.int64)
+        pme = (g.groupby(key_col, sort=False)[end_col].cummax()
+               .groupby(g[key_col], sort=False).shift(1)
+               .to_numpy())
+        lo = np.where(np.isnan(pme), s,
+                      np.maximum(s, np.nan_to_num(pme).astype(np.int64)))
+        cov = np.maximum(e - lo, 0)
+        out = (pd.DataFrame({key_col: g[key_col].to_numpy(),
+                             out_col: cov})
+               .groupby(key_col, sort=False, as_index=False)[out_col]
+               .sum())
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__b").map_groups(build, batch_format="pandas"))
+
+
+def q_interval_cover(sf_dir: str):
+    """Per-user unioned covered seconds of derived event intervals
+    [te, te + |value_c| % 3600 + 1)."""
+    from .relational import read
+
+    ds = read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        te = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000
+        vc = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        dur = np.abs(vc) % 3600 + 1
+        return pa.table({"user_id": batch["user_id"],
+                         "s": pa.array(te, pa.int64()),
+                         "e": pa.array(te + dur, pa.int64())})
+
+    out = interval_cover(ds.map_batches(prep, batch_format="pyarrow"),
+                         "user_id", "s", "e")
+    return out.sort("user_id")
+
+
+def q_interval_cover_sql() -> str:
+    return """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS s,
+         epoch_us(ts) // 1000000
+         + ABS(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) % 3600 + 1 AS e
+  FROM events),
+w AS (SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS pme
+      FROM v)
+SELECT user_id,
+       CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pme, s)), 0))
+            AS BIGINT) AS covered
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# equi-width grouped histogram
+# ---------------------------------------------------------------------------
+
+def grouped_histogram(ds, keys: list[str], col: str, lo: int, hi: int,
+                      n_bins: int, n_buckets: int | None = None):
+    """Per-group equi-width histogram over ``[lo, hi]``: values clamp
+    into the range, ``bin = (v - lo) * n_bins // (hi - lo)`` (exact
+    integer arithmetic — the clamp keeps the numerator non-negative so
+    Python floor-div == SQL truncating div), top edge folds into the
+    last bin.  One combiner ``grouped_agg`` — the shuffle moves
+    (keys, bin) count partials, never rows.  The fixed-bin sibling of
+    the exact value-histogram quantiles (★G7)."""
+    if hi <= lo or n_bins < 1:
+        raise ValueError("need hi > lo and n_bins >= 1")
+
+    def binify(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        v = np.clip(batch[col].to_numpy().astype(np.int64), lo, hi)
+        b = np.minimum((v - lo) * n_bins // (hi - lo),
+                       n_bins - 1).astype(np.int64)
+        out = batch[keys].copy()
+        out["bin"] = b
+        return out
+
+    return grouped_agg(ds.map_batches(binify, batch_format="pandas"),
+                       keys + ["bin"], {"n": ("bin", "size")},
+                       n_buckets=n_buckets)
+
+
+HIST_LO, HIST_HI, HIST_BINS = 0, 100_000, 20
+
+
+def q_histogram(sf_dir: str):
+    """Per-event_type 20-bin histogram of value cents over [0, 1000]."""
+    from .relational import read
+
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "value_c": _cents(batch["value"])})
+
+    out = grouped_histogram(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"], "value_c", HIST_LO, HIST_HI, HIST_BINS)
+    return out.sort(["event_type", "bin"])
+
+
+def q_histogram_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(FLOOR(value*100 + 0.5) AS BIGINT),
+                        {HIST_LO}), {HIST_HI}) AS vc
+  FROM events)
+SELECT event_type,
+       LEAST((vc - {HIST_LO}) * {HIST_BINS} // ({HIST_HI} - {HIST_LO}),
+             {HIST_BINS - 1}) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM v GROUP BY event_type, bin ORDER BY event_type, bin
+"""

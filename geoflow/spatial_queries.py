@@ -994,3 +994,52 @@ WHERE sign((a.x2 - a.x1) * (b.y1 - a.y1)
          - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0
 ORDER BY seg_a, seg_b
 """
+
+
+# ---------------------------------------------------------------------------
+# per-group bounding-box aggregate (ST_Extent)
+# ---------------------------------------------------------------------------
+
+def bbox_agg(points_ds, keys: list[str], x_col: str = "x",
+             y_col: str = "y", n_buckets: int | None = None):
+    """Per-group bounding box (min/max of each axis) — the ST_Extent
+    aggregate every tiling/viewport pipeline needs before zoom-level
+    selection.  A pure combiner: min/max are mergeable, so the shuffle
+    moves one 4-int partial per (key, block)."""
+    from .relational import grouped_agg
+    return grouped_agg(points_ds, keys,
+                       {"xmin": (x_col, "min"), "xmax": (x_col, "max"),
+                        "ymin": (y_col, "min"), "ymax": (y_col, "max")},
+                       n_buckets=n_buckets)
+
+
+def q_bbox(sf_dir: str):
+    """Per-event_type bbox of the derived integer event points."""
+    import pandas as pd
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type"])
+
+    def pts(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["event_id"].to_numpy()
+        xi, yi = derive_xy_int(ids)
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "x": xi, "y": yi})
+
+    out = bbox_agg(ds.map_batches(pts, batch_format="pandas"),
+                   ["event_type"])
+    return out.sort("event_type")
+
+
+def q_bbox_sql() -> str:
+    return f"""
+WITH p AS (
+  SELECT event_type,
+         (event_id * {LNG_MUL}) % {LNG_MOD} - {LNG_OFF} AS x,
+         (event_id * {LAT_MUL}) % {LAT_MOD} - {LAT_OFF} AS y
+  FROM events)
+SELECT event_type,
+       CAST(MIN(x) AS BIGINT) AS xmin, CAST(MAX(x) AS BIGINT) AS xmax,
+       CAST(MIN(y) AS BIGINT) AS ymin, CAST(MAX(y) AS BIGINT) AS ymax
+FROM p GROUP BY event_type ORDER BY event_type
+"""

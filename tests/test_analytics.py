@@ -726,3 +726,40 @@ def test_grouped_mad_matches_reference(ray_session, rng):
         sub = df.loc[df["k"] == r["k"], "v"].to_numpy()
         assert int(r["mad"]) == disc_med(np.abs(sub - disc_med(sub)))
     assert len(out) == 3 and out["mad"].dtype == np.int64
+
+
+def test_interval_cover_matches_bruteforce(ray_session, rng):
+    n = 1500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, n).astype(np.int64),
+        "s": rng.integers(0, 500, n).astype(np.int64)})
+    df["e"] = df["s"] + rng.integers(1, 60, n)
+    out = (analytics.interval_cover(_ds(df, 6), "k", "s", "e")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for _, r in out.iterrows():
+        sub = df[df["k"] == r["k"]]
+        covered = set()
+        for s, e in zip(sub["s"], sub["e"]):
+            covered.update(range(s, e))
+        assert int(r["covered"]) == len(covered)
+    assert out["covered"].dtype == np.int64
+    assert len(out) == df["k"].nunique()
+
+
+def test_grouped_histogram_matches_numpy(ray_session, rng):
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "v": rng.integers(-50, 250, n).astype(np.int64)})
+    out = (analytics.grouped_histogram(_ds(df, 5), ["k"], "v",
+                                       lo=0, hi=200, n_bins=8)
+           .to_pandas().sort_values(["k", "bin"])
+           .reset_index(drop=True))
+    v = np.clip(df["v"].to_numpy(), 0, 200)
+    b = np.minimum(v * 8 // 200, 7)
+    exp = (pd.DataFrame({"k": df["k"], "bin": b})
+           .groupby(["k", "bin"], as_index=False).size()
+           .rename(columns={"size": "n"}))
+    exp["n"] = exp["n"].astype(np.int64)
+    exp = exp.sort_values(["k", "bin"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
