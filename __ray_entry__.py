@@ -326,6 +326,57 @@ ORDER BY op, event_type, win
 """
 
 
+def _q_windows5_all(sf_dir: str):
+    """Session-5 per-event window operators fused into one driver slot
+    over a common (op, event_id, v1, v2) float64 schema: PERCENT_RANK +
+    CUME_DIST (★G27), time-RANGE rolling sum (★G28), FIRST/LAST_VALUE
+    (★G29).  Each half keeps its full value check (ints cast to double
+    are exact < 2^53; the oracle casts identically)."""
+    import pandas as pd
+
+    def shape(op, cols):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            from geoflow.shuffle import schemaless_empty
+            if schemaless_empty(batch) or len(batch) == 0:
+                return batch
+            out = pd.DataFrame({"op": op, "event_id": batch["event_id"]})
+            out["v1"] = (batch[cols[0]].to_numpy()
+                         .astype(np.float64))
+            out["v2"] = (batch[cols[1]].to_numpy().astype(np.float64)
+                         if cols[1] else 0.0)
+            return out
+        return fn
+
+    u = (analytics.q_first_last(sf_dir)
+         .map_batches(shape("fl", ("first_v", "last_v")),
+                      batch_format="pandas")
+         .union(analytics.q_percent_rank(sf_dir)
+                .map_batches(shape("pr", ("pr", "cd")),
+                             batch_format="pandas"))
+         .union(analytics.q_range_window(sf_dir)
+                .map_batches(shape("range", ("rsum", None)),
+                             batch_format="pandas")))
+    return u.sort(["op", "event_id"])
+
+
+def _Q_WINDOWS5_ALL_SQL() -> str:
+    return f"""
+SELECT 'fl' AS op, event_id, CAST(first_v AS DOUBLE) AS v1,
+       CAST(last_v AS DOUBLE) AS v2
+FROM ({analytics.q_first_last_sql()})
+UNION ALL
+SELECT 'pr' AS op, event_id, pr AS v1, cd AS v2
+FROM ({analytics.q_percent_rank_sql()})
+UNION ALL
+SELECT 'range' AS op, event_id, CAST(rsum AS DOUBLE) AS v1,
+       CAST(0 AS DOUBLE) AS v2
+FROM ({analytics.q_range_window_sql()})
+ORDER BY op, event_id
+"""
+
+
 def _q_spatial_grid(sf_dir: str):
     """Cell-grid (M16) + tile-assign (M17) per-bin counts, one fused
     slot over a common (op, x, y, n_points) schema."""
@@ -500,7 +551,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # combined-evidence slot (r4): quality + langid fused (★T2+★T3)
         "q_quality_lang": textops.q_quality_lang,
         "q_regex_extract": textops.q_regex_extract,
-        "q_text_normalize": textops.q_text_normalize,
+        # session-5 fused slot: PERCENT_RANK/CUME_DIST + RANGE rolling
+        # + FIRST/LAST_VALUE (★G27-★G29) — q_text_normalize (the
+        # simplest kernel oracle in the window) overflows past the cap
+        "q_windows5_all": _q_windows5_all,
         # corpus-shaping training-data ops (full SQL oracles)
         "q_repetition_stats": corpus.q_repetition_stats,
         "q_pack_sequences": corpus.q_pack_sequences,
@@ -610,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ols": analytics.q_ols,
         "q_cross_join": relational.q_cross_join,
         # session-5 SQL-oracled additions (overflow; local-gate checked)
+        "q_text_normalize": textops.q_text_normalize,
         "q_percent_rank": analytics.q_percent_rank,
         "q_range_window": analytics.q_range_window,
         "q_first_last": analytics.q_first_last,
@@ -659,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_window": relational.q_events_window_sql(),
         "q_events_hopwindow": relational.Q_EVENTS_HOPWINDOW_SQL,
         "q_windows_all": _Q_WINDOWS_ALL_SQL(),
+        "q_windows5_all": _Q_WINDOWS5_ALL_SQL(),
         "q_spatial_grid": _Q_SPATIAL_GRID_SQL(),
         "q_graph_all": _Q_GRAPH_ALL_SQL(),
         "q_media_all": _Q_MEDIA_ALL_SQL(),
