@@ -304,3 +304,121 @@ WITH toks AS (
 SELECT doc_id, dim, CAST(COUNT(*) AS BIGINT) AS value
 FROM tb GROUP BY doc_id, dim ORDER BY doc_id, dim
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable approximate counts, full SQL oracle)
+# ---------------------------------------------------------------------------
+
+CM_DEPTH, CM_WIDTH = 4, 4096
+_CM_MEMO: dict[tuple[int, str], int] = {}
+
+
+def _cm_cell(r: int, t: str, width: int) -> int:
+    """Row-``r`` cell of token ``t``: md5 of ``"{r}:{t}"`` (the repo's
+    DuckDB-parity string hash) mod width; memoized per worker."""
+    key = (r, t)
+    v = _CM_MEMO.get(key)
+    if v is None:
+        import hashlib
+        v = int(hashlib.md5(f"{r}:{t}".encode("utf-8"))
+                .hexdigest()[:8], 16)
+        _CM_MEMO[key] = v
+    return v % width
+
+
+def count_min(docs_ds, depth: int = CM_DEPTH, width: int = CM_WIDTH,
+              text_col: str = "text", n_buckets: int | None = None):
+    """Count-Min sketch of corpus token counts as a (r, cell, cnt)
+    table — the mergeable APPROXIMATE twin of exact heavy hitters
+    (★G13), same relationship as HLL : exact count-distinct and the
+    quantile sketch : exact quantiles.  Never-underestimates; expected
+    overestimate <= N/width per row, min over ``depth`` rows.
+
+    Shape: per-batch combiner counts into (r, cell) partials (at most
+    depth x width rows per block regardless of vocabulary — the 100-TB
+    property), one ``grouped_agg`` register exchange.  The md5 row
+    hash is the repo's DuckDB-parity scheme, so the sketch itself is
+    fully SQL-oracled."""
+    from .relational import grouped_agg
+    from .shuffle import schemaless_empty
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({"r": pd.Series(dtype=np.int64),
+                                 "cell": pd.Series(dtype=np.int64),
+                                 "cnt": pd.Series(dtype=np.int64)})
+        import polars as pl
+        toks = (pl.from_pandas(batch[[text_col]])
+                .with_columns(pl.col(text_col).str.split(" "))
+                .explode(text_col)
+                .filter(pl.col(text_col) != ""))[text_col]
+        vc = toks.value_counts()
+        ts = vc[text_col].to_list()
+        cs = vc["count"].to_numpy().astype(np.int64)
+        rows = []
+        for r in range(depth):
+            cells = np.fromiter((_cm_cell(r, t, width) for t in ts),
+                                dtype=np.int64, count=len(ts))
+            rows.append(pd.DataFrame({"r": np.int64(r), "cell": cells,
+                                      "cnt": cs}))
+        out = pd.concat(rows, ignore_index=True)
+        return out.groupby(["r", "cell"], as_index=False)["cnt"].sum()
+
+    return grouped_agg(docs_ds.map_batches(partial,
+                                           batch_format="pandas"),
+                       ["r", "cell"], {"cnt": ("cnt", "sum")},
+                       n_buckets=n_buckets)
+
+
+def cm_estimate(sketch_pd: pd.DataFrame, tokens: list[str],
+                depth: int = CM_DEPTH,
+                width: int = CM_WIDTH) -> pd.DataFrame:
+    """Point estimates from a collected sketch: min over rows of the
+    token's cell count (absent cell = 0)."""
+    lut = {(int(r), int(c)): int(n) for r, c, n in
+           zip(sketch_pd["r"], sketch_pd["cell"], sketch_pd["cnt"])}
+    est = [min(lut.get((r, _cm_cell(r, t, width)), 0)
+               for r in range(depth)) for t in tokens]
+    return pd.DataFrame({"t": tokens,
+                         "est": np.array(est, dtype=np.int64)}) \
+        .sort_values("t").reset_index(drop=True)
+
+
+CM_PROBES = ["the", "order", "fast", "quality", "service",
+             "zzz_absent_token", "data", "product"]
+
+
+def q_cmsketch(sf_dir: str):
+    """Count-Min estimates for the fixed probe tokens over documents
+    (sketch register exchange + bounded driver collect — the sketch is
+    depth x width rows by construction)."""
+    from .shuffle import collect_pandas
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["text"])
+    sk = collect_pandas(count_min(docs))
+    return cm_estimate(sk, CM_PROBES)
+
+
+def q_cmsketch_sql() -> str:
+    probes = ", ".join(f"('{t}')" for t in CM_PROBES)
+    cell = ("CAST(('0x' || substr(md5(CAST({r} AS VARCHAR) || ':' || "
+            "{t}), 1, 8)) AS BIGINT) % {w}")
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         AS t
+  FROM documents),
+rows_r AS (SELECT unnest(range(0, {CM_DEPTH})) AS r),
+cells AS (
+  SELECT r, {cell.format(r='r', t='t', w=CM_WIDTH)} AS cell,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN rows_r GROUP BY 1, 2),
+probes(t) AS (VALUES {probes}),
+pr AS (SELECT p.t, r.r,
+              {cell.format(r='r.r', t='p.t', w=CM_WIDTH)} AS cell
+       FROM probes p CROSS JOIN rows_r r)
+SELECT pr.t, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+FROM pr LEFT JOIN cells c ON c.r = pr.r AND c.cell = pr.cell
+GROUP BY pr.t ORDER BY pr.t
+"""

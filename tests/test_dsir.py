@@ -84,3 +84,37 @@ def test_hashed_bow_exact_and_layout_invariant(ray_session):
     b = dsir.hashed_bow(ds, n_buckets=7).to_pandas() \
         .sort_values(["doc_id", "dim"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_count_min_never_underestimates(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geoflow.dsir import cm_estimate, count_min
+    from geoflow.shuffle import collect_pandas
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(200)]
+    texts += ["hot hot hot"] * 50
+    df = pd.DataFrame({"text": texts})
+    sk = collect_pandas(count_min(
+        ray.data.from_pandas(df).repartition(4)))
+    # block-count invariance: the sketch is a mergeable register table
+    sk1 = collect_pandas(count_min(
+        ray.data.from_pandas(df).repartition(1)))
+    m = sk.sort_values(["r", "cell"]).reset_index(drop=True)
+    m1 = sk1.sort_values(["r", "cell"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(m, m1, check_dtype=True)
+
+    from collections import Counter
+    true = Counter(t for x in texts for t in x.split(" ") if t)
+    probe = list(vocab[:50]) + ["hot", "never_seen"]
+    est = cm_estimate(sk, probe)
+    lut = dict(zip(est["t"], est["est"]))
+    for t in probe:
+        assert lut[t] >= true.get(t, 0)          # CM never underestimates
+    assert lut["hot"] >= 150
+    # with width >> distinct cells the hot estimate is near-exact
+    assert lut["hot"] <= 150 + sum(true.values()) // 1024
