@@ -1043,3 +1043,92 @@ SELECT event_type,
        CAST(MIN(y) AS BIGINT) AS ymin, CAST(MAX(y) AS BIGINT) AS ymax
 FROM p GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# per-user trajectory length (exact floor-sqrt parity)
+# ---------------------------------------------------------------------------
+
+def trajectory_length(ds, key_col: str, time_col: str, order_col: str,
+                      x_col: str, y_col: str, n_buckets: int = 32):
+    """Per-key polyline length over the (time, order)-ordered point
+    sequence, as SUM of ``floor(sqrt(dx^2 + dy^2))`` int64 segment
+    lengths — the trip-distance aggregate beside DP simplification
+    (★M18).
+
+    Exactness: dx^2+dy^2 is int64-exact; IEEE double sqrt is correctly
+    rounded and FLOOR of it is the SAME operation DuckDB computes, so
+    the oracle matches bitwise (FP SUMS are never compared — only the
+    per-segment floored ints are summed, integer-exact in any order).
+    Shape: the LAG skeleton — hash co-partition on the key, one
+    vectorized shift + hypot pass per bucket, per-key sums aggregated
+    in-bucket."""
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__b"] = (batch[key_col].to_numpy()
+                        % n_buckets).astype(np.int64)
+        return batch
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame({key_col: pd.Series(dtype=np.int64),
+                                 "length": pd.Series(dtype=np.int64)})
+        g = group.sort_values([key_col, time_col, order_col],
+                              kind="mergesort")
+        k = g[key_col].to_numpy()
+        x = g[x_col].to_numpy().astype(np.int64)
+        y = g[y_col].to_numpy().astype(np.int64)
+        n = len(g)
+        seg = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            same = k[1:] == k[:-1]
+            dx = (x[1:] - x[:-1]).astype(np.float64)
+            dy = (y[1:] - y[:-1]).astype(np.float64)
+            d = np.floor(np.sqrt(dx * dx + dy * dy)).astype(np.int64)
+            seg[1:] = np.where(same, d, 0)
+        out = (pd.DataFrame({key_col: k, "length": seg})
+               .groupby(key_col, sort=False, as_index=False)["length"]
+               .sum())
+        out["length"] = out["length"].astype(np.int64)
+        return out
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__b").map_groups(build, batch_format="pandas"))
+
+
+def q_traj_length(sf_dir: str):
+    """Per-user trajectory length over the derived integer event
+    points, ordered by (ts, event_id)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def pts(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["event_id"].to_numpy()
+        xi, yi = derive_xy_int(ids)
+        return pd.DataFrame({
+            "user_id": batch["user_id"],
+            "tu": batch["ts"].astype("int64"),
+            "event_id": batch["event_id"],
+            "x": xi, "y": yi})
+
+    out = trajectory_length(ds.map_batches(pts, batch_format="pandas"),
+                            "user_id", "tu", "event_id", "x", "y")
+    return out.sort("user_id")
+
+
+def q_traj_length_sql() -> str:
+    return f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id,
+         (event_id * {LNG_MUL}) % {LNG_MOD} - {LNG_OFF} AS x,
+         (event_id * {LAT_MUL}) % {LAT_MOD} - {LAT_OFF} AS y
+  FROM events),
+d AS (
+  SELECT user_id,
+         x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id))
+SELECT user_id,
+       CAST(COALESCE(SUM(CAST(FLOOR(SQRT(CAST(dx*dx + dy*dy
+            AS DOUBLE))) AS BIGINT)), 0) AS BIGINT) AS length
+FROM d GROUP BY user_id ORDER BY user_id
+"""

@@ -572,3 +572,40 @@ def test_hilbert_bijection_adjacency_and_orientation():
         hilbert_encode(np.array([4]), np.array([0]), 2)
     with _pt.raises(ValueError):
         hilbert_encode(np.array([0]), np.array([0]), 0)
+
+
+def test_trajectory_length_matches_reference(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geoflow.spatial_queries import trajectory_length
+
+    rng = np.random.default_rng(9)
+    n = 1200
+    df = pd.DataFrame({
+        "k": rng.integers(0, 30, n).astype(np.int64),
+        "t": rng.integers(0, 400, n).astype(np.int64),  # time ties
+        "o": np.arange(n, dtype=np.int64),
+        "x": rng.integers(-10_000, 10_000, n).astype(np.int64),
+        "y": rng.integers(-10_000, 10_000, n).astype(np.int64)})
+    out = (trajectory_length(
+        ray.data.from_pandas(df).repartition(5),
+        "k", "t", "o", "x", "y")
+        .to_pandas().sort_values("k").reset_index(drop=True))
+    for _, r in out.iterrows():
+        g = df[df["k"] == r["k"]].sort_values(["t", "o"])
+        x = g["x"].to_numpy(); y = g["y"].to_numpy()
+        exp = sum(math.floor(math.sqrt(float(
+            (x[i+1]-x[i])**2 + (y[i+1]-y[i])**2)))
+            for i in range(len(x) - 1))
+        assert int(r["length"]) == exp
+    # floor-sqrt edge: a perfect-square distance stays exact
+    df2 = pd.DataFrame({"k": np.int64([0, 0]), "t": np.int64([0, 1]),
+                        "o": np.int64([0, 1]),
+                        "x": np.int64([0, 3]), "y": np.int64([0, 4])})
+    out2 = trajectory_length(ray.data.from_pandas(df2), "k", "t", "o",
+                             "x", "y").to_pandas()
+    assert int(out2["length"].iloc[0]) == 5
