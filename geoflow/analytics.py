@@ -2088,11 +2088,27 @@ def interval_cover(ds, key_col: str, start_col: str, end_col: str,
                               kind="mergesort")
         s = g[start_col].to_numpy().astype(np.int64)
         e = g[end_col].to_numpy().astype(np.int64)
-        pme = (g.groupby(key_col, sort=False)[end_col].cummax()
-               .groupby(g[key_col], sort=False).shift(1)
-               .to_numpy())
-        lo = np.where(np.isnan(pme), s,
-                      np.maximum(s, np.nan_to_num(pme).astype(np.int64)))
+        k = g[key_col].to_numpy()
+        n = len(g)
+        new_k = np.concatenate(([True], k[1:] != k[:-1]))
+        # per-key running max of end, vectorized: pack each segment
+        # into its own value band so ONE global maximum.accumulate
+        # computes every per-segment cummax (same packing + overflow
+        # fallback as range_rolling_sum)
+        seg = np.cumsum(new_k) - 1
+        e_lo = int(e.min()) if n else 0
+        span = (int(e.max()) - e_lo + 1) if n else 1
+        n_seg = int(seg[-1]) + 1 if n else 0
+        if n_seg * span < (1 << 62):
+            cm = np.maximum.accumulate(e - e_lo + seg * span) \
+                - seg * span + e_lo
+        else:
+            cm = (pd.Series(e).groupby(k, sort=False).cummax()
+                  .to_numpy())
+        pme = np.empty(n, dtype=np.int64)
+        if n:
+            pme[1:] = cm[:-1]
+        lo = np.where(new_k, s, np.maximum(s, pme))
         cov = np.maximum(e - lo, 0)
         out = (pd.DataFrame({key_col: g[key_col].to_numpy(),
                              out_col: cov})

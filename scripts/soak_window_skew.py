@@ -191,6 +191,60 @@ def main() -> None:
     print(f"lag 20M skew OK in {results['lag_s']} s, "
           f"rss {rss_gb():.2f} GB")
 
+
+    # ---- time-RANGE rolling sum (same hot key 0 = 10M rows) --------
+    t0 = time.perf_counter()
+    rr = analytics.range_rolling_sum(load(), "part", "t", "id", "v",
+                                     preceding=PRECED)
+    pj = rr.map_batches(
+        lambda b: pd.DataFrame(
+            {"part": np.where(b["id"].to_numpy() < HOT, 0,
+                              1 + (b["id"].to_numpy() - HOT) % REST),
+             "rsum": b["rsum"]}), batch_format="pandas")
+    rra = collect_pandas(grouped_agg(
+        pj, ["part"], {"s": ("rsum", "sum")}))
+    results["range_s"] = round(time.perf_counter() - t0, 1)
+    # t == id is unique per partition, and within a partition the id
+    # stride is 1 (part 0) or 7 (parts 1..7): the RANGE window of
+    # width PRECED covers min(PRECED//stride + 1, position+1) rows
+    ids_all = np.arange(N, dtype=np.int64)
+    for _, r in rra.iterrows():
+        p_i = int(r["part"])
+        sel = np.where(ids_all < HOT, 0,
+                       1 + (ids_all - HOT) % REST) == p_i
+        t_p = ids_all[sel]; v_p = t_p % 97
+        c = np.concatenate(([0], np.cumsum(v_p)))
+        lo = np.searchsorted(t_p, t_p - PRECED, side="left")
+        exp = int((c[1:] - c[lo]).sum())   # t unique: hi_i == i+1
+        assert int(r["s"]) == exp, f"range mismatch part {p_i}"
+    print(f"range-rolling 20M skew OK in {results['range_s']} s, "
+          f"rss {rss_gb():.2f} GB")
+
+    # ---- interval-union coverage (hot key = 10M intervals) ---------
+    t0 = time.perf_counter()
+    def mk_iv(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy().astype(np.int64)
+        part = np.where(ids < HOT, 0, 1 + (ids - HOT) % REST)
+        return pd.DataFrame({"part": part.astype(np.int64),
+                             "s": ids, "e": ids + ids % 13 + 1})
+    iv = analytics.interval_cover(
+        load().map_batches(mk_iv, batch_format="pandas"),
+        "part", "s", "e")
+    iva = collect_pandas(iv)
+    results["cover_s"] = round(time.perf_counter() - t0, 1)
+    for _, r in iva.iterrows():
+        p_i = int(r["part"])
+        sel = np.where(ids_all < HOT, 0,
+                       1 + (ids_all - HOT) % REST) == p_i
+        s_p = ids_all[sel]; e_p = s_p + s_p % 13 + 1
+        pme = np.maximum.accumulate(e_p)
+        cov = int((e_p[0] - s_p[0])
+                  + np.maximum(e_p[1:] - np.maximum(s_p[1:],
+                                                    pme[:-1]), 0).sum())
+        assert int(r["covered"]) == cov, f"cover mismatch part {p_i}"
+    print(f"interval-cover 20M skew OK in {results['cover_s']} s, "
+          f"rss {rss_gb():.2f} GB")
+
     results["driver_rss_gb"] = round(rss_gb(), 2)
     print(results)
     ray.shutdown()
