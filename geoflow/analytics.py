@@ -2225,3 +2225,94 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM v GROUP BY event_type, bin ORDER BY event_type, bin
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped winsorization (percentile clipping)
+# ---------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def grouped_winsorize(ds, key_col: str, col: str, order_col: str,
+                      q_lo: float = WINSOR_LO, q_hi: float = WINSOR_HI,
+                      n_buckets: int | None = None):
+    """Per-row winsorization: clip ``col`` to its group's
+    ``[q_lo, q_hi]`` disc-quantiles (the outlier-taming cleaning stage
+    robust stats feed; same floor((n-1)*q) convention as ★G7/★G30, so
+    the SQL oracle compares exactly).  Input materialized once; the
+    per-group two-bound table re-attaches via the adaptive lookup
+    join; clipping is a map."""
+    from .relational import adaptive_lookup_join, grouped_quantiles
+
+    base = ds.materialize()
+    qs = grouped_quantiles(base, [key_col], col, [q_lo, q_hi],
+                           n_buckets=n_buckets)
+
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({key_col: pd.Series(dtype=object),
+                                 "__lo": pd.Series(dtype=np.int64),
+                                 "__hi": pd.Series(dtype=np.int64)})
+        lo = batch[batch["q"] == q_lo][[key_col, col]] \
+            .rename(columns={col: "__lo"})
+        hi = batch[batch["q"] == q_hi][[key_col, col]] \
+            .rename(columns={col: "__hi"})
+        return lo.merge(hi, on=key_col)
+
+    bounds = qs.map_batches(widen, batch_format="pandas")
+    joined = adaptive_lookup_join(base, bounds, key_col)
+
+    def clip(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({
+                order_col: pd.Series(dtype=np.int64),
+                "clipped": pd.Series(dtype=np.int64)})
+        v = batch[col].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            order_col: batch[order_col].to_numpy(),
+            "clipped": np.clip(v, batch["__lo"].to_numpy(),
+                               batch["__hi"].to_numpy())
+            .astype(np.int64)})
+
+    return joined.map_batches(clip, batch_format="pandas")
+
+
+def q_winsorize(sf_dir: str):
+    """Event value cents winsorized to the [p5, p95] of each
+    event_type."""
+    from .relational import read
+
+    ds = read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "value_c": _cents(batch["value"])})
+
+    out = grouped_winsorize(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type", "value_c", "event_id")
+    return out.sort("event_id")
+
+
+def q_winsorize_sql() -> str:
+    return f"""
+WITH v AS (SELECT event_id, event_type,
+                  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
+           FROM events),
+r AS (SELECT event_id, event_type, value_c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value_c) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n FROM v),
+lo AS (SELECT event_type, value_c AS qlo FROM r
+       WHERE rn = CAST(FLOOR((n - 1) * {WINSOR_LO}) AS BIGINT)),
+hi AS (SELECT event_type, value_c AS qhi FROM r
+       WHERE rn = CAST(FLOOR((n - 1) * {WINSOR_HI}) AS BIGINT))
+SELECT v.event_id,
+       LEAST(GREATEST(v.value_c, lo.qlo), hi.qhi) AS clipped
+FROM v JOIN lo USING (event_type) JOIN hi USING (event_type)
+ORDER BY v.event_id
+"""

@@ -763,3 +763,26 @@ def test_grouped_histogram_matches_numpy(ray_session, rng):
     exp["n"] = exp["n"].astype(np.int64)
     exp = exp.sort_values(["k", "bin"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+
+
+def test_grouped_winsorize_matches_reference(ray_session, rng):
+    n = 2000
+    df = pd.DataFrame({
+        "o": np.arange(n, dtype=np.int64),
+        "k": rng.choice(["a", "b"], n),
+        "v": rng.integers(-5000, 5000, n).astype(np.int64)})
+    out = (analytics.grouped_winsorize(_ds(df, 5), "k", "v", "o",
+                                       q_lo=0.1, q_hi=0.9)
+           .to_pandas().sort_values("o").reset_index(drop=True))
+
+    def disc_q(a, q):
+        a = np.sort(np.asarray(a))
+        return int(a[int(np.floor((len(a) - 1) * q))])
+
+    exp = np.empty(n, dtype=np.int64)
+    for key in ("a", "b"):
+        sub = df[df["k"] == key]
+        lo = disc_q(sub["v"], 0.1); hi = disc_q(sub["v"], 0.9)
+        exp[sub.index] = np.clip(sub["v"].to_numpy(), lo, hi)
+    np.testing.assert_array_equal(out["clipped"].to_numpy(), exp)
+    assert out["clipped"].dtype == np.int64
