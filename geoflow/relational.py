@@ -2064,3 +2064,85 @@ SELECT CAST(n_nationkey * 100 + r_regionkey AS BIGINT) AS pair_key,
 FROM nation CROSS JOIN region
 ORDER BY pair_key
 """
+
+
+# ---------------------------------------------------------------------------
+# point-in-interval lookup join (★J15 — the IP-range -> geo shape)
+# ---------------------------------------------------------------------------
+
+def point_in_interval_join(ds, val_col: str, intervals,
+                           out_col: str = "iv"):
+    """Inner-join each row to the DISJOINT sorted interval containing
+    ``val_col`` (IP-range -> geo, value -> tariff band, time ->
+    calendar bucket).  ``intervals`` is a small (id, lo, hi) pandas
+    frame, lo-sorted and non-overlapping (validated).
+
+    Shape: the interval table ships ONCE via ``ray.put``; each batch
+    does one vectorized ``searchsorted`` against the lo bounds + one
+    hi mask — map-only, zero shuffles, O(log n_iv) per row (the
+    broadcast-small-side rule; a million-interval table is still only
+    ~24 MB)."""
+    import ray
+
+    from .shuffle import cached_get, schemaless_empty
+
+    iv = intervals.sort_values("lo").reset_index(drop=True)
+    lo = iv["lo"].to_numpy().astype(np.int64)
+    hi = iv["hi"].to_numpy().astype(np.int64)
+    if ((hi < lo).any()
+            or (len(lo) > 1 and (lo[1:] <= hi[:-1]).any())):
+        raise ValueError("intervals must be disjoint with hi >= lo")
+    ref = ray.put((lo, hi, iv["id"].to_numpy().astype(np.int64)))
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            out = batch.copy() if len(getattr(batch, "columns", [])) \
+                else pd.DataFrame()
+            out[out_col] = pd.Series(dtype=np.int64)
+            return out
+        lo_a, hi_a, ids = cached_get(ref)
+        v = batch[val_col].to_numpy().astype(np.int64)
+        pos = np.searchsorted(lo_a, v, side="right") - 1
+        ok = (pos >= 0) & (v <= hi_a[np.maximum(pos, 0)])
+        out = batch[ok].copy()
+        out[out_col] = ids[pos[ok]]
+        return out
+
+    return ds.map_batches(join, batch_format="pandas")
+
+
+N_IV = 100
+
+
+def _iv_table() -> pd.DataFrame:
+    i = np.arange(N_IV, dtype=np.int64)
+    return pd.DataFrame({"id": i, "lo": i * i * 10,
+                         "hi": (i + 1) * (i + 1) * 10 - 1})
+
+
+def q_iv_lookup(sf_dir: str):
+    """Each event's value cents mapped to its (quadratically-widening)
+    tariff band — row-level output so the join is value-checked per
+    row."""
+    ds = read(sf_dir, "events", ["event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "value_c": _cents(batch["value"])})
+
+    out = point_in_interval_join(
+        ds.map_batches(prep, batch_format="pyarrow"), "value_c",
+        _iv_table())
+    return out.select_columns(["event_id", "iv"]).sort("event_id")
+
+
+def q_iv_lookup_sql() -> str:
+    return f"""
+WITH iv AS (SELECT i, i*i*10 AS lo, (i+1)*(i+1)*10 - 1 AS hi
+            FROM (SELECT unnest(range(0, {N_IV})) AS i)),
+v AS (SELECT event_id, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS vc
+      FROM events)
+SELECT v.event_id, CAST(iv.i AS BIGINT) AS iv
+FROM v JOIN iv ON v.vc BETWEEN iv.lo AND iv.hi
+ORDER BY v.event_id
+"""

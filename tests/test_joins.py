@@ -565,3 +565,38 @@ def test_full_outer_join_int_exact_fills(ray_session):
         full_outer_join(ray.data.from_pandas(l),
                         ray.data.from_pandas(r), on="k",
                         fill={"lv": 0}, schemas=schemas)
+
+
+def test_point_in_interval_join_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from geoflow.relational import point_in_interval_join
+
+    rng = np.random.default_rng(5)
+    iv = pd.DataFrame({"id": np.arange(6, dtype=np.int64),
+                       "lo": np.int64([0, 10, 25, 40, 100, 200]),
+                       "hi": np.int64([9, 19, 30, 50, 150, 200])})
+    df = pd.DataFrame({"o": np.arange(400, dtype=np.int64),
+                       "v": rng.integers(-20, 260, 400).astype(np.int64)})
+    out = (point_in_interval_join(
+        ray.data.from_pandas(df).repartition(3), "v", iv)
+        .to_pandas().sort_values("o").reset_index(drop=True))
+
+    rows = []
+    for _, r in df.iterrows():
+        for _, i in iv.iterrows():
+            if i["lo"] <= r["v"] <= i["hi"]:
+                rows.append((r["o"], i["id"]))
+    exp = pd.DataFrame(rows, columns=["o", "iv"]).astype(np.int64) \
+        .sort_values("o").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["o", "iv"]], exp,
+                                  check_dtype=True)
+    # gaps drop rows (inner join); singleton interval [200,200] matches
+    assert (out["iv"] == 5).sum() == (df["v"] == 200).sum()
+    # overlap validation fires
+    bad = pd.DataFrame({"id": [0, 1], "lo": [0, 5], "hi": [10, 20]})
+    with pytest.raises(ValueError):
+        point_in_interval_join(ray.data.from_pandas(df), "v", bad)
