@@ -704,6 +704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_traj_simplify": spatial_queries.q_traj_simplify,
         "q_convex_hull": spatial_queries.q_convex_hull,
         "q_approx_quantiles": analytics.q_approx_quantiles,
+        "q_grouped_approx_quantiles":
+            analytics.q_grouped_approx_quantiles,
         "q_kcore": graph.q_kcore,
         "q_geohash": spatial_queries.q_geohash,
         "q_hilbert": spatial_queries.q_hilbert,

@@ -2316,3 +2316,77 @@ SELECT v.event_id,
 FROM v JOIN lo USING (event_type) JOIN hi USING (event_type)
 ORDER BY v.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped approximate quantiles (per-key sketch)
+# ---------------------------------------------------------------------------
+
+def grouped_approx_quantiles(ds, key_col: str, col: str,
+                             qs: list[float], m: int = 256,
+                             n_buckets: int = 32):
+    """Per-KEY approximate quantiles with the ★G22 deterministic rank
+    bound — the scale path when groups are too many or too heavy for
+    the exact per-group histogram (★G7): per-block per-key
+    evenly-spaced order statistics (<= m rows per key per block), ONE
+    key-bucket co-partition shuffle of the summaries, per-bucket
+    per-key weighted quantile pick.  Rank error <= 2*N_key/m per key
+    (one block-level + one combine-level resampling), deterministic.
+    Returns (key, q, value) rows."""
+    from .shuffle import schemaless_empty
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({key_col: pd.Series(dtype=object),
+                                 "v": pd.Series(dtype=np.float64),
+                                 "w": pd.Series(dtype=np.float64),
+                                 "__b": pd.Series(dtype=np.int64)})
+        parts = []
+        for key, g in batch.groupby(key_col, sort=False):
+            x = g[col].to_numpy().astype(np.float64)
+            v, w = _resample_weighted(x, np.ones(len(x)),
+                                      min(m, len(x)))
+            parts.append(pd.DataFrame({key_col: key, "v": v, "w": w}))
+        out = pd.concat(parts, ignore_index=True)
+        h = pd.util.hash_pandas_object(out[key_col],
+                                       index=False).to_numpy()
+        out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        cols = {key_col: pd.Series(dtype=object),
+                "q": pd.Series(dtype=np.float64),
+                "value": pd.Series(dtype=np.float64)}
+        if len(group) == 0:
+            return pd.DataFrame(cols)
+        rows = []
+        for key, g in group.groupby(key_col, sort=False):
+            order = np.argsort(g["v"].to_numpy(), kind="mergesort")
+            v = g["v"].to_numpy()[order]
+            w = g["w"].to_numpy()[order]
+            cum = np.cumsum(w)
+            total = cum[-1]
+            for q in qs:
+                i = int(np.searchsorted(cum, q * total, side="left"))
+                rows.append((key, q, float(v[min(i, len(v) - 1)])))
+        return pd.DataFrame(rows, columns=[key_col, "q", "value"])
+
+    return (ds.map_batches(summarize, batch_format="pandas")
+            .groupby("__b").map_groups(final, batch_format="pandas"))
+
+
+def q_grouped_approx_quantiles(sf_dir: str):
+    """Per-event_type approximate quantiles of value cents (rows-only;
+    the rank bound is pinned in pytest, the exact twin is ★G7)."""
+    from .relational import read
+
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "value_c": _cents(batch["value"])})
+
+    out = grouped_approx_quantiles(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type", "value_c", APPROX_QS)
+    return out.sort(["event_type", "q"])

@@ -786,3 +786,24 @@ def test_grouped_winsorize_matches_reference(ray_session, rng):
         exp[sub.index] = np.clip(sub["v"].to_numpy(), lo, hi)
     np.testing.assert_array_equal(out["clipped"].to_numpy(), exp)
     assert out["clipped"].dtype == np.int64
+
+
+def test_grouped_approx_quantiles_rank_bound(ray_session, rng):
+    n = 30_000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "v": np.concatenate([rng.normal(0, 1, n // 2),
+                             rng.exponential(5, n - n // 2)])})
+    m = 128
+    out = (analytics.grouped_approx_quantiles(
+        _ds(df, 8), "k", "v", [0.1, 0.5, 0.9], m=m)
+        .to_pandas())
+    for _, r in out.iterrows():
+        sub = np.sort(df.loc[df["k"] == r["k"], "v"].to_numpy())
+        nk = len(sub)
+        true_rank = np.searchsorted(sub, r["value"], side="left")
+        target = r["q"] * nk
+        # two resampling levels + quantile pick: 3*N_k/m bound
+        assert abs(true_rank - target) <= 3 * nk / m + 1, \
+            f"rank error too large for {r['k']}/{r['q']}"
+    assert len(out) == 9
