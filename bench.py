@@ -174,7 +174,11 @@ def run_bench() -> dict:
                      "q_segment_join",
                      # round-5 operators
                      "q_percent_rank", "q_range_window",
-                     "q_first_last", "q_entropy", "q_hilbert"]:
+                     "q_first_last", "q_entropy", "q_hilbert",
+                     "q_mad", "q_pmi", "q_interval_cover", "q_bbox",
+                     "q_histogram", "q_cmsketch", "q_traj_length",
+                     "q_winsorize", "q_iv_lookup",
+                     "q_grouped_approx_quantiles", "q_preprocess"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data

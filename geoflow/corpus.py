@@ -1048,3 +1048,132 @@ def q_pmi(sf_dir: str):
 
 
 Q_PMI_SQL = pmi_sql(min_count=5, k=20)
+
+
+# ---------------------------------------------------------------------------
+# text preprocessing: HTML tag strip + token truncation (map-only)
+# ---------------------------------------------------------------------------
+
+_TAG_RE = r"<[^>]*>"
+
+
+def strip_tags(docs_ds, pattern: str = _TAG_RE):
+    """Remove HTML/XML tags from text (polars Rust-regex replace_all,
+    RE2-identical to DuckDB for this character-class pattern — the
+    ★C5 redaction parity) plus the per-doc removed-tag count.
+    Map-only.  Returns (doc_id, stripped, n_tags)."""
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"doc_id": np.int64, "stripped": object,
+                           "n_tags": np.int64})
+        return (pl.from_pandas(batch[["doc_id", "text"]])
+                .with_columns(
+                    pl.col("text").str.count_matches(pattern)
+                    .cast(pl.Int64).alias("n_tags"),
+                    pl.col("text").str.replace_all(pattern, "")
+                    .alias("stripped"))
+                .select(["doc_id", "stripped", "n_tags"])
+                .to_pandas())
+
+    return docs_ds.map_batches(scrub, batch_format="pandas") \
+        .sort("doc_id")
+
+
+def truncate_tokens(docs_ds, max_tokens: int):
+    """Clip each document to its first ``max_tokens`` single-space
+    tokens (context-window pre-truncation) — polars Rust-side
+    split/head/join, map-only; also returns the original token count.
+    Exactly mirrors SQL ``array_to_string(list_slice(ws, 1, N), ' ')``
+    over the filtered token list."""
+    def clip(batch: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"doc_id": np.int64, "truncated": object,
+                           "n_tokens": np.int64})
+        toks = (pl.from_pandas(batch[["doc_id", "text"]])
+                .with_columns(pl.col("text").str.split(" ")
+                              .list.eval(pl.element()
+                                         .filter(pl.element() != ""))
+                              .alias("ws")))
+        return (toks.with_columns(
+            pl.col("ws").list.len().cast(pl.Int64).alias("n_tokens"),
+            pl.col("ws").list.head(max_tokens).list.join(" ")
+            .alias("truncated"))
+            .select(["doc_id", "truncated", "n_tokens"])
+            .to_pandas())
+
+    return docs_ds.map_batches(clip, batch_format="pandas") \
+        .sort("doc_id")
+
+
+TRUNC_N = 40
+
+
+def q_preprocess(sf_dir: str):
+    """Fused preprocessing slot: tag-strip + token-truncate over
+    documents (both map-only; one shared read).  A deterministic
+    ``<b id="N">...</b>`` wrapper is injected per doc so the strip
+    provably fires on every row (the synth corpus has no markup),
+    mirrored exactly in the oracle."""
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        ids = out["doc_id"].astype(str)
+        out["text"] = ('<b id="' + ids + '">' + out["text"] + "</b>")
+        return out
+
+    docs = (_docs(sf_dir)
+            .map_batches(inject, batch_format="pandas")
+            .materialize())
+    s = strip_tags(docs)
+    t = truncate_tokens(docs, TRUNC_N)
+
+    def sa(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"op": object, "doc_id": np.int64,
+                           "out_text": object, "n": np.int64})
+        return pd.DataFrame({"op": "strip", "doc_id": batch["doc_id"],
+                             "out_text": batch["stripped"],
+                             "n": batch["n_tags"]})
+
+    def tb(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({"op": object, "doc_id": np.int64,
+                           "out_text": object, "n": np.int64})
+        return pd.DataFrame({"op": "trunc", "doc_id": batch["doc_id"],
+                             "out_text": batch["truncated"],
+                             "n": batch["n_tokens"]})
+
+    return (s.map_batches(sa, batch_format="pandas")
+            .union(t.map_batches(tb, batch_format="pandas"))
+            .sort(["op", "doc_id"]))
+
+
+Q_PREPROCESS_SQL = f"""
+WITH inj AS (
+  SELECT doc_id,
+         '<b id="' || CAST(doc_id AS VARCHAR) || '">' || text
+         || '</b>' AS text
+  FROM documents),
+w AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM inj)
+SELECT 'strip' AS op, doc_id,
+       regexp_replace(text, '{_TAG_RE}', '', 'g') AS out_text,
+       CAST(len(regexp_extract_all(text, '{_TAG_RE}')) AS BIGINT)
+           AS n
+FROM w
+UNION ALL
+SELECT 'trunc' AS op, doc_id,
+       array_to_string(list_slice(ws, 1, {TRUNC_N}), ' ') AS out_text,
+       CAST(len(ws) AS BIGINT) AS n
+FROM w
+ORDER BY op, doc_id
+"""

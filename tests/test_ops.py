@@ -1800,3 +1800,28 @@ def test_pmi_pairs_matches_bruteforce(ray_session):
     assert [(p, a, b, c) for p, a, b, c in exp] == \
         [(int(p), a, b, int(c)) for p, a, b, c in got]
     assert out.loc[0, "t1"] == "new" and out.loc[0, "t2"] == "york"
+
+
+def test_strip_tags_and_truncate_tokens(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geoflow.corpus import strip_tags, truncate_tokens
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ['<p class="x">hello <b>world</b></p>',
+                 "no tags  here",
+                 "<a><b><c> d"]})
+    s = (strip_tags(ray.data.from_pandas(df).repartition(2))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert s["stripped"].tolist() == ["hello world", "no tags  here",
+                                      " d"]
+    assert s["n_tags"].tolist() == [4, 0, 3]
+
+    t = (truncate_tokens(ray.data.from_pandas(df).repartition(2), 2)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert t["truncated"].tolist() == ['<p class="x">hello',
+                                       "no tags", "<a><b><c> d"]
+    assert t["n_tokens"].tolist() == [3, 3, 2]
