@@ -178,7 +178,8 @@ def run_bench() -> dict:
                      "q_mad", "q_pmi", "q_interval_cover", "q_bbox",
                      "q_histogram", "q_cmsketch", "q_traj_length",
                      "q_winsorize", "q_iv_lookup",
-                     "q_grouped_approx_quantiles", "q_preprocess"]:
+                     "q_grouped_approx_quantiles", "q_preprocess",
+                     "q_ratio_to_report"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data

@@ -2390,3 +2390,67 @@ def q_grouped_approx_quantiles(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow"),
         "event_type", "value_c", APPROX_QS)
     return out.sort(["event_type", "q"])
+
+
+# ---------------------------------------------------------------------------
+# ratio-to-report window (share of group total on every row)
+# ---------------------------------------------------------------------------
+
+def ratio_to_report(ds, key_col: str, val_col: str, order_col: str,
+                    n_buckets: int | None = None):
+    """Per row: ``val / SUM(val) OVER (PARTITION BY key)`` — the
+    share-of-total window (traffic share per domain, spend share per
+    account).  One combiner ``grouped_agg`` computes exact int64 group
+    totals; the tiny per-key table re-attaches via the adaptive lookup
+    join; the division is a single IEEE op on exact ints (< 2^53) so
+    the double matches DuckDB bitwise.  Returns (order_col, ratio)."""
+    from .relational import adaptive_lookup_join, grouped_agg
+
+    base = ds.materialize()
+    totals = grouped_agg(base, [key_col],
+                         {"__tot": (val_col, "sum")},
+                         n_buckets=n_buckets)
+    joined = adaptive_lookup_join(base, totals, key_col)
+
+    def ratio(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return pd.DataFrame({
+                order_col: pd.Series(dtype=np.int64),
+                "ratio": pd.Series(dtype=np.float64)})
+        v = batch[val_col].to_numpy().astype(np.int64)
+        t = batch["__tot"].to_numpy().astype(np.int64)
+        return pd.DataFrame({order_col: batch[order_col].to_numpy(),
+                             "ratio": v / t})
+
+    return joined.map_batches(ratio, batch_format="pandas")
+
+
+def q_ratio_to_report(sf_dir: str):
+    """Each event's share of its event_type's total value cents."""
+    from .relational import read
+
+    ds = read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "value_c": _cents(batch["value"])})
+
+    out = ratio_to_report(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type", "value_c", "event_id")
+    return out.select_columns(["event_id", "ratio"]).sort("event_id")
+
+
+def q_ratio_to_report_sql() -> str:
+    return """
+WITH v AS (SELECT event_id, event_type,
+                  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
+           FROM events)
+SELECT event_id,
+       CAST(value_c AS DOUBLE)
+       / CAST(SUM(value_c) OVER (PARTITION BY event_type) AS DOUBLE)
+           AS ratio
+FROM v ORDER BY event_id
+"""

@@ -807,3 +807,17 @@ def test_grouped_approx_quantiles_rank_bound(ray_session, rng):
         assert abs(true_rank - target) <= 3 * nk / m + 1, \
             f"rank error too large for {r['k']}/{r['q']}"
     assert len(out) == 9
+
+
+def test_ratio_to_report_matches_pandas(ray_session, rng):
+    n = 1500
+    df = pd.DataFrame({
+        "o": np.arange(n, dtype=np.int64),
+        "k": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(1, 1000, n).astype(np.int64)})
+    out = (analytics.ratio_to_report(_ds(df, 5), "k", "v", "o")
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    tot = df.groupby("k")["v"].transform("sum")
+    np.testing.assert_array_equal(out["ratio"].to_numpy(),
+                                  (df["v"] / tot).to_numpy())
+    assert out["ratio"].dtype == np.float64
