@@ -1177,3 +1177,71 @@ SELECT 'trunc' AS op, doc_id,
 FROM w
 ORDER BY op, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# top terms per group (grouped vocabulary reporting)
+# ---------------------------------------------------------------------------
+
+def top_terms_per_group(docs_ds, group_col: str, k: int = 10):
+    """Top-``k`` tokens per group by count (ties -> token ascending) —
+    the per-language/per-domain vocabulary report (grouped sibling of
+    the corpus-wide ★C4 n-gram top-k).  One combiner count aggregate
+    over the token stream, then ``grouped_topn`` on (-count, token):
+    its per-batch local prune means the final shuffle moves <= k rows
+    per (group, block)."""
+    from .relational import grouped_agg, grouped_topn
+    from .shuffle import schemaless_empty
+
+    def toks(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return _empty({group_col: object, "t": object})
+        import polars as pl
+        return (pl.from_pandas(batch[[group_col, "text"]])
+                .with_columns(pl.col("text").str.split(" "))
+                .explode("text")
+                .filter(pl.col("text") != "")
+                .rename({"text": "t"})
+                .to_pandas())
+
+    counts = grouped_agg(
+        docs_ds.map_batches(toks, batch_format="pandas"),
+        [group_col, "t"], {"cnt": ("t", "size")})
+
+    def neg(batch: pd.DataFrame) -> pd.DataFrame:
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        out = batch.copy()
+        out["__negc"] = -out["cnt"].to_numpy()
+        return out
+
+    top = grouped_topn(counts.map_batches(neg, batch_format="pandas"),
+                       [group_col], ["__negc", "t"], k)
+    return top.select_columns([group_col, "t", "cnt"]) \
+        .sort([group_col, "t"])
+
+
+def top_terms_sql(group_col: str, k: int) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {group_col},
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS t
+  FROM documents),
+c AS (SELECT {group_col}, t, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2)
+SELECT {group_col}, t, cnt FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY {group_col}
+                           ORDER BY cnt DESC, t) <= {k}
+ORDER BY {group_col}, t
+"""
+
+
+def q_top_terms(sf_dir: str):
+    """Top-10 tokens per language over documents."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["lang", "text"])
+    return top_terms_per_group(docs, "lang", k=10)
+
+
+Q_TOP_TERMS_SQL = top_terms_sql("lang", 10)

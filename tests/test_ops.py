@@ -1825,3 +1825,32 @@ def test_strip_tags_and_truncate_tokens(ray_session):
     assert t["truncated"].tolist() == ['<p class="x">hello',
                                        "no tags", "<a><b><c> d"]
     assert t["n_tokens"].tolist() == [3, 3, 2]
+
+
+def test_top_terms_per_group_matches_bruteforce(ray_session):
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geoflow.corpus import top_terms_per_group
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(120):
+        g = ["en", "fr"][i % 2]
+        rows.append((g, " ".join(rng.choice(vocab, 30))))
+    df = pd.DataFrame(rows, columns=["lang", "text"])
+    out = (top_terms_per_group(
+        ray.data.from_pandas(df).repartition(4), "lang", k=5)
+        .to_pandas().reset_index(drop=True))
+    for g in ("en", "fr"):
+        c = Counter(t for _, r in df[df["lang"] == g].iterrows()
+                    for t in r["text"].split(" ") if t)
+        exp = sorted(sorted(c.items(), key=lambda x: (-x[1], x[0]))[:5])
+        got = sorted(zip(out[out["lang"] == g]["t"],
+                         out[out["lang"] == g]["cnt"]))
+        assert [(t, int(n)) for t, n in exp] == \
+            [(t, int(n)) for t, n in got]
