@@ -681,6 +681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_preprocess": corpus.q_preprocess,
         "q_ratio_to_report": analytics.q_ratio_to_report,
         "q_top_terms": corpus.q_top_terms,
+        "q_running_total": analytics.q_running_total,
+        "q_geomean": analytics.q_geomean,
     # ---- rows-only from here (pytest + local gate hold the exact
         # byte/value-level oracles), ranked by evidence value ----
         "q_flagship_tiles": _q_flagship_tiles,
@@ -812,6 +814,8 @@ def oracle_sql() -> dict[str, str]:
         "q_preprocess": corpus.Q_PREPROCESS_SQL,
         "q_ratio_to_report": analytics.q_ratio_to_report_sql(),
         "q_top_terms": corpus.Q_TOP_TERMS_SQL,
+        "q_running_total": analytics.q_running_total_sql(),
+        "q_geomean": analytics.q_geomean_sql(),
         "q_segment_join": spatial_queries.q_segment_join_sql(),
         "q_distance_join": spatial_queries.q_distance_join_sql(),
         "q_heavy_hitters": analytics.q_heavy_hitters_sql(),

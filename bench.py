@@ -179,7 +179,8 @@ def run_bench() -> dict:
                      "q_histogram", "q_cmsketch", "q_traj_length",
                      "q_winsorize", "q_iv_lookup",
                      "q_grouped_approx_quantiles", "q_preprocess",
-                     "q_ratio_to_report", "q_top_terms"]:
+                     "q_ratio_to_report", "q_top_terms",
+                     "q_running_total", "q_geomean"]:
             def run2(fn=qs[name]):
                 res = fn(SF_DIR)
                 import ray.data

@@ -2454,3 +2454,92 @@ SELECT event_id,
            AS ratio
 FROM v ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# running total + grouped geometric mean (fixed-point log sum)
+# ---------------------------------------------------------------------------
+
+def q_running_total(sf_dir: str):
+    """Per-user running total of value cents (ROWS UNBOUNDED
+    PRECEDING) — ★G12's rolling_sum with the window start pinned at
+    each key's first row (preceding >= any partition size)."""
+    from .relational import read
+
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "tu": batch["ts"].cast(pa.int64()),
+                         "value_c": _cents(batch["value"])})
+
+    out = rolling_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                      "user_id", "tu", "event_id", "value_c",
+                      preceding=1 << 40, out_col="running")
+    return out.sort("event_id")
+
+
+def q_running_total_sql() -> str:
+    return """
+WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS tu,
+                  CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
+           FROM events)
+SELECT event_id,
+       CAST(SUM(value_c) OVER (PARTITION BY user_id
+            ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS running
+FROM v ORDER BY event_id
+"""
+
+
+def grouped_log_sum(ds, keys: list[str], col: str,
+                    n_buckets: int | None = None):
+    """Per-group (n, SUM(floor(ln(max(v,1))*1e6+0.5))) — the exact
+    fixed-point log-sum whose ratio slog_fp/(1e6*n) is the geometric
+    mean's log (robust central tendency for heavy-tailed web metrics,
+    libm-exact via the vectorized ★C21 fp-log).  One combiner pass."""
+    from .classify import _fp_log_vec
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        from .shuffle import schemaless_empty
+        if schemaless_empty(batch) or len(batch) == 0:
+            return batch
+        out = batch[keys].copy()
+        v = np.maximum(batch[col].to_numpy().astype(np.int64), 1)
+        out["__lf"] = _fp_log_vec(v, np.ones(len(v), dtype=np.int64))
+        return out
+
+    return grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                       keys, {"n": ("__lf", "size"),
+                              "slog_fp": ("__lf", "sum")},
+                       n_buckets=n_buckets)
+
+
+def q_geomean(sf_dir: str):
+    """Per-event_type fixed-point log sum of value cents (geometric
+    mean terms — exact ints, the float mean is slog_fp/(1e6*n))."""
+    from .relational import read
+
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "value_c": _cents(batch["value"])})
+
+    out = grouped_log_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["event_type"], "value_c")
+    return out.sort("event_type")
+
+
+def q_geomean_sql() -> str:
+    return """
+WITH v AS (SELECT event_type,
+                  GREATEST(CAST(FLOOR(value*100 + 0.5) AS BIGINT), 1)
+                      AS vc
+           FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(LN(CAST(vc AS DOUBLE) / 1.0) * 1000000
+            + 0.5) AS BIGINT)) AS BIGINT) AS slog_fp
+FROM v GROUP BY event_type ORDER BY event_type
+"""

@@ -821,3 +821,18 @@ def test_ratio_to_report_matches_pandas(ray_session, rng):
     np.testing.assert_array_equal(out["ratio"].to_numpy(),
                                   (df["v"] / tot).to_numpy())
     assert out["ratio"].dtype == np.float64
+
+
+def test_grouped_log_sum_matches_math(ray_session, rng):
+    import math
+    n = 800
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "v": rng.integers(0, 10_000, n).astype(np.int64)})  # incl. 0
+    out = (analytics.grouped_log_sum(_ds(df, 4), ["k"], "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for _, r in out.iterrows():
+        sub = df.loc[df["k"] == r["k"], "v"]
+        exp = sum(math.floor(math.log(max(int(v), 1)) * 1e6 + 0.5)
+                  for v in sub)
+        assert int(r["slog_fp"]) == exp and int(r["n"]) == len(sub)
